@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing = full query execution materialized via a count-ish action
+(``df.foreach`` noop would skip result construction; we use
+``df.write.format("noop")`` so every row is produced but nothing hits disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from s4hanaconnector_spark.queries import load_all
+    from s4hanaconnector_spark.session import get_spark
+
+    spark = get_spark("s4spark-bench")
+    registry = load_all()
+    headline = {n: q for n, q in registry.items() if q.headline}
+
+    # warm up the JVM / codegen / parquet footer cache so the first timed
+    # query isn't charged for session startup
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        df = q.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

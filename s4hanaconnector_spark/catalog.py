@@ -1,0 +1,96 @@
+"""Catalog helpers: load the driver's parquet fixtures and expose the
+reference's metadata queries as DataFrame operations.
+
+Reference parity (SURVEY §2.1): the reference browses the source catalog with
+SQL against HANA system views — table listing with descriptions
+(S4HanaBrowse.java:85-102, O1), column+PK discovery
+(S4HanaTableMapping.java:272-301, O2), existence probes
+(S4HanaTableMapping.java:491-505, O4). In Spark the catalog IS the data
+source: parquet schemas carry the structure, ``spark.catalog`` answers
+existence, and the same left-outer-join-over-metadata shapes are ordinary
+DataFrame queries (exercised in tests over synthetic DD02L/DD02T fixtures).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (E1). Parquet scan => columnar read, predicate
+    pushdown and column pruning are handled by Catalyst downstream.
+
+    TIMESTAMP(NANOS) columns (events.ts) arrive as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to µs
+    timestamps here — a projection, still fully pushed-down/columnar."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for the SQL surface."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Existence probe (O4, S4HanaTableMapping.java:491-505)."""
+    return spark.catalog.tableExists(name)
+
+
+def list_source_tables(tables_df: DataFrame, texts_df: DataFrame) -> DataFrame:
+    """Catalog scan O1 (S4HanaBrowse.java:85-102): transparent tables with
+    English descriptions.
+
+    ``SELECT l.tabname, t.ddtext FROM DD02L l LEFT OUTER JOIN DD02T t
+    ON l.tabname = t.tabname AND t.ddlanguage = 'E'
+    WHERE l.tabclass = 'TRANSP' ORDER BY 1``
+    """
+    from pyspark.sql import functions as F
+
+    t = texts_df.filter(F.col("ddlanguage") == "E").select("tabname", "ddtext")
+    return (
+        tables_df.filter(F.col("tabclass") == "TRANSP")
+        .select("tabname")
+        .join(t, "tabname", "left")
+        .orderBy("tabname")
+    )
+
+
+def primary_keys_from_dictionary(dd03l: DataFrame, tabname: str) -> DataFrame:
+    """ABAP-dictionary PK fallback O3 (S4HanaTableMapping.java:308-321):
+    ``SELECT fieldname FROM DD03L WHERE keyflag='X' AND as4local='A'
+    AND tabname=? ORDER BY position``."""
+    from pyspark.sql import functions as F
+
+    return (
+        dd03l.filter(
+            (F.col("keyflag") == "X")
+            & (F.col("as4local") == "A")
+            & (F.col("tabname") == tabname)
+        )
+        .orderBy("position")
+        .select("fieldname")
+    )

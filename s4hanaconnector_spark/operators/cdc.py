@@ -1,0 +1,343 @@
+"""CDC core operators — the reference's delta pipeline re-expressed as
+Catalyst-optimizable DataFrame compositions.
+
+Reference shape (the single most important composition in the repo,
+S4HanaTableMapping.java:444-471):
+
+    SELECT CASE WHEN "L1"."pk1" IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l."_transactionid", l."pk"..., "L1"."col" AS alias...
+    FROM (SELECT max(_transactionid) AS _transactionid, pk...
+          FROM <T>_CHANGE_VIEW
+          WHERE _transactionid > ? AND _transactionid <= ?
+          GROUP BY pk...) l
+    LEFT OUTER JOIN "<schema>"."<T>" AS "L1" ON l.pk = "L1".pk ...
+
+Scale notes (100 TB design):
+  * The dedup GROUP BY runs BEFORE the join (agg-before-join) so the join's
+    left side is only the distinct changed PKs — Catalyst will not move an
+    aggregate through a join for us, so this plan shape is constructed
+    explicitly (SURVEY §4).
+  * ``strategy="outer"`` is the literal reference shape: one pass over the
+    source, shuffle both sides on PK. On a real cluster, bucket the source
+    table by PK so this join is shuffle-free on the big side.
+  * ``strategy="broadcast"`` is the scale path when the delta is small
+    relative to the snapshot (the normal CDC regime): an inner broadcast-hash
+    join finds live rows WITHOUT shuffling the source at all, and deletes are
+    recovered with a PK-only anti join (column-pruned scan of just the PK
+    columns). Two scans of pruned columns beat one full-width shuffle of
+    100 TB.
+  * PK values ride the change log as strings (PKLOG pk1..pk6 nvarchar(256),
+    S4HanaProducer.java:99-111); the change view casts them back to the
+    source PK types so joins compare natively instead of casting the 100 TB
+    side to string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.mapping import TableMapping
+
+MAX_LONG = 9223372036854775807  # Long.MAX_VALUE sentinel (S4HanaProducer.java:326)
+
+PKLOG_COLUMNS = [
+    "change_ts",
+    "schema_name",
+    "change_type",
+    "pk1",
+    "pk2",
+    "pk3",
+    "pk4",
+    "pk5",
+    "pk6",
+    "transactionid",
+    "transaction_seq",
+    "table_name",
+]
+
+
+# ---------------------------------------------------------------------------
+# O10 — change view: projection+filter+rename over the shared change log
+# ---------------------------------------------------------------------------
+def change_view(
+    pklog: DataFrame,
+    table_name: str,
+    schema_name: str,
+    pk_names: list[str],
+    pk_types: list[str] | None = None,
+) -> DataFrame:
+    """Per-table view of the shared PKLOG (S4HanaTableMapping.java:407-442):
+    ``SELECT PK1 AS "<pk>", ..., transactionid AS _transactionid FROM pklog
+    WHERE table_name = ? AND schema_name = ?``.
+
+    ``pk_types`` (Spark DDL strings, e.g. ``["bigint"]``) cast the
+    stringified log PKs back to source types; comparison then happens in the
+    native type (deterministic round-trip — SURVEY §7 risk list).
+    """
+    cols: list[Column] = []
+    for i, pk in enumerate(pk_names):
+        c = F.col(f"pk{i + 1}")
+        if pk_types:
+            c = c.cast(pk_types[i])
+        cols.append(c.alias(pk))
+    cols.append(F.col("transactionid").alias("_transactionid"))
+    return pklog.filter(
+        (F.col("table_name") == table_name) & (F.col("schema_name") == schema_name)
+    ).select(cols)
+
+
+# ---------------------------------------------------------------------------
+# O11 / E5 — latest change per PK (agg-before-join dedup)
+# ---------------------------------------------------------------------------
+def latest_by_key(df: DataFrame, keys: list[str], ord_col: str = "_transactionid") -> DataFrame:
+    """Collapse N changes of one row into 1 (S4HanaTableMapping.java:454-461):
+    ``SELECT max(ord) AS ord, keys FROM df GROUP BY keys``.
+
+    Hash aggregate with map-side partial aggregation — at scale this shrinks
+    the change feed to distinct keys before anything touches the snapshot.
+    """
+    return df.groupBy(*keys).agg(F.max(ord_col).alias(ord_col))
+
+
+def delta_range(cv: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Incremental range predicate ``_transactionid > lo AND <= hi``
+    (S4HanaTableMapping.java:458) — pushed into the scan by Catalyst."""
+    return cv.filter((F.col("_transactionid") > lo) & (F.col("_transactionid") <= hi))
+
+
+# ---------------------------------------------------------------------------
+# O13 / E6 — delete classification
+# ---------------------------------------------------------------------------
+def classify_change(exists_col: Column) -> Column:
+    """``CASE WHEN <source pk> IS NULL THEN 'D' ELSE 'A' END AS _change_type``
+    (S4HanaTableMapping.java:448-450): a changed PK that no longer exists in
+    the source is a delete; everything else is an upsert ('A')."""
+    return F.when(exists_col.isNull(), F.lit("D")).otherwise(F.lit("A")).alias("_change_type")
+
+
+# ---------------------------------------------------------------------------
+# E8 — the full delta query (O10 ∘ O11 ∘ O12 ∘ O13 ∘ O14)
+# ---------------------------------------------------------------------------
+def cdc_delta(
+    source: DataFrame,
+    pklog: DataFrame,
+    mapping: TableMapping,
+    lo: int,
+    hi: int,
+    schema_name: str = "S4",
+    strategy: str = "outer",
+) -> DataFrame:
+    """Compute the CDC delta for ``mapping`` over transaction range (lo, hi].
+
+    Output columns: ``_change_type`` ('D'/'A'), ``_transactionid``, then one
+    column per columnmapping alias. PK columns are taken from the LOG side so
+    deleted rows still carry their key (driver-side PK coalesce,
+    S4HanaTableMapping.java:523-544); non-PK columns evaluate the mapping's
+    SQL expressions against the source row (NULL for deletes, as in the
+    reference where "L1".* is NULL after the failed outer join).
+    """
+    pk_names = mapping.pkcolumns
+    src_types = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+    pk_types = [src_types[p] for p in pk_names]
+
+    cv = change_view(pklog, mapping.mastertable, schema_name, pk_names, pk_types)
+    deduped = latest_by_key(delta_range(cv, lo, hi), pk_names)
+
+    marked = source.withColumn("__src_exists", F.lit(1))
+    non_pk_cols = [cm for cm in mapping.columnmappings if (cm.source_column or cm.alias) not in pk_names]
+    pk_alias = {cm.source_column: cm.alias for cm in mapping.columnmappings if cm.source_column in pk_names}
+
+    def project(joined: DataFrame, change_type: Column) -> DataFrame:
+        cols = [
+            change_type,
+            F.col("_transactionid"),
+            # PKs from the log side (join key columns resolve to the left /
+            # log side under how='left'), renamed through the mapping alias
+            *[F.col(pk).alias(pk_alias.get(pk, pk)) for pk in pk_names],
+            *[cm.as_spark() for cm in non_pk_cols],
+        ]
+        return joined.select(cols)
+
+    if strategy == "outer":
+        joined = deduped.join(marked, on=pk_names, how="left")
+        return project(joined, classify_change(F.col("__src_exists")))
+
+    if strategy == "broadcast":
+        # Scale path: no shuffle of the (huge) source. Live rows via inner
+        # broadcast-hash join; deletes via PK-only anti join (column-pruned).
+        live = marked.join(F.broadcast(deduped), on=pk_names, how="inner")
+        live_out = project(live, F.lit("A").alias("_change_type"))
+        gone = deduped.join(source.select(pk_names), on=pk_names, how="left_anti")
+        gone_full = gone
+        for cm in non_pk_cols:
+            gone_full = gone_full.withColumn(cm.alias, F.lit(None))
+        gone_out = gone_full.select(
+            F.lit("D").alias("_change_type"),
+            F.col("_transactionid"),
+            *[F.col(pk).alias(pk_alias.get(pk, pk)) for pk in pk_names],
+            *[F.col(cm.alias) for cm in non_pk_cols],
+        )
+        # align null types with live_out by name
+        return live_out.unionByName(gone_out, allowMissingColumns=False)
+
+    raise ValueError(f"unknown cdc_delta strategy: {strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# O7 / E7 — PK-update expansion
+# ---------------------------------------------------------------------------
+def pk_change_expand(changes: DataFrame, pk_names: list[str], txid_col: str = "transactionid") -> DataFrame:
+    """A PK update becomes TWO change rows (update trigger with REFERENCING
+    NEW ROW / OLD ROW, S4HanaTableMapping.java:194-220): one for the NEW key
+    (always) and one for the OLD key, emitted only when any PK column
+    changed. Input: one row per update carrying ``new_<pk>`` and ``old_<pk>``
+    columns; output: one row per emitted log entry with plain ``<pk>``
+    columns and a ``pk_side`` marker ('new'/'old').
+    """
+    new_struct = F.struct(
+        F.lit("new").alias("pk_side"), *[F.col(f"new_{p}").alias(p) for p in pk_names]
+    )
+    old_struct = F.struct(
+        F.lit("old").alias("pk_side"), *[F.col(f"old_{p}").alias(p) for p in pk_names]
+    )
+    pk_changed = None
+    for p in pk_names:
+        c = ~F.col(f"new_{p}").eqNullSafe(F.col(f"old_{p}"))
+        pk_changed = c if pk_changed is None else (pk_changed | c)
+    sides = F.when(pk_changed, F.array(new_struct, old_struct)).otherwise(F.array(new_struct))
+    other = [c for c in changes.columns if not (c.startswith("new_") or c.startswith("old_"))]
+    return (
+        changes.withColumn("__side", F.explode(sides))
+        .select(*other, F.col("__side.pk_side").alias("pk_side"), *[F.col(f"__side.{p}").alias(p) for p in pk_names])
+    )
+
+
+# ---------------------------------------------------------------------------
+# O20/O21 / E10 — watermark: max safe transaction id
+# ---------------------------------------------------------------------------
+def watermark(
+    pklog: DataFrame,
+    transactions: DataFrame,
+    now_ts: Column | str,
+    min_transactionid: int = 0,
+    staleness_seconds: int = 7200,
+) -> DataFrame:
+    """Highest transaction id that is SAFE to read (S4HanaProducer.java:317-368).
+
+    ``least( coalesce(max(log txid), MAX_LONG),
+             coalesce(min(in-flight txid) - 1, MAX_LONG) )``
+    restricted to in-flight write transactions younger than the 2 h staleness
+    window (``start_time > now - 7200 s``, :331). Reading only below the
+    oldest in-flight writer guarantees commit-order correctness. If both
+    sides are empty the MAX_LONG sentinel collapses to ``min_transactionid``
+    (:336-338). Also returns the oldest in-flight start time for latency
+    alerting (:339-358).
+
+    One-row result: ``(maxtxid BIGINT, oldest_start_time TIMESTAMP)``.
+    Physical plan: two single-row partial aggregates + a 1×1 cross join —
+    cost is independent of log size thanks to map-side partial max/min.
+    """
+    now_c = F.lit(now_ts).cast("timestamp") if isinstance(now_ts, str) else now_ts
+    max_log = pklog.agg(
+        F.coalesce(F.max("transactionid"), F.lit(MAX_LONG)).alias("max_log")
+    )
+    inflight = transactions.filter(
+        (F.col("update_transaction_id") > 0)
+        & (F.col("start_time") > now_c - F.expr(f"INTERVAL {staleness_seconds} SECONDS"))
+    ).agg(
+        F.coalesce(F.min("update_transaction_id") - 1, F.lit(MAX_LONG)).alias("min_active"),
+        F.min("start_time").alias("oldest_start_time"),
+    )
+    joined = max_log.crossJoin(inflight)
+    safe = F.least(F.col("max_log"), F.col("min_active"))
+    return joined.select(
+        F.when(safe == MAX_LONG, F.lit(min_transactionid)).otherwise(safe).alias("maxtxid"),
+        F.col("oldest_start_time"),
+    )
+
+
+def current_watermark(pklog: DataFrame) -> DataFrame:
+    """Restart point (O21, S4HanaProducer.java:370-389): ``coalesce(max
+    (transactionid), 0)`` with no staleness window."""
+    return pklog.agg(F.coalesce(F.max("transactionid"), F.lit(0)).alias("maxtxid"))
+
+
+# ---------------------------------------------------------------------------
+# O23 / E11 — impacted-table discovery
+# ---------------------------------------------------------------------------
+def impacted_tables(pklog: DataFrame, schema_name: str, lo: int, hi: int) -> DataFrame:
+    """``SELECT DISTINCT table_name FROM pklog WHERE schema_name = ? AND
+    transactionid > ? AND transactionid <= ?`` (S4HanaProducer.java:400-420).
+    Result is bounded by the table count, so collecting it driver-side (to
+    fan out to mapping objects) is safe at any scale."""
+    return (
+        pklog.filter(
+            (F.col("schema_name") == schema_name)
+            & (F.col("transactionid") > lo)
+            & (F.col("transactionid") <= hi)
+        )
+        .select("table_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# O25 / E12 — retention
+# ---------------------------------------------------------------------------
+def retention_filter(pklog: DataFrame, now_ts: Column | str, days: int = 7) -> DataFrame:
+    """Keep only rows younger than the retention window — the engine-side
+    equivalent of ``DELETE FROM pklog WHERE change_ts < add_days(now(), -7)``
+    (S4HanaProducer.java:474-491). With a Delta/Iceberg log table this runs
+    as a metadata-only partition drop when the log is date-partitioned."""
+    now_c = F.lit(now_ts).cast("timestamp") if isinstance(now_ts, str) else now_ts
+    return pklog.filter(F.col("change_ts") >= now_c - F.expr(f"INTERVAL {days} DAYS"))
+
+
+# ---------------------------------------------------------------------------
+# E13 — apply a CDC batch onto a snapshot (consumer side of O26)
+# ---------------------------------------------------------------------------
+def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) -> DataFrame:
+    """Materialize a delta batch onto a snapshot: per-PK latest change wins;
+    'D' removes the row, 'A'/'I' upserts it. MERGE INTO without Delta:
+    anti-join out every changed PK, then union the surviving upserts —
+    both legs shuffle on PK once; with a PK-bucketed snapshot the anti join
+    is co-located and shuffle-free on the big side."""
+    w_latest = latest_by_key(batch, pk_names, "_transactionid")
+    latest = batch.join(w_latest, on=pk_names + ["_transactionid"], how="semi")
+    data_cols = [c for c in snapshot.columns]
+    upserts = latest.filter(F.col("_change_type") != "D").select(data_cols)
+    untouched = snapshot.join(latest.select(pk_names), on=pk_names, how="left_anti")
+    return untouched.unionByName(upserts)
+
+
+# ---------------------------------------------------------------------------
+# O16-O18 / E9 — initial load
+# ---------------------------------------------------------------------------
+def initial_load(source: DataFrame, mapping: TableMapping) -> DataFrame:
+    """Snapshot scan (S4HanaTableMapping.java:740-761):
+    ``SELECT 'I' AS _change_type, NULL AS _transactionid, <expr AS alias...>
+    FROM source [WHERE initialloadwhere]``.
+
+    The reference hand-builds partition parallelism (PARTITION (n) clauses +
+    a 10-thread pool, S4HanaProducer.java:500-654); in Spark a single
+    declarative read is already partition-parallel, restartable per-task, and
+    the WHERE/projection push into the parquet scan."""
+    df = source
+    if mapping.initialloadwhere:
+        df = df.filter(F.expr(mapping.initialloadwhere))
+    return df.select(
+        F.lit("I").alias("_change_type"),
+        F.lit(None).cast("bigint").alias("_transactionid"),
+        *mapping.projection(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O27 / E18 — order + limit (restart-point lookup)
+# ---------------------------------------------------------------------------
+def order_limit(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
+    """``SELECT TOP n ... ORDER BY ...`` (S4HanaProducer.java:118-144).
+    Spark executes this as TakeOrderedAndProject — a per-partition top-n
+    followed by a driver-side merge of n·partitions rows, never a full sort."""
+    return df.orderBy(*order_by).limit(n)

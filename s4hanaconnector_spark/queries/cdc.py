@@ -1,0 +1,290 @@
+"""Declared queries: CDC core (SURVEY §2.2 E1-E18).
+
+Each query pairs the engine's DataFrame composition with the transliterated
+reference SQL shape run by DuckDB as oracle. The synthetic change feed is
+shared arithmetic over ``orders`` (sources/pklog.py) so both engines see the
+identical log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+from s4hanaconnector_spark.operators import cdc as C
+from s4hanaconnector_spark.queries.registry import register, t
+from s4hanaconnector_spark.sources.pklog import (
+    PKLOG_ORACLE_CTE,
+    TRANSACTIONS_ORACLE_CTE,
+    synthetic_pklog,
+    synthetic_transactions,
+)
+
+LO, HI = 1005, 1040  # the delta poll's (lo, hi] transaction range
+
+ORDERS_MAPPING = TableMapping(
+    name="orders",
+    mastertable="orders",
+    alias="L1",
+    columnmappings=[
+        ColumnMapping("o_orderkey", '"L1"."o_orderkey"', "BIGINT"),
+        ColumnMapping("o_custkey", '"L1"."o_custkey"', "BIGINT"),
+        # computed column (O30): arbitrary SQL expression in the projection
+        ColumnMapping("o_orderstatus_u", 'upper("L1"."o_orderstatus")', "NVARCHAR(1)"),
+        ColumnMapping("o_totalprice", '"L1"."o_totalprice"', "DOUBLE"),
+        # date-as-string output: DATE round-trips ambiguously between pandas
+        # representations of the two engines, so the declared surface emits
+        # ISO strings (the SAP world stores dates as NVARCHAR(8) anyway —
+        # SURVEY §1.3)
+        ColumnMapping("o_orderdate_d", 'date_format("L1"."o_orderdate", \'yyyy-MM-dd\')', "NVARCHAR(10)"),
+        ColumnMapping("o_orderpriority", '"L1"."o_orderpriority"', "NVARCHAR(15)"),
+    ],
+    pkcolumns=["o_orderkey"],
+)
+
+# identity mapping (output columns == orders columns) for apply_changes
+ORDERS_IDENTITY = TableMapping(
+    name="orders_id",
+    mastertable="orders",
+    columnmappings=[
+        ColumnMapping(c, f'"L1"."{c}"')
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    ],
+    pkcolumns=["o_orderkey"],
+)
+
+_DELTA_ORACLE_BODY = f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+l AS (
+    SELECT max(_transactionid) AS _transactionid, o_orderkey
+    FROM cv WHERE _transactionid > {LO} AND _transactionid <= {HI}
+    GROUP BY o_orderkey
+)
+"""
+
+
+def cdc_delta_df(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    return C.cdc_delta(orders, pklog, ORDERS_MAPPING, LO, HI, strategy=strategy)
+
+
+_DELTA_ORACLE = (
+    _DELTA_ORACLE_BODY
+    + """
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+       l._transactionid,
+       l.o_orderkey,
+       o.o_custkey,
+       upper(o.o_orderstatus) AS o_orderstatus_u,
+       o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_d,
+       o.o_orderpriority
+FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+"""
+)
+
+
+@register("cdc_delta", _DELTA_ORACLE, headline=True)
+def cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full reference delta query (O10-O14,
+    S4HanaTableMapping.java:444-471) — change-view scan, per-PK latest dedup,
+    outer join to source, delete classification, computed-column projection."""
+    return cdc_delta_df(spark, sf_dir, "outer")
+
+
+@register("cdc_delta_broadcast", _DELTA_ORACLE, headline=True)
+def cdc_delta_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics, scale strategy: broadcast inner join for live rows +
+    PK-only anti join for deletes — zero shuffle of the source table."""
+    return cdc_delta_df(spark, sf_dir, "broadcast")
+
+
+@register(
+    "cdc_latest_by_key",
+    """
+SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id
+""",
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 standalone: collapse a change feed to the latest row per key
+    (O11's GROUP BY + MAX shape on the events fixture)."""
+    return C.latest_by_key(t(spark, sf_dir, "events"), ["user_id"], "ts")
+
+
+@register(
+    "cdc_impacted_tables",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()}
+SELECT DISTINCT table_name FROM pklog
+WHERE schema_name = 'S4' AND transactionid > {LO} AND transactionid <= {HI}
+""",
+)
+def cdc_impacted_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23: which tables changed in this poll interval."""
+    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
+    return C.impacted_tables(pklog, "S4", LO, HI)
+
+
+_WM_NOW = "2001-08-01 12:00:00"
+_WM_STALENESS = 604800  # 7 days so the fixture's July dates count as in-flight
+
+
+@register(
+    "cdc_watermark",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+{TRANSACTIONS_ORACLE_CTE.strip()},
+a AS (
+    SELECT coalesce(max(transactionid), 9223372036854775807) AS max_log FROM pklog
+),
+b AS (
+    SELECT coalesce(min(update_transaction_id) - 1, 9223372036854775807) AS min_active,
+           min(start_time) AS oldest_start_time
+    FROM transactions
+    WHERE update_transaction_id > 0
+      AND start_time > TIMESTAMP '{_WM_NOW}' - INTERVAL {_WM_STALENESS} SECONDS
+)
+SELECT CASE WHEN least(max_log, min_active) = 9223372036854775807
+            THEN 0 ELSE least(max_log, min_active) END AS maxtxid,
+       oldest_start_time
+FROM a, b
+""",
+)
+def cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20: max safe transaction id = least(max committed in log, oldest
+    in-flight writer - 1), with staleness window and MAX_LONG-sentinel
+    collapse (S4HanaProducer.java:317-368)."""
+    orders = t(spark, sf_dir, "orders")
+    return C.watermark(
+        synthetic_pklog(orders),
+        synthetic_transactions(orders),
+        _WM_NOW,
+        min_transactionid=0,
+        staleness_seconds=_WM_STALENESS,
+    )
+
+
+_RET_NOW = "1998-01-01 00:00:00"
+
+
+@register(
+    "cdc_retention",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()}
+SELECT * FROM pklog
+WHERE change_ts >= TIMESTAMP '{_RET_NOW}' - INTERVAL 7 DAYS
+""",
+)
+def cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25: 7-day retention — survivors of ``DELETE ... WHERE change_ts <
+    add_days(now(), -7)`` (S4HanaProducer.java:474-491)."""
+    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
+    return C.retention_filter(pklog, _RET_NOW, days=7)
+
+
+@register(
+    "cdc_initial_load",
+    """
+SELECT 'I' AS _change_type, CAST(NULL AS BIGINT) AS _transactionid,
+       o_orderkey, o_custkey, upper(o_orderstatus) AS o_orderstatus_u,
+       o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_d, o_orderpriority
+FROM orders WHERE o_totalprice > 150000.0
+""",
+    headline=True,
+)
+def cdc_initial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/E9: snapshot scan with projection, computed column and
+    initialloadwhere pushdown (S4HanaTableMapping.java:740-761)."""
+    import dataclasses
+
+    m = dataclasses.replace(ORDERS_MAPPING, initialloadwhere="o_totalprice > 150000.0")
+    return C.initial_load(t(spark, sf_dir, "orders"), m)
+
+
+@register(
+    "cdc_apply_changes",
+    _DELTA_ORACLE_BODY
+    + """
+, delta AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l._transactionid, l.o_orderkey, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+)
+SELECT o.* FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM delta WHERE _change_type <> 'D'
+""",
+    headline=True,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: materialize a CDC batch onto a snapshot (MERGE without Delta —
+    anti-join + union)."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    batch = C.cdc_delta(orders, pklog, ORDERS_IDENTITY, LO, HI)
+    return C.apply_changes(orders, batch, ["o_orderkey"])
+
+
+@register(
+    "cdc_pk_change_expand",
+    """
+WITH ch AS (
+    SELECT CAST(1000 + o_orderkey % 50 AS BIGINT) AS transactionid,
+           CASE WHEN o_orderkey % 39 = 0 THEN o_orderkey + 2000000
+                ELSE o_orderkey END AS new_k,
+           o_orderkey AS old_k
+    FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT transactionid, 'new' AS pk_side, new_k AS o_orderkey FROM ch
+UNION ALL
+SELECT transactionid, 'old' AS pk_side, old_k FROM ch WHERE new_k <> old_k
+""",
+)
+def cdc_pk_change_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/E7: a PK update expands to upsert(new PK) + delete-candidate(old
+    PK), the update-trigger's two-row emission
+    (S4HanaTableMapping.java:194-220)."""
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    changes = orders.filter(k % 13 == 0).select(
+        (F.lit(1000) + k % 50).cast("bigint").alias("transactionid"),
+        F.when(k % 39 == 0, k + 2000000).otherwise(k).alias("new_o_orderkey"),
+        k.alias("old_o_orderkey"),
+    )
+    return C.pk_change_expand(changes, ["o_orderkey"])
+
+
+@register(
+    "cdc_order_limit",
+    """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def cdc_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27/E18: ORDER BY + LIMIT (TakeOrderedAndProject — per-partition
+    top-n, no global sort)."""
+    orders = t(spark, sf_dir, "orders")
+    return C.order_limit(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
+
+
+@register(
+    "cdc_change_view",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()}
+SELECT CAST(pk1 AS BIGINT) AS o_orderkey, transactionid AS _transactionid
+FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+""",
+)
+def cdc_change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: the per-table change view over the shared PKLOG."""
+    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
+    return C.change_view(pklog, "orders", "S4", ["o_orderkey"], ["bigint"])
