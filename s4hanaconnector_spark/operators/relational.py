@@ -1,0 +1,116 @@
+"""Relational surface (E1-E4, E23, E27, E28) — thin, explicit wrappers over
+DataFrame primitives so the engine's declared operator inventory (SURVEY §2.2)
+has one canonical, plan-aware implementation each.
+
+Everything here is a logical-plan construction; Catalyst handles pushdown,
+pruning, join selection and AQE re-planning. The wrappers encode only the
+decisions Catalyst can NOT make for us: broadcast hints, agg-before-join
+shapes, deterministic tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- E2/E3: projection & filter ---------------------------------------------
+
+
+def project(df: DataFrame, exprs: dict[str, str]) -> DataFrame:
+    """Computed-column projection (O30): ``{alias: sql_expr}``."""
+    return df.select([F.expr(sql).alias(alias) for alias, sql in exprs.items()])
+
+
+def filter_(df: DataFrame, predicate: str) -> DataFrame:
+    """Arbitrary boolean SQL predicate (``initialloadwhere``, O16)."""
+    return df.filter(F.expr(predicate))
+
+
+# -- E4: equi-join -----------------------------------------------------------
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Conjunctive multi-key equi-join (O12), ``how`` in {inner, left, right,
+    full, semi, anti}. ``broadcast_right`` forces a broadcast-hash join when
+    the caller KNOWS the right side is small (dimension tables, delta sets) —
+    worth stating explicitly rather than trusting size estimates at 100 TB,
+    where a mis-estimated sort-merge join shuffles the fact table."""
+    how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+# -- E23: grouped aggregation ------------------------------------------------
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "stddev": F.stddev,
+    "first": F.first,
+    "collect_set": F.collect_set,
+}
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    grouping: str = "groupby",
+) -> DataFrame:
+    """``aggs`` = [(fn, column_expr, alias)], fn from the E23 surface.
+    ``grouping`` in {groupby, rollup, cube} (grouping sets).
+
+    Spark executes this as partial (map-side) + final hash aggregation —
+    the same two-phase shape for 6k rows or 100 TB; rollup/cube expand via
+    Expand + single shuffle, not one pass per grouping set."""
+    cols = [_AGG_FNS[fn](F.expr(e)).alias(alias) for fn, e, alias in aggs]
+    g = {
+        "groupby": df.groupBy,
+        "rollup": df.rollup,
+        "cube": df.cube,
+    }[grouping](*keys)
+    return g.agg(*cols)
+
+
+# -- E27: analytic windows ---------------------------------------------------
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int, rank_alias: str = "rn"
+) -> DataFrame:
+    """Top-k per group via row_number — ``order_by`` MUST end with a unique
+    tiebreak column for deterministic frontiers. Window shuffles once on
+    ``keys``; at scale prefer this over a self-join-with-max formulation."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+# -- E28: set operators ------------------------------------------------------
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

@@ -1,0 +1,119 @@
+"""Declared queries: reference scalar-function surface (E29), SAP type
+conversions (E15), and business-object nesting (E14)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark import functions as H
+from s4hanaconnector_spark.operators.nesting import nest
+from s4hanaconnector_spark.queries.registry import register, t
+
+
+@register(
+    "scalar_surface",
+    """
+SELECT o_orderkey,
+       right(CAST(o_orderkey AS VARCHAR), 4) AS right4,
+       o_orderpriority || '_' || o_orderstatus AS concat_pri,
+       o_orderpriority LIKE '%HIGH%' AS is_high,
+       ifnull(nullif(o_orderstatus, 'O'), 'X') AS status_or_x,
+       least(o_totalprice, 100000.0) AS capped_price,
+       o_orderdate + INTERVAL 7 DAY AS plus7d,
+       o_orderdate + INTERVAL 3600 SECONDS AS plus1h
+FROM orders
+""",
+)
+def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29: every scalar function the reference emits in generated SQL
+    (SURVEY §2.1 list), mapped onto Spark builtins — all codegen'd, no UDFs."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey"),
+        H.right(F.col("o_orderkey").cast("string"), 4).alias("right4"),
+        H.concat(F.col("o_orderpriority"), "_", F.col("o_orderstatus")).alias("concat_pri"),
+        H.like_escape(F.col("o_orderpriority"), "%HIGH%").alias("is_high"),
+        H.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("O")), "X").alias("status_or_x"),
+        H.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+        H.add_days(F.col("o_orderdate"), 7).alias("plus7d"),
+        H.add_seconds(F.col("o_orderdate"), 3600).alias("plus1h"),
+    )
+
+
+@register(
+    "sap_type_casts",
+    """
+WITH raw AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 19 = 0 THEN '00000000'
+                ELSE strftime(o_orderdate, '%Y%m%d') END AS erdat,
+           lpad(CAST(o_orderkey % 86400 AS VARCHAR), 6, '0') AS uzeit
+    FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN erdat = '00000000' THEN CAST(NULL AS VARCHAR)
+            ELSE strftime(strptime(erdat, '%Y%m%d'), '%Y-%m-%d') END AS erdat_date,
+       substr(uzeit, 1, 2) || ':' || substr(uzeit, 3, 2) || ':' || substr(uzeit, 5, 2) AS uzeit_time,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS vbeln_alphanum
+FROM raw
+""",
+)
+def sap_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: SAP storage conventions — NVARCHAR(8) 'yyyyMMdd' dates with
+    '00000000' initial values -> NULL, NVARCHAR(6) times -> 'HH:mm:ss',
+    to_alphanum zero-padding (VBAK.sql:1 patterns, §1.3)."""
+    o = t(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("00000000"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("erdat"),
+        F.lpad((F.col("o_orderkey") % 86400).cast("string"), 6, "0").alias("uzeit"),
+    )
+    return raw.select(
+        "o_orderkey",
+        F.date_format(H.sap_date(F.col("erdat")), "yyyy-MM-dd").alias("erdat_date"),
+        H.sap_time(F.col("uzeit")).alias("uzeit_time"),
+        H.to_alphanum(F.col("o_orderkey")).alias("vbeln_alphanum"),
+    )
+
+
+@register(
+    "nest_orders_items",
+    """
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS qty_sum
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+""",
+    headline=True,
+)
+def nest_orders_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14/O32: business-object nesting — lineitem rows nested under orders
+    as an ``items`` array of structs (the SO.Header/SO.Item golden mapping,
+    tmp JSON:76-160), then summarized FROM the nested array with
+    higher-order functions so the oracle can verify the nesting's content
+    without fragile nested-value hashing (exact item-level equality is
+    asserted in tests/test_nesting.py)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    nested = nest(
+        o,
+        l,
+        joincondition=[{"left": "o_orderkey", "right": "l_orderkey"}],
+        schemafield="items",
+        detail_cols=["l_linenumber", "l_quantity", "l_extendedprice"],
+        sort_detail_by=["l_linenumber"],
+    )
+    return nested.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.size("items").cast("long").alias("n_items"),
+        F.expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), "
+            "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("qty_sum"),
+    )

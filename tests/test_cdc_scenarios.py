@@ -1,0 +1,165 @@
+"""Golden CDC scenario tests (SURVEY §5.2) — replicate the reference's
+PerformanceIT shape without HANA: hand-built change sequences
+(insert/update/delete/PK-update) asserted against the exact reference
+semantics (S4HanaTableMapping.java:444-471, S4HanaProducer.java:317-368)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+from s4hanaconnector_spark.operators import cdc as C
+
+TS = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+MAPPING = TableMapping(
+    name="t",
+    mastertable="t",
+    columnmappings=[
+        ColumnMapping("id", '"L1"."id"'),
+        ColumnMapping("val", '"L1"."val"'),
+    ],
+    pkcolumns=["id"],
+)
+
+
+def _pklog(spark, rows):
+    """rows: (change_type, pk1, txid, seq)"""
+    data = [
+        Row(
+            change_ts=TS,
+            schema_name="S4",
+            change_type=ct,
+            pk1=str(pk),
+            pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+            transactionid=txid,
+            transaction_seq=seq,
+            table_name="t",
+        )
+        for ct, pk, txid, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        schema="change_ts timestamp, schema_name string, change_type string, "
+        "pk1 string, pk2 string, pk3 string, pk4 string, pk5 string, pk6 string, "
+        "transactionid bigint, transaction_seq int, table_name string",
+    )
+
+
+def _source(spark, rows):
+    return spark.createDataFrame([Row(id=i, val=v) for i, v in rows], "id bigint, val string")
+
+
+@pytest.mark.parametrize("strategy", ["outer", "broadcast"])
+def test_delta_latest_only_per_pk(spark, strategy):
+    """N changes of one PK collapse to ONE output row carrying max txid (O11)."""
+    log = _pklog(spark, [("I", 1, 10, 1), ("U", 1, 11, 1), ("U", 1, 12, 1)])
+    src = _source(spark, [(1, "current")])
+    out = C.cdc_delta(src, log, MAPPING, 0, 100, strategy=strategy).collect()
+    assert len(out) == 1
+    assert out[0]["_change_type"] == "A"
+    assert out[0]["_transactionid"] == 12
+    assert out[0]["val"] == "current"
+
+
+@pytest.mark.parametrize("strategy", ["outer", "broadcast"])
+def test_delta_delete_carries_pk_from_log(spark, strategy):
+    """A PK that vanished from the source classifies 'D' and STILL carries
+    its PK (taken from the log side — the driver-side PK coalesce, O14)."""
+    log = _pklog(spark, [("D", 7, 20, 1)])
+    src = _source(spark, [(1, "alive")])
+    out = C.cdc_delta(src, log, MAPPING, 0, 100, strategy=strategy).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["_change_type"] == "D"
+    assert r["id"] == 7  # PK populated on delete
+    assert r["val"] is None  # non-PK columns NULL (source row gone)
+
+
+def test_delta_range_is_half_open(spark):
+    """(lo, hi]: txid == lo excluded, txid == hi included
+    (S4HanaTableMapping.java:458)."""
+    log = _pklog(spark, [("U", 1, 10, 1), ("U", 2, 11, 1), ("U", 3, 12, 1)])
+    src = _source(spark, [(1, "a"), (2, "b"), (3, "c")])
+    out = C.cdc_delta(src, log, MAPPING, 10, 12).select("id").collect()
+    assert sorted(r["id"] for r in out) == [2, 3]
+
+
+def test_pk_update_two_rows_then_reconcile(spark):
+    """PK update emits upsert(new)+tombstone-candidate(old) (O7); running the
+    delta afterwards classifies old->D (gone) and new->A (present)."""
+    changes = spark.createDataFrame(
+        [Row(transactionid=30, new_id=100, old_id=1)],
+        "transactionid bigint, new_id bigint, old_id bigint",
+    )
+    expanded = C.pk_change_expand(changes, ["id"])
+    rows = {(r["pk_side"], r["id"]) for r in expanded.collect()}
+    assert rows == {("new", 100), ("old", 1)}
+
+    # non-PK update emits only the new row
+    changes2 = spark.createDataFrame(
+        [Row(transactionid=31, new_id=5, old_id=5)],
+        "transactionid bigint, new_id bigint, old_id bigint",
+    )
+    assert C.pk_change_expand(changes2, ["id"]).count() == 1
+
+    # reconcile through the delta: source now has 100, not 1
+    log = _pklog(spark, [("U", 100, 30, 1), ("U", 1, 30, 2)])
+    src = _source(spark, [(100, "moved")])
+    out = {r["id"]: r["_change_type"] for r in C.cdc_delta(src, log, MAPPING, 0, 100).collect()}
+    assert out == {100: "A", 1: "D"}
+
+
+def test_watermark_excludes_inflight_and_sentinel_collapse(spark):
+    """O20: watermark = min(in-flight txid) - 1 when a writer is open; with
+    empty log AND no in-flight txns the MAX_LONG sentinel collapses to
+    min_transactionid (S4HanaProducer.java:336-338)."""
+    log = _pklog(spark, [("U", 1, 50, 1), ("U", 2, 60, 1)])
+    txns = spark.createDataFrame(
+        [Row(update_transaction_id=55, start_time=TS)],
+        "update_transaction_id bigint, start_time timestamp",
+    )
+    wm = C.watermark(log, txns, TS + datetime.timedelta(seconds=10)).collect()[0]
+    assert wm["maxtxid"] == 54  # oldest in-flight - 1, despite log max 60
+
+    # stale in-flight txn (older than window) is ignored
+    old_txns = spark.createDataFrame(
+        [Row(update_transaction_id=55, start_time=TS - datetime.timedelta(hours=3))],
+        "update_transaction_id bigint, start_time timestamp",
+    )
+    wm2 = C.watermark(log, old_txns, TS).collect()[0]
+    assert wm2["maxtxid"] == 60  # falls back to log max
+
+    # empty everything -> sentinel collapse to min_transactionid
+    empty_log = _pklog(spark, [])
+    empty_txns = spark.createDataFrame([], "update_transaction_id bigint, start_time timestamp")
+    wm3 = C.watermark(empty_log, empty_txns, TS, min_transactionid=42).collect()[0]
+    assert wm3["maxtxid"] == 42
+
+
+def test_apply_changes_roundtrip(spark):
+    """E13: applying a delta batch onto a snapshot yields the new snapshot:
+    upserts replace, deletes remove, untouched rows survive."""
+    snap = _source(spark, [(1, "a"), (2, "b"), (3, "c")])
+    batch = spark.createDataFrame(
+        [
+            Row(_change_type="A", _transactionid=10, id=2, val="b2"),
+            Row(_change_type="D", _transactionid=11, id=3, val=None),
+            Row(_change_type="A", _transactionid=12, id=4, val="d"),
+        ],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    out = {r["id"]: r["val"] for r in C.apply_changes(snap, batch, ["id"]).collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_retention_keeps_recent_only(spark):
+    log = _pklog(spark, [("U", 1, 10, 1)])
+    kept = C.retention_filter(log, TS + datetime.timedelta(days=6), days=7)
+    assert kept.count() == 1
+    dropped = C.retention_filter(log, TS + datetime.timedelta(days=8), days=7)
+    assert dropped.count() == 0

@@ -1,0 +1,118 @@
+"""Type-mapping and mapping-spec unit tests (SURVEY §5.3/§5.4), mirroring the
+reference's ConversionTest and the golden mapping JSON."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from s4hanaconnector_spark.mapping import (
+    ColumnMapping,
+    TableMapping,
+    decode_name,
+    encode_name,
+)
+from s4hanaconnector_spark.types import hana_to_spark
+
+
+@pytest.mark.parametrize(
+    "decl,expected",
+    [
+        ("TINYINT", T.ShortType()),  # unsigned 0..255 — ByteType would overflow
+        ("SMALLINT", T.ShortType()),
+        ("INTEGER", T.IntegerType()),
+        ("BIGINT", T.LongType()),
+        ("DECIMAL(7,4)", T.DecimalType(7, 4)),  # ConversionTest.java:24-32 shape
+        ("DECIMAL(15,2)", T.DecimalType(15, 2)),
+        ("DECIMAL(38,10)", T.DecimalType(38, 10)),
+        ("SMALLDECIMAL", T.DecimalType(16, 0)),
+        ("REAL", T.FloatType()),
+        ("DOUBLE", T.DoubleType()),
+        ("VARCHAR(30)", T.StringType()),
+        ("NVARCHAR(8)", T.StringType()),
+        ("ALPHANUM(10)", T.StringType()),
+        ("BLOB", T.BinaryType()),
+        ("VARBINARY(100)", T.BinaryType()),
+        ("DATE", T.DateType()),
+        ("TIME", T.StringType()),
+        ("TIMESTAMP", T.TimestampType()),
+        ("SECONDDATE", T.TimestampType()),
+        ("CLOB", T.StringType()),
+        ("NCLOB", T.StringType()),
+        ("TEXT", T.StringType()),
+        ("SHORTTEXT(200)", T.StringType()),
+        ("ST_POINT", T.StringType()),
+        ("ST_GEOMETRY(4326)", T.StringType()),
+        ("BOOLEAN", T.BooleanType()),
+    ],
+)
+def test_hana_to_spark(decl, expected):
+    assert hana_to_spark(decl) == expected
+
+
+def test_unknown_type_raises():
+    """Matches the reference's PropertiesException
+    (S4HanaTableMapping.java:674-676)."""
+    with pytest.raises(ValueError, match="not known"):
+        hana_to_spark("GEOBLOB")
+    with pytest.raises(ValueError):
+        hana_to_spark("DECIMAL(99,2)")
+
+
+def test_name_encoding_roundtrip():
+    """`::` encodes as _x003a_x003a (golden filename
+    ...data_x003a_x003aSO.Header.json)."""
+    assert encode_name("sap.hana.democontent.epm.data::SO.Header") == (
+        "sap_x002ehana_x002edemocontent_x002eepm_x002edata_x003a_x003aSO_x002eHeader"
+    )
+    for name in ["plain", "a::b", "with space", "a/b\\c", "ünïcode"]:
+        assert decode_name(encode_name(name)) == name
+
+
+def test_mapping_json_roundtrip(tmp_path):
+    m = TableMapping(
+        name="epm::SO.Header",
+        mastertable="orders",
+        columnmappings=[
+            ColumnMapping("o_orderkey", '"L1"."o_orderkey"', "BIGINT"),
+            ColumnMapping("status_u", 'upper("L1"."o_orderstatus")', "NVARCHAR(1)"),
+        ],
+        pkcolumns=["o_orderkey"],
+        initialloadwhere="o_totalprice > 0",
+    )
+    path = m.write(str(tmp_path))
+    assert "_x003a_x003a" in path
+    m2 = TableMapping.read(str(tmp_path), "epm::SO.Header")
+    assert m2.to_json() == m.to_json()
+    assert TableMapping.list_mappings(str(tmp_path)) == ["epm::SO.Header"]
+    m2.delete(str(tmp_path))
+    assert TableMapping.list_mappings(str(tmp_path)) == []
+
+
+def test_struct_type_marks_pks_nullable_fields():
+    m = TableMapping(
+        name="t",
+        mastertable="t",
+        columnmappings=[
+            ColumnMapping("id", '"L1"."id"', "BIGINT"),
+            ColumnMapping("d", '"L1"."d"', "DECIMAL(7,4)"),
+        ],
+        pkcolumns=["id"],
+    )
+    st = m.struct_type()
+    assert st["id"].nullable  # every field nullable (S4HanaTableMapping.java:583)
+    assert st["id"].metadata["pk_position"] == 1
+    assert st["d"].dataType == T.DecimalType(7, 4)
+    assert "pk_position" not in st["d"].metadata
+
+
+def test_computed_column_source_recovery():
+    assert ColumnMapping("k", '"L1"."o_orderkey"').source_column == "o_orderkey"
+    assert ColumnMapping("k", 'upper("L1"."x")').source_column is None
+
+
+def test_pk_required():
+    import pandas as pd
+
+    with pytest.raises(ValueError, match="primary keys"):
+        TableMapping.infer(None, "t", [])
