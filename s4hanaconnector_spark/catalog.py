@@ -45,7 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # -> TIMESTAMP_NTZ to match every other fixture timestamp (parquet
+        # NTZ) and the DuckDB oracle's naive timestamps
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
     return df
 
 

@@ -1,3 +1,423 @@
-"""Declared queries: batch analytics surface (SURVEY §2.3 E23-E29).
+"""Declared queries: batch analytics surface (SURVEY §2.3 E23, E27, E28).
 
-Filled in Phase 2."""
+Cross-engine determinism: every aggregate over DOUBLE goes through exact
+DECIMAL arithmetic (float summation order differs between Spark partitions
+and DuckDB; decimal addition is associative) and is cast to DOUBLE only at
+the end. Averages are computed as decimal-sum / count in double — one
+deterministic division of two identical inputs. ORDER BY frontiers always
+carry a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.operators.relational import (
+    equi_join,
+    grouped_agg,
+    top_k_per_group,
+)
+from s4hanaconnector_spark.queries.registry import register, t
+
+# exact-decimal helpers (Spark side)
+_D = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(_D) if isinstance(c, str) else c.cast(_D)
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 flagship: TPC-H Q1 shape — scan-heavy groupBy with 8 aggregates.
+    Partial (map-side) aggregation makes this shuffle only
+    |groups| x |partitions| rows regardless of input size."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    charge_f = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
+    sum_qty = F.sum(_dec("l_quantity"))
+    sum_price = F.sum(_dec("l_extendedprice"))
+    sum_disc = F.sum(F.col("l_discount").cast("decimal(8,2)"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_price.cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * charge_f).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / cnt).alias("avg_qty"),
+            (sum_price.cast("double") / cnt).alias("avg_price"),
+            (sum_disc.cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    headline=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact join -> agg ->
+    top-k. customer is small relative to lineitem, so it is broadcast
+    explicitly — at 100 TB the only shuffle left is the final groupBy."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    oc = o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "inner")
+    j = l.join(
+        F.broadcast(oc.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        l.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    headline=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension broadcasts, the fact
+    table never shuffles until the (tiny) final aggregate."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    oc = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey")).select("o_orderkey", "n_name")
+    j = l.join(F.broadcast(oc), l.l_orderkey == F.col("o_orderkey"))
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return j.groupBy("n_name").agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: grouping sets via rollup — Expand + one shuffle, not one pass
+    per grouping set."""
+    return grouped_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", f"CAST(l_quantity AS {_D})", "__s"),
+            ("count", "1", "n"),
+        ],
+        grouping="rollup",
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__s").cast("double").alias("sum_qty"),
+        "n",
+    )
+
+
+@register(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: full cube over two low-cardinality keys."""
+    return grouped_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("sum", f"CAST(o_totalprice AS {_D})", "__s"), ("count", "1", "n")],
+        grouping="cube",
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("__s").cast("double").alias("sum_price"),
+        "n",
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: exact distinct aggregation (expands + two-phase agg)."""
+    return grouped_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [("count_distinct", "o_custkey", "n_customers"), ("count", "1", "n_orders")],
+    )
+
+
+@register("agg_approx_count_distinct", None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: HyperLogLog++ distinct — the 100 TB path where exact distinct
+    would shuffle every key. Sketches differ between engines, so the driver
+    records a rows-only check; tests assert <2% error vs exact."""
+    return grouped_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [("approx_count_distinct", "o_custkey", "n_customers_approx")],
+    )
+
+
+@register(
+    "window_topk_per_customer",
+    """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: top-k per group via row_number with unique tiebreak."""
+    return top_k_per_group(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rk
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: running totals, lag, rank over one window spec — single shuffle
+    on the partition key serves all three."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.rank().over(w).alias("rk"),
+    )
+
+
+@register(
+    "setops_customer_segments",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_nationkey < 13
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28: union/intersect/except chain (SQL precedence: INTERSECT binds
+    tighter; EXCEPT/INTERSECT are DISTINCT by default — ``subtract`` /
+    ``intersect``, not the *All variants)."""
+    c = t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    low_nation = c.filter(F.col("c_nationkey") < 13).select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return building.unionAll(rich.intersect(low_nation)).subtract(machinery)
+
+
+@register(
+    "events_tumbling_window",
+    """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 batch shape: 10-minute tumbling window aggregation. The epoch
+    floor is written out explicitly so the bucketing is engine-agnostic;
+    streaming variant in streaming/ uses F.window over the same semantics."""
+    e = t(spark, sf_dir, "events")
+    bucket = F.to_timestamp(
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 600) * 600).cast("bigint")
+    ).cast("timestamp_ntz")
+    return (
+        e.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTES
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch analogue of session_window; one shuffle on user_id covers both
+    window functions and the final aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    gaps = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"))
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sessions = gaps.select(
+        "user_id", "ts", F.sum("is_new_session").over(wrun).cast("bigint").alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_O,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_F,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (never let pivot() discover values at
+    100 TB — that is an extra full scan)."""
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(_dec("o_totalprice")))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("double").alias(f"total_{s}") for s in ["O", "F", "P"]],
+    )
