@@ -1,0 +1,168 @@
+"""Deduplication operators (E19) — exact through fuzzy, designed for the
+100 TB regime where the document set cannot be pairwise-compared.
+
+Strategy ladder (cheapest first):
+  1. ``dedup_exact``       — hash-groupBy on the raw column. One shuffle.
+  2. ``dedup_fingerprint`` — md5 of normalized text; catches whitespace/
+     punctuation variants. One shuffle.
+  3. ``minhash_lsh_candidates`` — banded MinHash over word shingles; only
+     documents agreeing on some band's min-signature ever meet, so the join
+     is |candidates| not |docs|² — the standard shingle->minhash->band->
+     bucket-join pipeline (Broder '97 resemblance sketches; MMDS ch.3).
+  4. ``jaccard_pairs``     — exact n-gram Jaccard, evaluated ONLY on
+     candidate pairs (or small inputs): explode shingles, self-join on
+     shingle, |intersection| / (|A|+|B|-|intersection|).
+  5. ``simhash``           — per-doc bit-majority fingerprint (Charikar '02
+     shape): near-dups land on equal or Hamming-close fingerprints; here a
+     16-bit hex-majority variant whose arithmetic is reproducible in ANSI SQL.
+
+Scale notes: every step is explode + groupBy/join on short string keys —
+shuffle-friendly, skew-salted if a shingle is ubiquitous (stopword shingles
+can be dropped by document-frequency cap, see ``df_cap`` parameter).
+All hashing is md5 (shared with the DuckDB oracle); swap xxhash64 for speed
+once cross-engine verification is not needed — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.operators.text import fingerprint, word_shingles
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one canonical row (min id) per value-tuple.
+    Returns (cols..., canonical_id, n_dups)."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on normalized-text md5."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    Each shingle hashes once (md5); its first hex digit assigns it to one of
+    16 bands, and per (doc, band) the minimum hash is the band signature.
+    Two docs collide if ANY band signature matches => probability of
+    collision rises steeply with Jaccard similarity (the LSH S-curve).
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+
+    At 100 TB: the signature table is |docs| x bands rows (tiny vs shingle
+    table); the self-join on (band, sig) only meets documents sharing a
+    signature. Ubiquitous shingles never dominate — each doc contributes
+    one min per band regardless of shingle count.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    hashed = sh.select(
+        "doc",
+        F.md5(F.col("shingle")).alias("h"),
+    ).select(
+        "doc",
+        # band by leading hex nibble: 16 deterministic bands
+        F.substring("h", 1, 1).alias("band"),
+        "h",
+    )
+    sigs = hashed.groupBy("doc", "band").agg(F.min("h").alias("sig"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    ``df_cap`` drops shingles appearing in more than that many documents
+    (document-frequency cap) — at scale the handful of ubiquitous shingles
+    otherwise produce a quadratic blowup while carrying no signal.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash-style fingerprint: for each of the 16 hex positions of
+    each distinct token's md5, take the majority bit (digit >= '8' means the
+    high bit of that nibble is set). Near-duplicate documents agree on most
+    positions. Charikar'02 shape with arithmetic any SQL engine reproduces.
+    Returns (id, simhash STRING of 16 bits)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    aggs = [
+        F.when(
+            F.avg(F.when(F.substring("h", i + 1, 1) >= "8", 1.0).otherwise(0.0)) >= 0.5,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{i}")
+        for i in range(16)
+    ]
+    bits = toks.groupBy("doc").agg(*aggs)
+    return bits.select("doc", F.concat(*[F.col(f"b{i}") for i in range(16)]).alias("simhash"))

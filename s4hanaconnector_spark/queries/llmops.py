@@ -1,3 +1,381 @@
 """Declared queries: LLM-data-pipeline operators (SURVEY §2.3 E19-E22).
 
-Filled in Phase 3."""
+The documents fixture contains no exact duplicates, so dedup queries run on
+``docs_aug``: documents augmented with synthesized exact copies, case
+variants and near-duplicates — identical arithmetic in Spark and the oracle.
+
+All hashing is md5 (the one hash function Spark and DuckDB share bit-for-
+bit); cosines are rounded to 6 digits BEFORE ranking/thresholding so float
+summation order cannot flip a frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.operators import dedup as D
+from s4hanaconnector_spark.operators import multimodal as M
+from s4hanaconnector_spark.operators import similarity as S
+from s4hanaconnector_spark.operators import text as X
+from s4hanaconnector_spark.queries.registry import register, t
+
+# ---------------------------------------------------------------------------
+# shared augmented-documents fixture (dup synthesis)
+# ---------------------------------------------------------------------------
+
+
+def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    cased = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    near = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra token tail")).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(cased).unionAll(near)
+
+
+DOCS_AUG_CTE = """
+docs_aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 300000, text || ' zz extra token tail' FROM documents WHERE doc_id % 13 = 0
+)
+"""
+
+# normalized text + word arrays (DuckDB side)
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+_WORDS = f"list_filter(regexp_split_to_array({_NORM}, ' '), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+words AS (
+    SELECT doc_id, {_WORDS} AS w FROM docs_aug
+),
+shingles AS (
+    SELECT DISTINCT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words WHERE len(w) >= 3)
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E19 — deduplication ladder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH {DOCS_AUG_CTE.strip()}
+SELECT text, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM docs_aug GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19a: exact dedup — hash-groupBy on the raw column, one shuffle."""
+    return D.dedup_exact(docs_aug(spark, sf_dir), ["text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+WITH {DOCS_AUG_CTE.strip()}
+SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM docs_aug GROUP BY 1
+""",
+    headline=True,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19b: normalized-fingerprint dedup — catches case/whitespace/punct
+    variants the exact pass misses (the synthesized upper() copies)."""
+    return D.dedup_fingerprint(docs_aug(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sigs AS (
+    SELECT doc, substr(md5(shingle), 1, 1) AS band, min(md5(shingle)) AS sig
+    FROM shingles GROUP BY doc, band
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc < b.doc
+GROUP BY a.doc, b.doc
+""",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19c: banded-MinHash candidate generation — shingle -> md5 -> 16
+    bands by leading nibble -> per-(doc,band) min signature -> bucket
+    join. Only documents agreeing on a band signature ever meet."""
+    return D.minhash_lsh_candidates(docs_aug(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "dedup_jaccard",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc, count(*) AS sz FROM shingles GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    WHERE a.doc < b.doc GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+""",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19d: exact n-gram Jaccard on shingle-sharing pairs; catches the
+    synthesized near-duplicates at >= 0.5."""
+    return D.jaccard_pairs(docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.5)
+
+
+_SIMHASH_BITS = ",\n       ".join(
+    f"CASE WHEN avg(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1.0 ELSE 0.0 END) >= 0.5 "
+    f"THEN '1' ELSE '0' END AS b{i}"
+    for i in range(16)
+)
+_SIMHASH_CONCAT = " || ".join(f"b{i}" for i in range(16))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+toks AS (
+    SELECT DISTINCT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(text), ' '), x -> x <> '')) AS tok
+    FROM docs_aug
+),
+bits AS (
+    SELECT doc, {_SIMHASH_BITS}
+    FROM (SELECT doc, md5(tok) AS h FROM toks)
+    GROUP BY doc
+)
+SELECT doc, {_SIMHASH_CONCAT} AS simhash FROM bits
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19e: 16-bit SimHash-style bit-majority fingerprint over distinct
+    tokens (Charikar'02 shape) — near-dups agree on most bits."""
+    return D.simhash16(docs_aug(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E20 — similarity search
+# ---------------------------------------------------------------------------
+
+_COS_DOT = (
+    "sum(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))"
+    " / (sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))"
+    " * sqrt(sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.q_id, c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c
+    WHERE c.vec_id <> q.q_id
+),
+expl AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine
+    FROM expl GROUP BY q_id, c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 10
+""",
+    headline=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 baseline: exact cosine top-10 for 5 query vectors — broadcast
+    queries x one corpus pass, per-partition then global top-k."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.brute_force_topk(q, c, k=10)
+
+
+@register(
+    "similarity_lsh_pairs",
+    f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 128 +
+           (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 64 +
+           (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 32 +
+           (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 16 +
+           (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 8 +
+           (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 4 +
+           (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 2 +
+           (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS qv, b2.embedding AS cv
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+    WHERE a.vec_id < b2.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+    FROM expl GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.25
+""",
+)
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 scale path: sign-bucket LSH (8 coordinate hyperplanes => 256
+    buckets) — candidate pairs only form inside a bucket, ~2^8 fewer
+    comparisons than all-pairs."""
+    return S.lsh_bucketed_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", dims=8, min_cosine=0.25
+    )
+
+
+# ---------------------------------------------------------------------------
+# E21 — text analysis
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, ' '), x -> x <> '')"
+_DUCK_SW = "['the','a','and','of','to','in','is','it','for','on']"
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len({_DUCK_TOKS}) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / greatest(len({_DUCK_TOKS}), 1) AS chars_per_token,
+       CAST(len(list_filter({_DUCK_TOKS}, x -> list_contains({_DUCK_SW}, x))) AS DOUBLE)
+           / greatest(len({_DUCK_TOKS}), 1) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: per-document quality-filter features — all JVM-side regex/array
+    builtins inside whole-stage codegen."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = X.tokens(c)
+    return d.select(
+        "doc_id",
+        F.length(c).alias("n_chars_m"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(c).cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+        X.stopword_ratio(c).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double")
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("digit_ratio"),
+    )
+
+
+_LANG_SCORE = {
+    lang: f"len(list_filter({_DUCK_TOKS}, x -> list_contains({markers!r}, x)))"
+    for lang, markers in X.LANG_MARKERS.items()
+}
+_LANG_CASE = (
+    "CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN '{lang}'"
+        for lang in ["en", "de", "fr", "es", "zh"]
+    )
+    + " END"
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH scores AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_LANG_SCORE['en']} AS s_en,
+           {_LANG_SCORE['de']} AS s_de,
+           {_LANG_SCORE['fr']} AS s_fr,
+           {_LANG_SCORE['es']} AS s_es,
+           {_LANG_SCORE['zh']} AS s_zh
+    FROM documents
+)
+SELECT doc_id, labeled_lang, {_LANG_CASE} AS predicted_lang FROM scores
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: marker-stopword language-ID heuristic with deterministic
+    argmax tie order."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, md5({_NORM.replace('docs_aug', 'documents')}) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: document fingerprint = md5 over normalized text."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# E22 — multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       'text' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(md5(text), 1, 8) AS md5_prefix,
+       TRUE AS feature_ok
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: opaque-binary payload + metadata struct -> Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically; the
+    schema/partitioning/batch plumbing is the real thing)."""
+    d = t(spark, sf_dir, "documents")
+    payload = M.attach_payload(d, "text", "doc_id", kind="text")
+    return M.extract_features(payload)

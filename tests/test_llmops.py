@@ -1,0 +1,89 @@
+"""Non-triviality checks for the LLM-pipeline operators: the oracle parity
+test would also pass on trivially-empty outputs, so assert the synthesized
+duplicates/neighbors are actually FOUND."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.queries import load_all
+from s4hanaconnector_spark.queries.llmops import docs_aug
+
+
+def test_exact_dedup_finds_synthesized_copies(spark, sf_dir):
+    reg = load_all()
+    out = reg["dedup_exact"].fn(spark, sf_dir)
+    dup_groups = out.filter(F.col("n_dups") > 1)
+    assert dup_groups.count() > 0
+    # canonical id is always the original (< 100000 offset)
+    assert dup_groups.filter(F.col("canonical_id") >= 100000).count() == 0
+
+
+def test_fingerprint_dedup_catches_case_variants(spark, sf_dir):
+    reg = load_all()
+    exact = reg["dedup_exact"].fn(spark, sf_dir).filter(F.col("n_dups") > 1).count()
+    fp = reg["dedup_fingerprint"].fn(spark, sf_dir).filter(F.col("n_dups") > 1).count()
+    assert fp > exact  # the upper() variants only fold under normalization
+
+
+def test_minhash_recovers_near_duplicates(spark, sf_dir):
+    """Every synthesized near-dup pair (original, original+300000) must be a
+    MinHash candidate — they share almost all shingles."""
+    reg = load_all()
+    cands = reg["dedup_minhash_lsh"].fn(spark, sf_dir)
+    near_ids = [
+        r["doc_id"]
+        for r in docs_aug(spark, sf_dir).filter(F.col("doc_id") >= 300000).collect()
+    ]
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in cands.filter(F.col("doc_b") >= 300000).collect()
+    }
+    missing = [i for i in near_ids if (i - 300000, i) not in found]
+    assert not missing, f"near-dup pairs missed by LSH: {missing[:5]}"
+
+
+def test_jaccard_scores_near_dups_high(spark, sf_dir):
+    reg = load_all()
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in reg["dedup_jaccard"].fn(spark, sf_dir).collect()
+    }
+    near = {k: v for k, v in pairs.items() if k[1] == k[0] + 300000}
+    assert near and min(near.values()) > 0.6
+
+
+def test_simhash_near_dups_hamming_close(spark, sf_dir):
+    reg = load_all()
+    sh = {r["doc"]: r["simhash"] for r in reg["dedup_simhash"].fn(spark, sf_dir).collect()}
+    ham = [
+        sum(a != b for a, b in zip(sh[i], sh[i - 300000]))
+        for i in sh
+        if i >= 300000 and (i - 300000) in sh
+    ]
+    assert ham and max(ham) <= 4  # near-dups differ in at most 4 of 16 bits
+
+
+def test_similarity_topk_shape(spark, sf_dir):
+    reg = load_all()
+    out = reg["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rn"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["c_id"] != q for r in rows)
+
+
+def test_multimodal_stub_raises_without_decoder(spark, sf_dir):
+    import pytest
+
+    from s4hanaconnector_spark.operators import multimodal as M
+    from s4hanaconnector_spark.queries.registry import t
+
+    payload = M.attach_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    with pytest.raises(NotImplementedError, match="decode"):
+        M.extract_features(payload, decode_stub=False)
