@@ -1,0 +1,223 @@
+"""Streaming tests (E16-E17, E24-E26): file-source micro-batches driven to
+completion with processAllAvailable, mirroring the reference's poll loop
+(SURVEY §3.1) without Kafka/HANA."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.operators import cdc as C
+from s4hanaconnector_spark.queries.cdc import ORDERS_IDENTITY
+from s4hanaconnector_spark.streaming import (
+    changes_stream,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_dedup,
+    transactional_sink,
+    tumbling_window_agg,
+)
+from s4hanaconnector_spark.streaming.core import PKLOG_DDL
+
+T0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _write_poll(spark, log_dir, rows, name):
+    """One producer poll's worth of PKLOG rows as ONE parquet file directly
+    in the watched directory (the file stream source does not recurse into
+    subdirectories)."""
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, PKLOG_DDL)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "w")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(log_dir, name))
+
+
+def _pklog_row(ct, pk, txid, seq=1, ts=T0, table="orders"):
+    return Row(
+        change_ts=ts, schema_name="S4", change_type=ct, pk1=str(pk),
+        pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+        transactionid=txid, transaction_seq=seq, table_name=table,
+    )
+
+
+def test_changes_stream_cdc_foreachbatch(spark, sf_dir, tmp_path):
+    """E17 end-to-end: change feed -> micro-batches -> cdc_delta per batch ->
+    transactional sink. The delta of each poll lands exactly once."""
+    log_dir = str(tmp_path / "pklog")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    some_keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    _write_poll(
+        spark, log_dir,
+        [_pklog_row("U", k, 100 + i) for i, k in enumerate(some_keys)]
+        + [_pklog_row("D", 999999999, 103)],
+        "poll1.parquet",
+    )
+
+    def apply_delta(batch_df, batch_id):
+        return C.cdc_delta(orders, batch_df, ORDERS_IDENTITY, 0, 10**9)
+
+    sink = transactional_sink(out_dir, transform=apply_delta)
+    stream = changes_stream(spark, log_dir)
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(os.path.join(out_dir, "batch_id=0"))
+    got = {r["o_orderkey"]: r["_change_type"] for r in out.collect()}
+    assert got[999999999] == "D"
+    assert all(got[k] == "A" for k in some_keys)
+
+    # second poll arrives -> new batch, separate commit
+    _write_poll(spark, log_dir, [_pklog_row("U", some_keys[0], 200)], "poll2.parquet")
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    commits = sorted(glob.glob(os.path.join(out_dir, "_commits", "*.json")))
+    assert len(commits) == 2
+
+
+def test_transactional_sink_replay_is_idempotent(spark, tmp_path):
+    """E16: re-delivering a committed batch id must not double-write."""
+    out_dir = str(tmp_path / "out")
+    sink = transactional_sink(out_dir)
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    sink(df1, 0)
+    first = json.load(open(os.path.join(out_dir, "_commits", "0.json")))
+    # replay with different data — must be ignored
+    sink(spark.range(50).withColumnRenamed("id", "v"), 0)
+    again = json.load(open(os.path.join(out_dir, "_commits", "0.json")))
+    assert first == again
+    assert spark.read.parquet(os.path.join(out_dir, "batch_id=0")).count() == 5
+
+
+def _event_row(uid, ts, v=1.0):
+    return Row(user_id=uid, ts=ts, value=v)
+
+
+def _single_file(spark, df, directory, name):
+    import shutil
+    import tempfile
+
+    os.makedirs(directory, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "w")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(directory, name))
+
+
+def _event_stream(spark, tmp_path, rows, name="events"):
+    d = str(tmp_path / name)
+    schema = "user_id bigint, ts timestamp, value double"
+    _single_file(spark, spark.createDataFrame(rows, schema), d, "f1.parquet")
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_window_agg(spark, tmp_path):
+    rows = [
+        _event_row(1, T0 + datetime.timedelta(minutes=m)) for m in [0, 1, 2, 11, 12, 25]
+    ]
+    s = _event_stream(spark, tmp_path, rows)
+    agg = tumbling_window_agg(
+        s, "ts", "10 minutes", [], [F.count(F.lit(1)).alias("n")], watermark="5 minutes"
+    )
+    out = _run_to_memory(spark, agg, "tumb", mode="complete")
+    got = {r["window_start"].minute: r["n"] for r in out.collect()}
+    assert got == {0: 3, 10: 2, 20: 1}
+
+
+def test_sliding_window_agg(spark, tmp_path):
+    rows = [_event_row(1, T0 + datetime.timedelta(minutes=5))]
+    s = _event_stream(spark, tmp_path, rows, "ev2")
+    agg = sliding_window_agg(
+        s, "ts", "10 minutes", "5 minutes", [], [F.count(F.lit(1)).alias("n")]
+    )
+    out = _run_to_memory(spark, agg, "slide", mode="complete")
+    # one event at minute 5 lands in windows [0,10) and [5,15)
+    starts = sorted(r["window_start"].minute for r in out.collect())
+    assert starts == [0, 5]
+
+
+def test_session_window_agg(spark, tmp_path):
+    rows = [
+        _event_row(1, T0),
+        _event_row(1, T0 + datetime.timedelta(minutes=2)),
+        _event_row(1, T0 + datetime.timedelta(minutes=40)),  # new session
+        _event_row(2, T0),
+    ]
+    s = _event_stream(spark, tmp_path, rows, "ev3")
+    agg = session_window_agg(
+        s, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )
+    out = _run_to_memory(spark, agg, "sess", mode="complete")
+    got = sorted((r["user_id"], r["n"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """E25: duplicate keys in later micro-batches are dropped while inside
+    the watermark TTL."""
+    d = str(tmp_path / "dedup_src")
+    schema = "user_id bigint, ts timestamp, value double"
+    _single_file(
+        spark, spark.createDataFrame([_event_row(1, T0), _event_row(2, T0)], schema), d, "b1.parquet"
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    deduped = stateful_dedup(stream, ["user_id"], "ts", "1 hour")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    emitted: dict[int, set] = {}
+
+    def collect(batch_df, batch_id):
+        emitted.setdefault(batch_id, set()).update(
+            r["user_id"] for r in batch_df.collect()
+        )
+
+    def run():
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert emitted.get(0) == {1, 2}
+
+    # duplicate of user 1 + new user 3 arrive in a later batch; the state
+    # store (restored from checkpoint) remembers user 1
+    _single_file(
+        spark,
+        spark.createDataFrame(
+            [_event_row(1, T0 + datetime.timedelta(minutes=5)), _event_row(3, T0)], schema
+        ),
+        d,
+        "b2.parquet",
+    )
+    run()
+    later = set().union(*(v for k, v in emitted.items() if k > 0)) if len(emitted) > 1 else set()
+    assert 3 in later and 1 not in later
