@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from s4hanaconnector_spark.operators.text import fingerprint, word_shingles
+from s4hanaconnector_spark.operators.text import (
+    fingerprint,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
 
 
 def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -50,10 +55,26 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
-    return df.select(
+    """(id, shingle) pairs — distinct word n-grams per document.
+
+    Two-stage projection: tokenization is materialized into its own column
+    first so the shingle ``transform`` references a plain attribute — without
+    this, the normalize+split pipeline re-runs once per shingle position
+    (O(words²) per doc; 10× wall on the bench fixture). The tokenize stage is
+    CPU-bound, so spread it across all cores when the source has fewer input
+    splits than the cluster has slots (a handful of parquet footers at small
+    SF; at 100 TB the file splits already exceed core count and the
+    repartition is skipped)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    toksed = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    return toksed.select(
+        "doc",
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     )
 
 

@@ -120,11 +120,16 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
-def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles -> array<string>. Documents shorter
-    than n words yield a single whole-text shingle so they still
-    participate in dedup."""
-    toks = tokens(normalize_text(c))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-MATERIALIZED token-array
+    column -> array<string>. Documents shorter than n words yield a single
+    whole-text shingle so they still participate in dedup.
+
+    ``toks`` must be a plain column reference (not the tokenization
+    expression itself): referencing an expression inside the ``transform``
+    lambda would re-evaluate the full normalize+split pipeline once per
+    shingle position — O(words²) regex work per document. Materializing the
+    array in a prior projection keeps shingling O(words)."""
     return F.array_distinct(
         F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
             F.transform(
@@ -133,3 +138,10 @@ def word_shingles(c: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles -> array<string>, tokenizing inline.
+    Prefer ``shingles_from_tokens`` over a materialized token column in hot
+    paths (see its docstring for the re-evaluation pitfall)."""
+    return shingles_from_tokens(tokens(normalize_text(c)), n)
