@@ -162,6 +162,39 @@ def jaccard_pairs(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec: str = "embedding",
+    threshold: float = 0.9,
+    dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate contraction: rows whose vectors are
+    closer than ``threshold`` collapse onto the lowest id among their
+    neighbors. Rung 6 of the dedup ladder — catches paraphrases/re-encodes
+    that share no n-grams.
+
+    Candidate pairs come from sign-bucket LSH (never all-pairs), then each id
+    maps to ``min(own id, min neighbor id)`` — a single contraction step.
+    Full transitive clusters need iterate-to-fixpoint (alternating
+    large-star/small-star a la connected-components); one step is the
+    per-round building block and already collapses star-shaped duplicate
+    groups, which is the overwhelmingly common shape in practice.
+    Returns (id, canonical_id)."""
+    from s4hanaconnector_spark.operators.similarity import lsh_bucketed_pairs
+
+    pairs = lsh_bucketed_pairs(df, id_col, vec, dims=dims, min_cosine=threshold)
+    neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
+    return (
+        df.select(F.col(id_col))
+        .join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash-style fingerprint: for each of the 16 hex positions of
     each distinct token's md5, take the majority bit (digit >= '8' means the

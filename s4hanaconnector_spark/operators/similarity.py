@@ -83,6 +83,65 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: a coarse quantizer
+    assigns every corpus vector to its nearest centroid's cell; each query
+    probes only its ``n_probe`` nearest cells and rescores candidates there —
+    the comparison count drops by ~n_centroids/n_probe vs brute force.
+
+    The quantizer here is deterministic (the n_centroids lowest-id corpus
+    vectors) so the DuckDB oracle can replicate the index bit-for-bit; in
+    production the centroids come from spark.ml KMeans on a sample and are
+    broadcast, making cell assignment a pure projection over one corpus pass
+    (no shuffle). Affinities are rounded before ranking with id tiebreaks so
+    cell boundaries and the k-frontier are engine-independent.
+    """
+    from pyspark.sql import Window as W
+
+    cent = (
+        corpus.orderBy(c_id)
+        .limit(n_centroids)
+        .select(F.col(c_id).alias("__cent_id"), F.col(vec).alias("__cent"))
+    )
+
+    def assign(df: DataFrame, id_col: str, keep_rn: int) -> DataFrame:
+        aff = F.round(cosine(F.col(vec), F.col("__cent")), round_digits)
+        w = W.partitionBy(id_col).orderBy(F.desc("__aff"), F.asc("__cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .select(id_col, vec, F.col("__cent_id"), aff.alias("__aff"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep_rn)
+            .select(id_col, vec, F.col("__cent_id").alias("__cell"))
+        )
+
+    cells = assign(corpus.select(c_id, vec), c_id, 1)
+    probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(vec, "__qv")
+
+    cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
+    scored = (
+        probes.join(cells, on="__cell")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, cos.alias("cosine"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, "cosine", "rn")
+    )
+
+
 def sign_bucket(vec: Column, dims: int = 8) -> Column:
     """LSH bucket id: sign bits of the first ``dims`` dimensions packed into
     an int (0 .. 2^dims - 1)."""

@@ -45,6 +45,20 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, and single
+# non-alphanumeric marks each become one token — the unit BPE merges start
+# from. Shared verbatim with the DuckDB oracle (both engines use RE2-compatible
+# syntax for this class).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(c: Column) -> Column:
+    """BPE-ish pre-tokenization -> array<string>: a closer token-count proxy
+    for LLM budgeting than whitespace splitting (punctuation and number runs
+    count separately)."""
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+
+
 def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: chars, tokens, mean token length, punctuation and
     digit ratios, uppercase ratio — the standard quality-filter features."""

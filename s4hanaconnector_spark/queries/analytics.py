@@ -421,3 +421,115 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(s), F.lit(0)).cast("double").alias(f"total_{s}") for s in ["O", "F", "P"]],
     )
+
+
+@register(
+    "join_semi_priority_count",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+GROUP BY o_orderpriority
+""",
+)
+def join_semi_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the probe
+    side never widens, so only the (pre-filtered) orders shuffle. The
+    lineitem predicate pushes into the scan before the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    return (
+        equi_join(
+            o,
+            li.select(F.col("l_orderkey").alias("o_orderkey")),
+            on=["o_orderkey"],
+            how="semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "join_anti_idle_customers",
+    """
+WITH cutoff AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, count(*) AS bal_n
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer, cutoff
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg balance, broadcast as a
+    1-row cross join) + NOT EXISTS decorrelated to a LEFT ANTI join on the
+    column-pruned o_custkey projection. The above-average test is stated
+    division-free (bal * n > sum) so it is integer/decimal-exact in both
+    engines — avg() would round differently per engine at the frontier."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_n"),
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(
+        _dec("c_acctbal") * F.col("bal_n") > F.col("bal_sum")
+    )
+    idle = equi_join(
+        rich,
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        on=["c_custkey"],
+        how="anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
+    "join_agg_small_qty_revenue",
+    """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+           count(*) AS qty_n
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * p.qty_n * 5 < p.qty_sum
+""",
+)
+def join_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate decorrelated to agg-before-join
+    — the per-part average is computed once (map-side partial agg), then a
+    single equi-join applies the threshold. Never a per-row subquery. The
+    `qty < 0.2 * avg` test is stated division-free (qty * n * 5 < sum) so
+    the frontier is decimal-exact in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    return (
+        equi_join(li, per_part, on=["l_partkey"], how="inner")
+        .filter(_dec("l_quantity") * F.col("qty_n") * 5 < F.col("qty_sum"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

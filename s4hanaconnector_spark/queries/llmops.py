@@ -260,6 +260,118 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_topk_ivf",
+    f"""
+WITH cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+),
+ax AS (
+    SELECT e.vec_id, e.embedding AS qv, c.cent_id, c.cv,
+           unnest(range(1, len(e.embedding) + 1)) AS i
+    FROM embeddings e CROSS JOIN cent c
+),
+aff AS (
+    SELECT vec_id, cent_id, round({{cos}}, 6) AS aff
+    FROM ax GROUP BY vec_id, cent_id
+),
+ranked AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
+    FROM aff
+),
+cells AS (SELECT vec_id AS c_id, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM ranked WHERE rn <= 4 AND vec_id < 5),
+cand AS (
+    SELECT p.q_id, c.c_id, qe.embedding AS qv, ce.embedding AS cv
+    FROM probes p
+    JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id
+    JOIN embeddings qe ON qe.vec_id = p.q_id
+    JOIN embeddings ce ON ce.vec_id = c.c_id
+),
+cx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM cand),
+scored AS (
+    SELECT q_id, c_id, round({{cos}}, 6) AS cosine
+    FROM cx GROUP BY q_id, c_id
+),
+topk AS (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, c_id, cosine, rn FROM topk WHERE rn <= 10
+""".format(cos=_COS_DOT),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 scale rung 2: IVF — coarse-quantize the corpus into 16 cells,
+    probe each query's 4 nearest cells, rescore only those candidates."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.ivf_topk(q, c, k=10, n_centroids=16, n_probe=4)
+
+
+_EMB_AUG_CTE = """
+e_aug AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) + CAST(0.02 AS DOUBLE))
+    FROM embeddings WHERE vec_id % 9 = 0
+)
+"""
+
+
+def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings augmented with synthesized near-duplicates (the fixture has
+    no natural pairs above cosine 0.5): every 9th vector gets an affine-
+    perturbed copy (x*1.01 + 0.02, cosine ~0.999 to its source). All arrays
+    cast to double so both engines do identical IEEE arithmetic."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.02)).alias("embedding"),
+    )
+    return e.unionByName(pert)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM e_aug),
+p AS (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS qv, b2.embedding AS cv
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+    WHERE a.vec_id < b2.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM p),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM expl GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.9
+)
+SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
+FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19f: embedding-cosine near-dup — LSH-bucketed candidate pairs at
+    cosine >= 0.9, each id contracted onto its lowest-id neighbor."""
+    return D.embedding_near_dup(emb_aug(spark, sf_dir), "vec_id", threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # E21 — text analysis
 # ---------------------------------------------------------------------------
@@ -341,6 +453,78 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         X.lang_id(F.col("text")).alias("predicted_lang"),
     )
+
+
+@register(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+       len({_DUCK_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+           / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 1)
+           AS chars_per_bpe_token
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: LLM token budgeting — whitespace tokens vs BPE-ish pre-tokens
+    (letter runs / digit runs / single marks) plus chars-per-token, all
+    JVM-side regex built-ins."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    bpe = X.bpe_tokens(c)
+    return d.select(
+        "doc_id",
+        F.size(X.tokens(c)).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.length(c).cast("double") / F.greatest(F.size(bpe), F.lit(1))).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+_DUCK_LEN_OK = "CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END"
+_DUCK_DIGIT = (
+    "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+_DUCK_SW_RATIO = (
+    f"CAST(len(list_filter({_DUCK_TOKS}, x -> list_contains({_DUCK_SW}, x))) AS DOUBLE)"
+    f" / greatest(len({_DUCK_TOKS}), 1)"
+)
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       {_DUCK_LEN_OK} AS len_ok,
+       round(0.4 * ({_DUCK_LEN_OK})
+           + 0.3 * (1 - least(({_DUCK_DIGIT}) * 5, 1.0))
+           + 0.3 * least(({_DUCK_SW_RATIO}) * 5, 1.0), 6) AS quality
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: composite quality score — bounded weighted features (length
+    band, digit pollution, stopword presence), the standard pre-training
+    quality-filter shape. Rounded so both engines agree on the frontier."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    digit = F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double") / F.greatest(
+        n, F.lit(1)
+    )
+    sw = X.stopword_ratio(c)
+    quality = F.round(
+        0.4 * len_ok
+        + 0.3 * (1 - F.least(digit * 5, F.lit(1.0)))
+        + 0.3 * F.least(sw * 5, F.lit(1.0)),
+        6,
+    )
+    return d.select("doc_id", len_ok.alias("len_ok"), quality.alias("quality"))
 
 
 @register(
