@@ -22,6 +22,7 @@ from s4hanaconnector_spark.streaming.core import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     stateful_dedup,
+    stateful_latest_by_key,
     transactional_sink,
     tumbling_window_agg,
 )

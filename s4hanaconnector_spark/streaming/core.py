@@ -169,3 +169,72 @@ def stateful_dedup(stream: DataFrame, keys: list[str], ts_col: str, ttl: str) ->
     equivalent of the reference's 7-day PKLOG retention (state that old can
     no longer produce a duplicate and is dropped)."""
     return stream.withWatermark(ts_col, ttl).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
+# E25 custom-stateful path — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def stateful_latest_by_key(
+    stream: DataFrame,
+    keys: list[str],
+    ord_col: str = "transactionid",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """E5 (per-PK latest-only dedup, O11) as a CUSTOM stateful streaming
+    operator: across micro-batches, remember the highest ``ord_col`` seen per
+    key and emit a row only when a batch advances it — the streaming form of
+    the reference's "one delta row per PK per poll" contract, where a PK whose
+    latest change was already emitted stays silent on replayed/stale changes.
+
+    Built on ``applyInPandasWithState`` (Arrow-batched per-group pandas with a
+    typed state struct) because no built-in expresses "max-so-far with
+    suppression": ``dropDuplicatesWithinWatermark`` forgets VALUES, and window
+    aggs emit per window, not per advance. State is one struct per live key,
+    hash-partitioned across executors.
+
+    ``ttl_ms`` enables the PKLOG-retention analogue (a key silent for the
+    retention window cannot produce a late duplicate, so its state drops) via
+    processing-time timeout. With a TTL the engine schedules extra
+    state-cleanup triggers between data batches — normal for an always-on
+    query, but ``processAllAvailable`` never sees an idle trigger, so
+    drive-to-completion tests must use the default (no timeout).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("max_ord", T.LongType())])
+    col_order = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        if state.hasTimedOut or not frames:
+            state.remove()
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        best_ord = int(pdf[ord_col].max())
+        prev = state.get[0] if state.exists else None
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if prev is not None and best_ord <= prev:
+            return  # stale replay: the emitted frontier already passed it
+        state.update((best_ord,))
+        winners = pdf[pdf[ord_col] == best_ord]
+        # deterministic pick among equal ords: last in feed order
+        yield winners.tail(1)[col_order]
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        timeout,
+    )

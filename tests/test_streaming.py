@@ -221,3 +221,46 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     run()
     later = set().union(*(v for k, v in emitted.items() if k > 0)) if len(emitted) > 1 else set()
     assert 3 in later and 1 not in later
+
+
+def test_stateful_latest_by_key_suppresses_stale(spark, tmp_path):
+    """E25 custom path (applyInPandasWithState): per-key max-ord frontier
+    advances across micro-batches; stale or duplicate ords are suppressed;
+    equal-key rows within one batch collapse to the single latest."""
+    from s4hanaconnector_spark.streaming import stateful_latest_by_key
+
+    d = str(tmp_path / "latest_src")
+    schema = "pk bigint, transactionid bigint, payload string"
+
+    def rows(*tups):
+        return spark.createDataFrame([Row(pk=p, transactionid=tx, payload=s) for p, tx, s in tups], schema)
+
+    _single_file(spark, rows((1, 100, "a"), (1, 101, "b"), (2, 50, "x")), d, "b1.parquet")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    latest = stateful_latest_by_key(stream, ["pk"], "transactionid")
+    ckpt = str(tmp_path / "latest_ckpt")
+    emitted: list[tuple] = []
+
+    def collect(batch_df, batch_id):
+        emitted.extend((r["pk"], r["transactionid"], r["payload"]) for r in batch_df.collect())
+
+    def run():
+        q = (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert sorted(emitted) == [(1, 101, "b"), (2, 50, "x")]
+
+    # batch 2: pk 1 advances (emit), pk 2 replays a stale txid (silent),
+    # pk 3 is new (emit)
+    emitted.clear()
+    _single_file(spark, rows((1, 150, "c"), (2, 40, "stale"), (3, 7, "n")), d, "b2.parquet")
+    run()
+    assert sorted(emitted) == [(1, 150, "c"), (3, 7, "n")]
