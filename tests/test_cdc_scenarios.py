@@ -163,3 +163,79 @@ def test_retention_keeps_recent_only(spark):
     assert kept.count() == 1
     dropped = C.retention_filter(log, TS + datetime.timedelta(days=8), days=7)
     assert dropped.count() == 0
+
+
+COMPOSITE_MAPPING = TableMapping(
+    name="tc",
+    mastertable="tc",
+    columnmappings=[
+        ColumnMapping("k1", '"L1"."k1"'),
+        ColumnMapping("k2", '"L1"."k2"'),
+        ColumnMapping("val", '"L1"."val"'),
+    ],
+    pkcolumns=["k1", "k2"],
+)
+
+
+def _pklog2(spark, rows):
+    """rows: (change_type, pk1, pk2, txid) — composite key in pk1+pk2."""
+    data = [
+        Row(
+            change_ts=TS, schema_name="S4", change_type=ct,
+            pk1=str(a), pk2=str(b), pk3=None, pk4=None, pk5=None, pk6=None,
+            transactionid=txid, transaction_seq=1, table_name="tc",
+        )
+        for ct, a, b, txid in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        schema="change_ts timestamp, schema_name string, change_type string, "
+        "pk1 string, pk2 string, pk3 string, pk4 string, pk5 string, pk6 string, "
+        "transactionid bigint, transaction_seq int, table_name string",
+    )
+
+
+@pytest.mark.parametrize("strategy", ["outer", "broadcast"])
+def test_delta_composite_pk(spark, strategy):
+    """Composite (2-col) PK: the change view casts BOTH stringified log PKs
+    back to source types and the delta joins conjunctively on both — rows
+    differing in only one key component are distinct (O12's multi-key
+    equi-join; up to 6 keys per S4HanaTableMapping.java:137)."""
+    log = _pklog2(
+        spark,
+        [
+            ("U", 1, 10, 40),  # (1,10) updated -> A
+            ("U", 1, 10, 41),  # same key again: collapses (O11)
+            ("U", 1, 20, 42),  # same k1, different k2: separate row -> A
+            ("D", 2, 10, 43),  # vanished -> D with both PKs populated
+        ],
+    )
+    src = spark.createDataFrame(
+        [Row(k1=1, k2=10, val="a"), Row(k1=1, k2=20, val="b")],
+        "k1 bigint, k2 int, val string",
+    )
+    out = {
+        (r["k1"], r["k2"]): r
+        for r in C.cdc_delta(src, log, COMPOSITE_MAPPING, 0, 100, strategy=strategy).collect()
+    }
+    assert len(out) == 3
+    assert out[(1, 10)]["_change_type"] == "A"
+    assert out[(1, 10)]["_transactionid"] == 41
+    assert out[(1, 10)]["val"] == "a"
+    assert out[(1, 20)]["_change_type"] == "A"
+    assert out[(2, 10)]["_change_type"] == "D"
+    assert out[(2, 10)]["val"] is None
+    # PK typing survives the string round-trip (bigint + int)
+    assert isinstance(out[(2, 10)]["k1"], int)
+
+
+def test_mapping_rejects_more_than_six_pks():
+    """Reference guard: >6 PK columns is an error
+    (S4HanaTableMapping.java:137-139)."""
+    with pytest.raises(ValueError, match="6"):
+        TableMapping(
+            name="x",
+            mastertable="x",
+            columnmappings=[ColumnMapping(f"c{i}", f'"L1"."c{i}"') for i in range(7)],
+            pkcolumns=[f"c{i}" for i in range(7)],
+        )
