@@ -74,3 +74,103 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
             "container; use decode_stub=True (same plumbing, fake features)"
         )
     return df.mapInPandas(_featurize_batch, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "media_meta struct<kind:string, n_bytes:bigint, width:int, height:int>"
+)
+
+
+def image_resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
+    """Resize plumbing: payload -> decoded image -> resize -> re-encoded
+    payload with updated (width, height) metadata. STUB: the 'resized'
+    payload is a deterministic digest-derived byte string (real body:
+    PIL.Image.open(payload).resize((w, h)).tobytes()); schema, metadata
+    update and one-row-in/one-row-out batch shape are the real contract.
+    Pure projection — no shuffle, parallelism = input splits."""
+    if not decode_stub:
+        raise NotImplementedError("real image resize requires PIL")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fake = [
+                hashlib.md5(bytes(p) + f"{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": fake,
+                    "media_meta": [
+                        {"kind": "image", "n_bytes": len(b), "width": width, "height": height}
+                        for b in fake
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, ts_ms bigint, frame_payload binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video/audio frame sampling: ONE payload row fans out to N frame rows
+    — the mapInPandas contract where output row count differs from input
+    (the batch-shape detail real decoders need). STUB: frame count derives
+    deterministically from payload size (~1 frame/KB, capped), each frame
+    payload is a digest of (payload, frame_no); real body: av/ffmpeg keyframe
+    extraction at ``every_ms`` intervals."""
+    if not decode_stub:
+        raise NotImplementedError("real frame sampling requires av/ffmpeg")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = min(max(len(raw) // 1000, 1), max_frames)
+                for i in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame_payload"].append(
+                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "doc_id bigint, embedding array<float>"
+
+
+def embed_payload(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Embedding plumbing: payload -> model -> array<float> column ready for
+    the similarity operators (operators/similarity.py). STUB: 8 floats
+    derived from the payload digest, L2-normalized — deterministic and
+    unit-length like real encoder output; real body: a batched model
+    forward pass (the mapInPandas Arrow batch IS the model batch)."""
+    if not decode_stub:
+        raise NotImplementedError("real embedding requires a model runtime")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                dg = hashlib.md5(bytes(p)).digest()
+                v = [int.from_bytes(dg[2 * i : 2 * i + 2], "big") - 32768 for i in range(EMBED_DIM)]
+                norm = math.sqrt(sum(x * x for x in v)) or 1.0
+                embs.append([float(x) / norm for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return df.mapInPandas(fn, schema=EMBED_SCHEMA)

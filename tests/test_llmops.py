@@ -87,3 +87,70 @@ def test_multimodal_stub_raises_without_decoder(spark, sf_dir):
     payload = M.attach_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
     with pytest.raises(NotImplementedError, match="decode"):
         M.extract_features(payload, decode_stub=False)
+
+
+class TestMultimodalPlumbing:
+    """E22: resize / frame-sample / embed run through real mapInPandas
+    plumbing (schema, Arrow batches, fan-out) with stubbed decode."""
+
+    def _payloads(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.multimodal import attach_payload
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        return attach_payload(d, "text", "doc_id", kind="video")
+
+    def test_image_resize_schema_and_meta(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.multimodal import image_resize
+
+        out = image_resize(self._payloads(spark, sf_dir), 224, 224)
+        rows = out.collect()
+        assert out.schema["media_meta"].dataType.fieldNames() == [
+            "kind", "n_bytes", "width", "height",
+        ]
+        assert all(r["media_meta"]["width"] == 224 for r in rows)
+        assert all(isinstance(r["payload"], (bytes, bytearray)) for r in rows)
+
+    def test_frame_sample_fans_out_deterministically(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.multimodal import frame_sample
+
+        src = self._payloads(spark, sf_dir)
+        out1 = frame_sample(src, every_ms=500).collect()
+        out2 = frame_sample(src, every_ms=500).collect()
+        assert len(out1) >= src.count()  # >= 1 frame per doc
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+        by_doc = {}
+        for r in out1:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for frames in by_doc.values():
+            assert [f["frame_no"] for f in sorted(frames, key=lambda x: x["frame_no"])] == list(
+                range(len(frames))
+            )
+            assert all(f["ts_ms"] == f["frame_no"] * 500 for f in frames)
+
+    def test_embed_payload_feeds_similarity(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.multimodal import EMBED_DIM, embed_payload
+        from s4hanaconnector_spark.operators.similarity import brute_force_topk
+
+        emb = embed_payload(self._payloads(spark, sf_dir))
+        rows = emb.collect()
+        assert all(len(r["embedding"]) == EMBED_DIM for r in rows)
+        norms = [sum(x * x for x in r["embedding"]) for r in rows]
+        assert all(abs(n - 1.0) < 1e-3 for n in norms)  # unit length
+        # plugs straight into the similarity operator surface
+        q = emb.limit(2).withColumnRenamed("doc_id", "q_id")
+        c = emb.withColumnRenamed("doc_id", "c_id")
+        topk = brute_force_topk(q, c, k=3)
+        assert topk.count() == 2 * 3
+
+    def test_no_shuffle_in_featurize(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.multimodal import attach_payload, extract_features
+
+        # no .limit() here: a global limit inserts its own single-partition
+        # exchange and would mask what this asserts — that the featurize
+        # pipeline itself is scan -> project -> mapInPandas with no shuffle
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            extract_features(attach_payload(d, "text", "doc_id"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
