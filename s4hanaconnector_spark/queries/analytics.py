@@ -513,6 +513,7 @@ SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_
 FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
 WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * p.qty_n * 5 < p.qty_sum
 """,
+    headline=True,
 )
 def join_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate decorrelated to agg-before-join

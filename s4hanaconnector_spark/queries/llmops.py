@@ -301,6 +301,7 @@ topk AS (
 )
 SELECT q_id, c_id, cosine, rn FROM topk WHERE rn <= 10
 """.format(cos=_COS_DOT),
+    headline=True,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E20 scale rung 2: IVF — coarse-quantize the corpus into 16 cells,
