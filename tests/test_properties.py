@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the CDC delta core — random change
+feeds and snapshots, invariants from the reference semantics
+(S4HanaTableMapping.java:444-471):
+
+  P1  one output row per distinct in-range changed PK, exactly
+  P2  _transactionid == max txid of that PK within (lo, hi]
+  P3  _change_type is 'D' iff the PK is absent from the source; 'A' otherwise
+  P4  PK columns are never NULL (they ride the log side)
+  P5  'A' rows carry current source values; 'D' rows carry NULL non-PK cols
+  P6  both join strategies (outer, broadcast) emit identical row sets
+
+Small bounded examples (deadline disabled — Spark latency, not logic, is the
+slow part), many shapes: empty feeds, all-deletes, PKs changed many times,
+out-of-range txids.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+from s4hanaconnector_spark.operators import cdc as C
+
+TS = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+MAPPING = TableMapping(
+    name="t",
+    mastertable="t",
+    columnmappings=[
+        ColumnMapping("id", '"L1"."id"'),
+        ColumnMapping("val", '"L1"."val"'),
+    ],
+    pkcolumns=["id"],
+)
+
+LO, HI = 10, 20
+
+# a change event: (pk 0..5, txid 5..25, change_type)
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=5, max_value=25),
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    max_size=12,
+)
+# snapshot: subset of pks present in the source
+snapshots = st.sets(st.integers(min_value=0, max_value=5), max_size=6)
+
+
+def _run(spark, feed, present):
+    log = spark.createDataFrame(
+        [
+            Row(
+                change_ts=TS, schema_name="S4", change_type=ct, pk1=str(pk),
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=tx, transaction_seq=1, table_name="t",
+            )
+            for pk, tx, ct in feed
+        ],
+        schema="change_ts timestamp, schema_name string, change_type string, "
+        "pk1 string, pk2 string, pk3 string, pk4 string, pk5 string, pk6 string, "
+        "transactionid bigint, transaction_seq int, table_name string",
+    )
+    src = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}") for i in sorted(present)], "id bigint, val string"
+    )
+    out = {}
+    for strategy in ["outer", "broadcast"]:
+        rows = C.cdc_delta(src, log, MAPPING, LO, HI, strategy=strategy).collect()
+        out[strategy] = {(r["id"], r["_transactionid"], r["_change_type"], r["val"]) for r in rows}
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=events, present=snapshots)
+def test_cdc_delta_invariants(spark, feed, present):
+    result = _run(spark, feed, present)
+
+    # P6: strategy equivalence
+    assert result["outer"] == result["broadcast"]
+
+    rows = result["outer"]
+    in_range = {}
+    for pk, tx, _ in feed:
+        if LO < tx <= HI:
+            in_range[pk] = max(in_range.get(pk, 0), tx)
+
+    # P1: exactly one row per distinct in-range changed PK
+    assert {r[0] for r in rows} == set(in_range)
+    assert len(rows) == len(in_range)
+
+    for pk, tx, ct, val in rows:
+        # P4: PK never NULL
+        assert pk is not None
+        # P2: latest txid in range wins
+        assert tx == in_range[pk]
+        if pk in present:
+            # P3/P5: present => 'A' with current value
+            assert ct == "A"
+            assert val == f"v{pk}"
+        else:
+            # P3/P5: vanished => 'D' with NULL non-PK columns
+            assert ct == "D"
+            assert val is None
