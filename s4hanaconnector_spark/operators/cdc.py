@@ -119,6 +119,15 @@ def classify_change(exists_col: Column) -> Column:
 # ---------------------------------------------------------------------------
 # E8 — the full delta query (O10 ∘ O11 ∘ O12 ∘ O13 ∘ O14)
 # ---------------------------------------------------------------------------
+def source_rowid(pk_cols: list[str]) -> Column:
+    """O15: the reference forwards HANA's internal ``$rowid$`` as
+    ``__source_rowid`` on both delta and initial selects
+    (S4HanaTableMapping.java:452,744). Parquet/files have no engine rowid,
+    so the engine's stable surrogate is a 64-bit hash of the PK tuple —
+    deterministic across retries and engines, unique per logical row."""
+    return F.xxhash64(*[F.col(c) for c in pk_cols]).alias("__source_rowid")
+
+
 def cdc_delta(
     source: DataFrame,
     pklog: DataFrame,
@@ -127,6 +136,7 @@ def cdc_delta(
     hi: int,
     schema_name: str = "S4",
     strategy: str = "outer",
+    with_rowid: bool = False,
 ) -> DataFrame:
     """Compute the CDC delta for ``mapping`` over transaction range (lo, hi].
 
@@ -148,7 +158,7 @@ def cdc_delta(
     non_pk_cols = [cm for cm in mapping.columnmappings if (cm.source_column or cm.alias) not in pk_names]
     pk_alias = {cm.source_column: cm.alias for cm in mapping.columnmappings if cm.source_column in pk_names}
 
-    def project(joined: DataFrame, change_type: Column) -> DataFrame:
+    def project(joined: DataFrame, change_type: Column, deleted: Column) -> DataFrame:
         cols = [
             change_type,
             F.col("_transactionid"),
@@ -157,17 +167,26 @@ def cdc_delta(
             *[F.col(pk).alias(pk_alias.get(pk, pk)) for pk in pk_names],
             *[cm.as_spark() for cm in non_pk_cols],
         ]
+        if with_rowid:
+            # like the reference's "L1"."$rowid$": taken from the SOURCE
+            # side, hence NULL on deletes (the outer join found no row)
+            cols.append(
+                F.when(deleted, F.lit(None).cast("bigint"))
+                .otherwise(source_rowid(pk_names))
+                .alias("__source_rowid")
+            )
         return joined.select(cols)
 
     if strategy == "outer":
         joined = deduped.join(marked, on=pk_names, how="left")
-        return project(joined, classify_change(F.col("__src_exists")))
+        exists = F.col("__src_exists")
+        return project(joined, classify_change(exists), exists.isNull())
 
     if strategy == "broadcast":
         # Scale path: no shuffle of the (huge) source. Live rows via inner
         # broadcast-hash join; deletes via PK-only anti join (column-pruned).
         live = marked.join(F.broadcast(deduped), on=pk_names, how="inner")
-        live_out = project(live, F.lit("A").alias("_change_type"))
+        live_out = project(live, F.lit("A").alias("_change_type"), F.lit(False))
         gone = deduped.join(source.select(pk_names), on=pk_names, how="left_anti")
         gone_full = gone
         for cm in non_pk_cols:
@@ -177,6 +196,7 @@ def cdc_delta(
             F.col("_transactionid"),
             *[F.col(pk).alias(pk_alias.get(pk, pk)) for pk in pk_names],
             *[F.col(cm.alias) for cm in non_pk_cols],
+            *([F.lit(None).cast("bigint").alias("__source_rowid")] if with_rowid else []),
         )
         # align null types with live_out by name
         return live_out.unionByName(gone_out, allowMissingColumns=False)
@@ -314,7 +334,9 @@ def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) ->
 # ---------------------------------------------------------------------------
 # O16-O18 / E9 — initial load
 # ---------------------------------------------------------------------------
-def initial_load(source: DataFrame, mapping: TableMapping) -> DataFrame:
+def initial_load(
+    source: DataFrame, mapping: TableMapping, with_rowid: bool = False
+) -> DataFrame:
     """Snapshot scan (S4HanaTableMapping.java:740-761):
     ``SELECT 'I' AS _change_type, NULL AS _transactionid, <expr AS alias...>
     FROM source [WHERE initialloadwhere]``.
@@ -330,6 +352,9 @@ def initial_load(source: DataFrame, mapping: TableMapping) -> DataFrame:
         F.lit("I").alias("_change_type"),
         F.lit(None).cast("bigint").alias("_transactionid"),
         *mapping.projection(),
+        # O15 rowid passthrough on the initial select too
+        # (S4HanaTableMapping.java:744)
+        *([source_rowid(mapping.pkcolumns)] if with_rowid else []),
     )
 
 

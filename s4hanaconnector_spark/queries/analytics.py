@@ -534,3 +534,30 @@ def join_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: explicit GROUPING SETS — per-status totals, per-priority totals
+    and the grand total in ONE pass (the planner expands to a single
+    shuffle; three separate groupBys would scan the table three times).
+    Status/priority are non-null in the fixture, so subtotal NULLs are
+    unambiguous without grouping_id."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )

@@ -239,3 +239,38 @@ def test_mapping_rejects_more_than_six_pks():
             columnmappings=[ColumnMapping(f"c{i}", f'"L1"."c{i}"') for i in range(7)],
             pkcolumns=[f"c{i}" for i in range(7)],
         )
+
+
+@pytest.mark.parametrize("strategy", ["outer", "broadcast"])
+def test_source_rowid_passthrough(spark, strategy):
+    """O15: with_rowid forwards a stable per-row surrogate (the engine's
+    $rowid$ analogue) on upserts and NULL on deletes — the reference takes
+    it from the source side of the outer join
+    (S4HanaTableMapping.java:452)."""
+    log = _pklog(spark, [("U", 1, 15, 1), ("D", 9, 16, 1)])
+    src = _source(spark, [(1, "alive")])
+    out = {
+        r["id"]: r
+        for r in C.cdc_delta(
+            src, log, MAPPING, 0, 100, strategy=strategy, with_rowid=True
+        ).collect()
+    }
+    assert out[1]["__source_rowid"] is not None
+    assert out[9]["__source_rowid"] is None
+    # surrogate is deterministic: same PK -> same rowid on a re-run
+    again = {
+        r["id"]: r["__source_rowid"]
+        for r in C.cdc_delta(
+            src, log, MAPPING, 0, 100, strategy=strategy, with_rowid=True
+        ).collect()
+    }
+    assert again[1] == out[1]["__source_rowid"]
+
+
+def test_initial_load_rowid(spark):
+    """O15 on the initial select (S4HanaTableMapping.java:744)."""
+    src = _source(spark, [(1, "a"), (2, "b")])
+    out = C.initial_load(src, MAPPING, with_rowid=True).collect()
+    rids = {r["id"]: r["__source_rowid"] for r in out}
+    assert len(set(rids.values())) == 2  # unique per row
+    assert all(v is not None for v in rids.values())
