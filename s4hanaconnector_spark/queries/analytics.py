@@ -561,3 +561,66 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "agg_percentiles",
+    """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(max(o_totalprice), 4) AS p100
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` definition-for-definition; rounded so the last
+    ulp of the interpolation cannot differ). At 100 TB prefer
+    ``approx_percentile`` — exact percentile keeps per-group value buffers."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.max("o_totalprice"), 4).alias("p100"),
+    )
+
+
+@register(
+    "window_lag_lead_gaps",
+    """
+WITH x AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS ts_rank
+    FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(coalesce(date_diff('microsecond', prev_ts, ts), -1) AS BIGINT) AS us_since_prev,
+       CAST(coalesce(date_diff('microsecond', ts, next_ts), -1) AS BIGINT) AS us_to_next,
+       ts_rank
+FROM x
+""",
+)
+def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: lag/lead/dense_rank over per-user event-time order — inter-event
+    gaps (microseconds), the building block of sessionization. One shuffle on
+    the partition key; the window sort rides the shuffle's local sort."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = W.partitionBy("user_id").orderBy("ts")
+    # TIMESTAMP_NTZ does not cast to numeric; timestamp_diff handles it.
+    # Gaps in MICROSECONDS: at second granularity Spark truncates the real
+    # difference while DuckDB counts boundary crossings — microseconds are
+    # exact on the us-aligned fixtures, so both engines agree bit-for-bit
+    gap_prev = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts")).cast("bigint")
+    gap_next = F.timestamp_diff("MICROSECOND", F.col("ts"), F.lead("ts").over(w)).cast("bigint")
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.coalesce(gap_prev, F.lit(-1)).alias("us_since_prev"),
+        F.coalesce(gap_next, F.lit(-1)).alias("us_to_next"),
+        F.dense_rank().over(wr).cast("bigint").alias("ts_rank"),
+    )
