@@ -117,3 +117,91 @@ def nest_orders_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O1/O3 — catalog scans over synthetic ABAP-dictionary tables
+# ---------------------------------------------------------------------------
+
+_DD_CTES = """
+dd02l AS (
+    SELECT upper(n_name) AS tabname,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'VIEW' ELSE 'TRANSP' END AS tabclass
+    FROM nation
+),
+dd02t AS (
+    SELECT upper(n_name) AS tabname,
+           'Table of ' || n_name AS ddtext,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'E' ELSE 'D' END AS ddlanguage
+    FROM nation
+)
+"""
+
+
+def _dd_tables(spark: SparkSession, sf_dir: str):
+    """Synthetic DD02L/DD02T derived arithmetically from nation — identical
+    in both engines, so the catalog scan itself is oracle-checkable."""
+    n = t(spark, sf_dir, "nation")
+    dd02l = n.select(
+        F.upper("n_name").alias("tabname"),
+        F.when(F.col("n_nationkey") % 5 == 0, "VIEW").otherwise("TRANSP").alias("tabclass"),
+    )
+    dd02t = n.select(
+        F.upper("n_name").alias("tabname"),
+        F.concat(F.lit("Table of "), F.col("n_name")).alias("ddtext"),
+        F.when(F.col("n_nationkey") % 2 == 0, "E").otherwise("D").alias("ddlanguage"),
+    )
+    return dd02l, dd02t
+
+
+@register(
+    "catalog_list_tables",
+    f"""
+WITH {_DD_CTES.strip()}
+SELECT l.tabname, t.ddtext
+FROM dd02l l LEFT OUTER JOIN dd02t t
+  ON l.tabname = t.tabname AND t.ddlanguage = 'E'
+WHERE l.tabclass = 'TRANSP'
+ORDER BY 1
+""",
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (S4HanaBrowse.java:85-102): transparent tables with English
+    descriptions — the source-table browser, over synthetic DD02L/DD02T."""
+    from s4hanaconnector_spark.catalog import list_source_tables
+
+    dd02l, dd02t = _dd_tables(spark, sf_dir)
+    return list_source_tables(dd02l, dd02t)
+
+
+@register(
+    "catalog_pk_fallback",
+    """
+WITH dd03l AS (
+    SELECT 'ACDOCA' AS tabname,
+           'F' || CAST(n_nationkey AS VARCHAR) AS fieldname,
+           CASE WHEN n_nationkey < 4 THEN 'X' ELSE '' END AS keyflag,
+           CASE WHEN n_nationkey % 7 = 0 THEN 'A' ELSE 'N' END AS as4local,
+           n_nationkey AS position
+    FROM nation
+)
+SELECT fieldname FROM dd03l
+WHERE keyflag = 'X' AND as4local = 'A' AND tabname = 'ACDOCA'
+ORDER BY position
+""",
+)
+def catalog_pk_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (S4HanaTableMapping.java:308-321): ABAP-dictionary PK fallback for
+    tables without DB-level PK constraints (the ACDOCA case the reference
+    comments on)."""
+    from s4hanaconnector_spark.catalog import primary_keys_from_dictionary
+
+    n = t(spark, sf_dir, "nation")
+    dd03l = n.select(
+        F.lit("ACDOCA").alias("tabname"),
+        F.concat(F.lit("F"), F.col("n_nationkey").cast("string")).alias("fieldname"),
+        F.when(F.col("n_nationkey") < 4, "X").otherwise("").alias("keyflag"),
+        F.when(F.col("n_nationkey") % 7 == 0, "A").otherwise("N").alias("as4local"),
+        F.col("n_nationkey").alias("position"),
+    )
+    return primary_keys_from_dictionary(dd03l, "ACDOCA")
