@@ -624,3 +624,81 @@ def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(gap_next, F.lit(-1)).alias("us_to_next"),
         F.dense_rank().over(wr).cast("bigint").alias("ts_rank"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg — the
+    pushdown stress test: every predicate must reach the parquet reader and
+    the scan reads only 4 columns of 11."""
+    l = t(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(8,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — fact filtered
+    on returnflag, three broadcast dims, top-20 by revenue. The lineitem
+    side never shuffles until the final (customer-sized) aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    oc = o.join(F.broadcast(cn), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_custkey", "c_name", "n_name"
+    )
+    j = l.join(F.broadcast(oc), l.l_orderkey == F.col("o_orderkey"))
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
