@@ -111,3 +111,64 @@ def test_cdc_delta_invariants(spark, feed, present):
             # P3/P5: vanished => 'D' with NULL non-PK columns
             assert ct == "D"
             assert val is None
+
+
+# ---------------------------------------------------------------------------
+# E13 apply_changes invariants
+# ---------------------------------------------------------------------------
+
+batches = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # pk
+        st.integers(min_value=1, max_value=30),  # txid
+        st.sampled_from(["A", "D"]),             # change type
+        st.integers(min_value=0, max_value=9),   # payload variant
+    ),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=batches, present=snapshots)
+def test_apply_changes_invariants(spark, feed, present):
+    """Applying a CDC batch to a snapshot must equal the dict-semantics
+    model: per PK the max-txid change wins; 'D' removes, 'A' upserts;
+    untouched snapshot rows survive unchanged."""
+    # drop (pk, txid) ties first: two conflicting changes with the same
+    # txid have no defined winner in either the model or the engine
+    txids_per_pk: dict[int, list] = {}
+    for pk, tx, ct, v in feed:
+        txids_per_pk.setdefault(pk, []).append(tx)
+    feed = [e for e in feed if txids_per_pk[e[0]].count(e[1]) == 1]
+
+    # model (driver-side reference semantics): max-txid change per PK wins
+    latest: dict[int, tuple] = {}
+    for pk, tx, ct, v in feed:
+        if pk not in latest or tx > latest[pk][0]:
+            latest[pk] = (tx, ct, v)
+
+    expected = {pk: f"s{pk}" for pk in present}
+    for pk, (tx, ct, v) in latest.items():
+        if ct == "D":
+            expected.pop(pk, None)
+        else:
+            expected[pk] = f"b{v}"
+
+    snapshot = spark.createDataFrame(
+        [Row(id=pk, val=f"s{pk}") for pk in sorted(present)], "id bigint, val string"
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(_change_type=ct, _transactionid=tx, id=pk, val=f"b{v}")
+            for pk, tx, ct, v in feed
+        ],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    out = C.apply_changes(snapshot, batch, ["id"]).collect()
+    got = {r["id"]: r["val"] for r in out}
+    assert got == expected
+    assert len(out) == len(expected)  # no duplicate PKs materialized
