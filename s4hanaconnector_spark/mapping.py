@@ -40,7 +40,11 @@ from s4hanaconnector_spark.types import hana_to_spark
 
 MAX_PK_COLUMNS = 6  # S4HanaTableMapping.java:137
 
-_IDENT_OK = re.compile(r"[A-Za-z0-9]")
+# dots stay literal: the reference's sample mapping filename
+# (src/test/resources/tmp/sap.hana.democontent.epm.data_x003a_x003aSO.Header
+# .json) encodes ``::`` but keeps ``.`` — FileNameEncoder escapes only
+# filesystem-unsafe characters
+_IDENT_OK = re.compile(r"[A-Za-z0-9.\-]")
 
 
 def encode_name(name: str) -> str:

@@ -60,12 +60,13 @@ def test_unknown_type_raises():
 
 
 def test_name_encoding_roundtrip():
-    """`::` encodes as _x003a_x003a (golden filename
-    ...data_x003a_x003aSO.Header.json)."""
+    """`::` encodes as _x003a_x003a while dots stay literal — matching the
+    reference's own sample mapping filename
+    (tmp/sap.hana.democontent.epm.data_x003a_x003aSO.Header.json)."""
     assert encode_name("sap.hana.democontent.epm.data::SO.Header") == (
-        "sap_x002ehana_x002edemocontent_x002eepm_x002edata_x003a_x003aSO_x002eHeader"
+        "sap.hana.democontent.epm.data_x003a_x003aSO.Header"
     )
-    for name in ["plain", "a::b", "with space", "a/b\\c", "ünïcode"]:
+    for name in ["plain", "a::b", "with space", "a/b\\c", "ünïcode", "dotted.name"]:
         assert decode_name(encode_name(name)) == name
 
 
