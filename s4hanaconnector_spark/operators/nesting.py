@@ -60,3 +60,36 @@ def nest(
             schemafield
         ),
     )
+
+
+def materialize_business_object(mapping, load_table, keep_keys: tuple = ()):
+    """Walk a TableMapping's ``relations`` tree RECURSIVELY (the reference's
+    latent model allows relations inside detail mappings, tmp JSON:148) and
+    materialize the full nested document: master projection, one
+    ArrayType(StructType) field per relation, details nested depth-first so
+    a detail's own relations appear inside its structs.
+
+    ``load_table(name) -> DataFrame`` supplies source tables.  ``keep_keys``
+    are join-key columns a parent needs that are not in this level's
+    columnmappings (they are projected through but excluded from the parent's
+    nested struct).
+
+    Scale: each nesting level is one groupBy(collect_list) + left join on
+    the relation key — at 100 TB, co-bucket master and details on the join
+    keys (operators/bucketing.py) and every level is shuffle-free.
+    """
+    df = load_table(mapping.mastertable)
+    aliases = {cm.alias for cm in mapping.columnmappings}
+    extra = [F.col(k) for k in keep_keys if k not in aliases]
+    out = df.select(*extra, *mapping.projection())
+    for rel in mapping.relations:
+        right_keys = tuple(jc["right"] for jc in rel.joincondition)
+        detail = materialize_business_object(rel.detail, load_table, right_keys)
+        out = nest(
+            out,
+            detail,
+            joincondition=rel.joincondition,
+            schemafield=rel.schemafield,
+            detail_cols=[c for c in detail.columns if c not in right_keys],
+        )
+    return out
