@@ -1,0 +1,107 @@
+"""The poll lifecycle — the reference's main entry point
+(S4HanaProducer.poll, S4HanaProducer.java:391-469) as one explicit batch
+orchestration over the engine's operators:
+
+  1. watermark (O20): highest SAFE transaction id — below the oldest
+     in-flight writer, so commit order is never violated
+  2. short-circuit: lo == hi means nothing to do (:396-398)
+  3. impacted tables (O23): DISTINCT table_name in (lo, hi] — bounded by
+     table count, so collecting it driver-side is safe at any scale
+  4. per impacted mapping: the delta query (O10-O14) over (lo, hi]
+  5. transactional emit (O26): each (mapping, hi) range lands exactly once —
+     a replayed poll with an already-committed range is a no-op, the same
+     idempotency the reference gets from tagging Kafka transactions with the
+     hi watermark (beginDeltaTransaction(hi, ...), :424)
+  6. return hi as the new resume point (:456)
+
+Streaming is the same composition under foreachBatch (streaming/core.py);
+this batch driver exists because the reference's contract IS a pull-based
+poll loop, and because backfills/replays are batch invocations of exactly
+this function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from s4hanaconnector_spark.mapping import TableMapping
+from s4hanaconnector_spark.operators.cdc import (
+    cdc_delta,
+    impacted_tables,
+    watermark,
+)
+
+
+class RangeCommitSink:
+    """Exactly-once-per-(schema, txid-range) parquet sink: data first, then
+    an atomically-renamed commit marker. Replays of committed ranges skip."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+
+    def _marker(self, name: str, hi: int) -> str:
+        return os.path.join(self.out_dir, "_commits", f"{name}.{hi}.json")
+
+    def committed(self, name: str, hi: int) -> bool:
+        return os.path.exists(self._marker(name, hi))
+
+    def write(self, name: str, hi: int, df: DataFrame) -> int:
+        if self.committed(name, hi):
+            return 0
+        n = df.count()
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, name, f"txid_hi={hi}")
+        )
+        tmp = self._marker(name, hi) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "txid_hi": hi, "rows": n}, f)
+        os.rename(tmp, self._marker(name, hi))  # the atomic commit point
+        return n
+
+
+def poll(
+    spark: SparkSession,
+    mappings: list[TableMapping],
+    load_source: Callable[[str], DataFrame],
+    pklog: DataFrame,
+    transactions: DataFrame,
+    from_txid: int,
+    sink: RangeCommitSink,
+    now_ts: str,
+    schema_name: str = "S4",
+    staleness_seconds: int = 7200,
+) -> int:
+    """One poll: emit every impacted mapping's delta over (from_txid, hi]
+    and return hi (the next resume point). ``from_txid`` unchanged means
+    nothing was safe to read."""
+    wm = watermark(
+        pklog,
+        transactions,
+        now_ts,
+        min_transactionid=from_txid,
+        staleness_seconds=staleness_seconds,
+    ).collect()[0]
+    hi = wm["maxtxid"]
+    if hi <= from_txid:
+        return from_txid
+
+    changed = {
+        r["table_name"]
+        for r in impacted_tables(pklog, schema_name, from_txid, hi).collect()
+    }
+    # one changed physical table can feed several mapping objects
+    # (tabledirectory fan-out, S4HanaProducer.java:56-61)
+    for m in mappings:
+        if m.mastertable not in changed:
+            continue
+        delta = cdc_delta(
+            load_source(m.mastertable), pklog, m, from_txid, hi,
+            schema_name=schema_name, strategy="broadcast",
+        )
+        sink.write(m.name, hi, delta)
+    return hi

@@ -1,0 +1,121 @@
+"""End-to-end poll-lifecycle tests (O24): two advancing polls over a
+growing change log, watermark gating by in-flight transactions, impacted-
+table fan-out, exactly-once range commits, and idempotent replay —
+PerformanceIT's shape without HANA/Kafka."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+TS = datetime.datetime(2026, 1, 1, 12, 0, 0)
+NOW = "2026-01-01 12:30:00"
+
+MAPPING = TableMapping(
+    name="t",
+    mastertable="t",
+    columnmappings=[
+        ColumnMapping("id", '"L1"."id"'),
+        ColumnMapping("val", '"L1"."val"'),
+    ],
+    pkcolumns=["id"],
+)
+
+PKLOG_SCHEMA = (
+    "change_ts timestamp, schema_name string, change_type string, "
+    "pk1 string, pk2 string, pk3 string, pk4 string, pk5 string, pk6 string, "
+    "transactionid bigint, transaction_seq int, table_name string"
+)
+
+
+def _pklog(spark, rows, table="t"):
+    return spark.createDataFrame(
+        [
+            Row(
+                change_ts=TS, schema_name="S4", change_type=ct, pk1=str(pk),
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=tx, transaction_seq=1, table_name=table,
+            )
+            for ct, pk, tx in rows
+        ],
+        PKLOG_SCHEMA,
+    )
+
+
+def _txns(spark, rows):
+    return spark.createDataFrame(
+        [Row(update_transaction_id=tx, start_time=TS) for tx in rows],
+        "update_transaction_id bigint, start_time timestamp",
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, val=v) for i, v in rows], "id bigint, val string"
+    )
+
+
+def test_two_polls_advance_and_commit(spark, tmp_path):
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a"), (2, "b"), (3, "c")])
+    load = lambda name: src
+
+    # poll 1: changes at txid 10, 11; txid 12 belongs to an IN-FLIGHT writer
+    # so the watermark stops at 11
+    log1 = _pklog(spark, [("U", 1, 10), ("U", 2, 11), ("U", 3, 12)])
+    hi1 = poll(spark, [MAPPING], load, log1, _txns(spark, [12]), 0, sink, NOW)
+    assert hi1 == 11
+    assert sink.committed("t", 11)
+    out1 = spark.read.parquet(str(tmp_path / "out" / "t" / "txid_hi=11"))
+    assert {r["id"] for r in out1.collect()} == {1, 2}
+
+    # poll 2: writer 12 committed, nothing in flight -> drains the rest
+    hi2 = poll(spark, [MAPPING], load, log1, _txns(spark, []), hi1, sink, NOW)
+    assert hi2 == 12
+    out2 = spark.read.parquet(str(tmp_path / "out" / "t" / "txid_hi=12"))
+    assert {r["id"] for r in out2.collect()} == {3}
+
+
+def test_empty_range_is_noop(spark, tmp_path):
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    log = _pklog(spark, [("U", 1, 5)])
+    hi = poll(spark, [MAPPING], lambda n: _src(spark, [(1, "a")]),
+              log, _txns(spark, []), 5, sink, NOW)
+    assert hi == 5  # nothing newer than the resume point
+    assert not glob.glob(str(tmp_path / "out" / "t" / "*"))
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a")])
+    log = _pklog(spark, [("U", 1, 10)])
+    poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    data_dir = str(tmp_path / "out" / "t" / "txid_hi=10")
+    mtimes = {p: os.path.getmtime(p) for p in glob.glob(data_dir + "/*")}
+    # crash-after-commit replay: same range again
+    hi = poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert hi == 10
+    assert {p: os.path.getmtime(p) for p in glob.glob(data_dir + "/*")} == mtimes
+
+
+def test_impacted_fanout_skips_unchanged_mappings(spark, tmp_path):
+    """Only mappings whose mastertable changed in the range are executed
+    (tabledirectory fan-out, S4HanaProducer.java:400-420)."""
+    other = TableMapping(
+        name="u", mastertable="u",
+        columnmappings=[ColumnMapping("id", '"L1"."id"'), ColumnMapping("val", '"L1"."val"')],
+        pkcolumns=["id"],
+    )
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a")])
+    log = _pklog(spark, [("U", 1, 10)], table="t")  # only t changed
+    poll(spark, [MAPPING, other], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert sink.committed("t", 10)
+    assert not sink.committed("u", 10)
