@@ -702,3 +702,119 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT CAST(100.00 AS DOUBLE) * CAST(
+           sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    part is broadcast, the CASE folds into the single aggregate pass. The
+    one double division happens once, on two engine-identical decimals."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return j.agg(
+        (
+            F.lit(100.00).cast("double")
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(150 AS DECIMAL(18,2))
+)
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join-back —
+    the big-order key set is computed once (map-side partials), broadcast,
+    and only qualifying orders re-aggregate. Never a correlated subquery."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(150).cast("decimal(18,2)"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    oj = o.join(F.broadcast(big), on="o_orderkey", how="inner")
+    j = l.join(
+        F.broadcast(oj.select("o_orderkey", "o_custkey", "o_orderdate")),
+        l.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_nation_stats",
+    """
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       CAST(max(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 over the supplier dimension: per-nation supplier stats (the
+    catalog-side rollup a replication admin checks after an initial load)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
+            F.max(_dec("s_acctbal")).cast("double").alias("max_bal"),
+        )
+    )
