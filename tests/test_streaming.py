@@ -264,3 +264,61 @@ def test_stateful_latest_by_key_suppresses_stale(spark, tmp_path):
     _single_file(spark, rows((1, 150, "c"), (2, 40, "stale"), (3, 7, "n")), d, "b2.parquet")
     run()
     assert sorted(emitted) == [(1, 150, "c"), (3, 7, "n")]
+
+
+def test_changes_stream_through_stateful_frontier(spark, tmp_path):
+    """E17 ∘ E25 ∘ E16: the PKLOG file stream feeds the applyInPandasWithState
+    frontier, so across polls each PK emits only when its txid advances, and
+    the surviving changes land exactly once in the transactional sink."""
+    from s4hanaconnector_spark.streaming import (
+        changes_stream,
+        stateful_latest_by_key,
+        transactional_sink,
+    )
+
+    log_dir = str(tmp_path / "pklog")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+
+    _write_poll(
+        spark, log_dir,
+        [_pklog_row("U", 1, 100), _pklog_row("U", 1, 105), _pklog_row("U", 2, 101)],
+        "poll1.parquet",
+    )
+    stream = changes_stream(spark, log_dir, max_files_per_trigger=1)
+    latest = stateful_latest_by_key(stream, ["table_name", "pk1"], "transactionid")
+    sink = transactional_sink(out_dir)
+
+    def run():
+        q = (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    batch0 = spark.read.parquet(os.path.join(out_dir, "batch_id=0"))
+    got0 = {(r["pk1"], r["transactionid"]) for r in batch0.collect()}
+    assert got0 == {("1", 105), ("2", 101)}  # per-PK latest only
+
+    # poll 2: pk1 stale replay (silent), pk2 advances, pk3 new
+    _write_poll(
+        spark, log_dir,
+        [_pklog_row("U", 1, 90), _pklog_row("U", 2, 130), _pklog_row("I", 3, 110)],
+        "poll2.parquet",
+    )
+    run()
+    later = [
+        p for p in glob.glob(os.path.join(out_dir, "batch_id=*"))
+        if not p.endswith("batch_id=0")
+    ]
+    got_later = set()
+    for p in later:
+        got_later |= {
+            (r["pk1"], r["transactionid"]) for r in spark.read.parquet(p).collect()
+        }
+    assert got_later == {("2", 130), ("3", 110)}  # stale pk1 suppressed
