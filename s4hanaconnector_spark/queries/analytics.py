@@ -761,6 +761,7 @@ GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
 ORDER BY total_qty DESC, o.o_orderkey
 LIMIT 20
 """,
+    headline=True,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join-back —

@@ -366,6 +366,7 @@ SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
 FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
 GROUP BY e.vec_id
 """,
+    headline=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E19f: embedding-cosine near-dup — LSH-bucketed candidate pairs at
