@@ -138,10 +138,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {DOCS_AUG_CTE.strip()},
 {_SHINGLES_CTE.strip()},
-sizes AS (SELECT doc, count(*) AS sz FROM shingles GROUP BY doc),
+rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 128
+),
+sh AS (SELECT s.doc, s.shingle FROM shingles s JOIN rare USING (shingle)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
 inter AS (
     SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
     WHERE a.doc < b.doc GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -153,9 +157,15 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E19d: exact n-gram Jaccard on shingle-sharing pairs; catches the
-    synthesized near-duplicates at >= 0.5."""
-    return D.jaccard_pairs(docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.5)
+    """E19d: exact n-gram Jaccard on shingle-sharing pairs, with the
+    document-frequency cap engaged (a shingle in >128 docs is boilerplate:
+    it contributes quadratic pairs and ~zero Jaccard signal — both sides of
+    the similarity computation drop it identically, so scores stay exact
+    over the capped shingle universe). Catches the synthesized
+    near-duplicates at >= 0.5."""
+    return D.jaccard_pairs(
+        docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.5, df_cap=128
+    )
 
 
 _SIMHASH_BITS = ",\n       ".join(
