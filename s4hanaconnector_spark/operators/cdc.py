@@ -366,3 +366,41 @@ def order_limit(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
     Spark executes this as TakeOrderedAndProject — a per-partition top-n
     followed by a driver-side merge of n·partitions rows, never a full sort."""
     return df.orderBy(*order_by).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# E13 extension — SCD2 version history from a change feed
+# ---------------------------------------------------------------------------
+def scd2_versions(
+    changes: DataFrame,
+    pk_names: list[str],
+    ord_col: str = "_transactionid",
+    type_col: str = "change_type",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction: each non-delete
+    change opens a version valid from its transaction id until the key's
+    NEXT change (exclusive); the last surviving change is the current
+    version. Deletes terminate the prior version without opening one —
+    exactly the consumer-side history a CDC feed implies (the reference
+    emits the change stream, S4HanaProducer.java:442; materializing history
+    is the canonical downstream use).
+
+    One window over (pk, ord) — a single shuffle on PK; no self-joins.
+    Returns the change rows (minus deletes) plus ``__valid_from``,
+    ``__valid_to`` (NULL = open) and ``__is_current``.
+    """
+    from pyspark.sql import Window as W
+
+    # the type column is a tiebreak: two changes of one key in the same
+    # transaction (insert+update batched together) must version in the same
+    # order in every engine
+    w = W.partitionBy(*pk_names).orderBy(F.col(ord_col).asc(), F.col(type_col).asc())
+    nxt = F.lead(ord_col).over(w)
+    versioned = changes.select(
+        "*",
+        F.col(ord_col).alias("__valid_from"),
+        nxt.alias("__valid_to"),
+    )
+    return versioned.filter(F.col(type_col) != "D").withColumn(
+        "__is_current", F.col("__valid_to").isNull()
+    )

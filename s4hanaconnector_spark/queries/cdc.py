@@ -288,3 +288,46 @@ def cdc_change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10: the per-table change view over the shared PKLOG."""
     pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
     return C.change_view(pklog, "orders", "S4", ["o_orderkey"], ["bigint"])
+
+
+@register(
+    "cdc_scd2_history",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, change_type,
+           transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+v AS (
+    SELECT o_orderkey, change_type, _transactionid,
+           _transactionid AS valid_from,
+           lead(_transactionid) OVER (PARTITION BY o_orderkey ORDER BY _transactionid, change_type) AS valid_to
+    FROM cv
+)
+SELECT o_orderkey, change_type, _transactionid, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v WHERE change_type <> 'D'
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 extension: SCD2 version intervals reconstructed from the change
+    feed — one window pass, each non-delete change valid until the key's
+    next change; deletes terminate without opening a version."""
+    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
+    cv = pklog.filter(
+        (F.col("table_name") == "orders") & (F.col("schema_name") == "S4")
+    ).select(
+        F.col("pk1").cast("bigint").alias("o_orderkey"),
+        "change_type",
+        F.col("transactionid").alias("_transactionid"),
+    )
+    out = C.scd2_versions(cv, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "change_type",
+        "_transactionid",
+        F.col("__valid_from").alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+        F.col("__is_current").alias("is_current"),
+    )

@@ -274,3 +274,44 @@ def test_initial_load_rowid(spark):
     rids = {r["id"]: r["__source_rowid"] for r in out}
     assert len(set(rids.values())) == 2  # unique per row
     assert all(v is not None for v in rids.values())
+
+
+def test_scd2_versions_delete_terminates(spark):
+    """E13: SCD2 reconstruction — each change valid until the key's next
+    change; a delete closes the prior version without opening one."""
+    log = _pklog(
+        spark,
+        [("I", 1, 10, 1), ("U", 1, 12, 1), ("D", 1, 15, 1), ("I", 2, 11, 1)],
+    )
+    cv = log.select(
+        F.col("pk1").cast("bigint").alias("id"),
+        "change_type",
+        F.col("transactionid").alias("_transactionid"),
+    )
+    out = C.scd2_versions(cv, ["id"])
+    rows = {(r["id"], r["_transactionid"]): r for r in out.collect()}
+    # delete row itself is dropped
+    assert (1, 15) not in rows
+    assert rows[(1, 10)]["__valid_from"] == 10
+    assert rows[(1, 10)]["__valid_to"] == 12
+    assert rows[(1, 10)]["__is_current"] is False
+    # the update's version is closed by the delete -> key 1 has no current
+    assert rows[(1, 12)]["__valid_to"] == 15
+    assert rows[(1, 12)]["__is_current"] is False
+    # untouched key stays open
+    assert rows[(2, 11)]["__valid_to"] is None
+    assert rows[(2, 11)]["__is_current"] is True
+
+
+def test_scd2_same_transaction_tiebreak(spark):
+    """Insert+update batched in one transaction version deterministically
+    (change_type ascending: I before U)."""
+    log = _pklog(spark, [("U", 1, 10, 2), ("I", 1, 10, 1)])
+    cv = log.select(
+        F.col("pk1").cast("bigint").alias("id"),
+        "change_type",
+        F.col("transactionid").alias("_transactionid"),
+    )
+    rows = {r["change_type"]: r for r in C.scd2_versions(cv, ["id"]).collect()}
+    assert rows["I"]["__valid_to"] == 10 and rows["I"]["__is_current"] is False
+    assert rows["U"]["__valid_to"] is None and rows["U"]["__is_current"] is True
