@@ -819,3 +819,346 @@ def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(_dec("s_acctbal")).cast("double").alias("max_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join/agg shapes, continued (E4 + E23 at 100 TB join topology)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2)) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) v
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Nation is broadcast into supplier AND customer, shrinking both to 8%
+    before they touch a fact table; lineitem<->orders stays a shuffle join
+    on orderkey (both facts — at 100 TB neither side broadcasts; AQE may
+    still demote it at small SF)."""
+    n1 = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = t(spark, sf_dir, "orders").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    j = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (_dec("l_extendedprice") * disc).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("volume").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+       count(*) AS n
+FROM (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2)) AS volume,
+           n2.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) v
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year. part (filtered to 1/6th) broadcasts into lineitem
+    FIRST — the most selective cut happens before the orderkey shuffle; the
+    supplier->nation label rides along as a broadcast. Share = one double
+    division of two engine-identical decimal sums (see q14)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    ns = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nc = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.year("o_orderdate").alias("o_year"),
+        (_dec("l_extendedprice") * disc).alias("volume"),
+        "nation",
+    )
+    target = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return j.groupBy("o_year").agg(
+        (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit, count(*) AS n
+FROM (
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))
+           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(8,2)) AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+) v
+GROUP BY nation, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: retailprice stands in for ps_supplycost —
+    the fixture has no partsupp table): profit on 'red' parts by supplier
+    nation and order year. part-name filter broadcasts into lineitem before
+    the lineitem<->orders shuffle; amount stays exact decimal until the
+    final cast."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    ns = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    amount = _dec("l_extendedprice") * disc - _dec("p_retailprice") * F.col(
+        "l_quantity"
+    ).cast("decimal(8,2)")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount")
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.sum("amount").cast("double").alias("sum_profit"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) v
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over customers, keeping the
+    zero-order customers (LEFT join with the filter INSIDE the join
+    condition, not a WHERE — a WHERE would silently drop them). Two
+    shuffles: custkey agg, then the tiny c_count histogram."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue. The
+    scalar max is computed once and broadcast-crossed back (never a
+    partition-less window over all suppliers); the tie frontier compares
+    EXACT decimals, so both engines keep identical suppliers."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * disc).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    top = rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx")).select(
+        "supplier_no", "__rev"
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: brand/size/quantity stand in for the
+    missing container/shipmode columns): disjunctive mixed-side predicate.
+    The part-only half of each disjunct is manually pushed below the join
+    (Catalyst cannot split an OR across tables), so only 3 brands' parts
+    are ever broadcast; the full OR is re-applied after the join."""
+    part_pre = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+    )
+    p = t(spark, sf_dir, "part").filter(part_pre).select("p_partkey", "p_brand", "p_size")
+    l = t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    full = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return j.filter(full).agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
