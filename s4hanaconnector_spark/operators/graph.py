@@ -1,0 +1,95 @@
+"""Distributed connected components (E19f) — turns the dedup ladder's PAIR
+output (minhash/jaccard/embedding candidates) into per-document CLUSTER
+assignments, the final step of dedup accounting: "this corpus is N docs in
+M clusters; keep one canonical doc per cluster".
+
+Algorithm: iterative min-label propagation with pointer jumping — the
+public MapReduce CC recipe (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14; same family as GraphX's
+ConnectedComponents, which is not available to PySpark DataFrames without
+GraphFrames). Each round:
+
+  1. neighbor step: every node takes min(own label, neighbors' labels)
+     — one shuffle on node id;
+  2. pointer-jump step: label <- label(label), halving chain depth
+     — a second self-join shuffle.
+
+Rounds needed: O(log diameter) thanks to (2); dedup-cluster graphs have
+tiny diameters, so 3-5 rounds in practice. Each round ends in an eager
+``localCheckpoint`` — without it the logical plan doubles every iteration
+and Catalyst analysis time explodes (the classic iterative-DataFrame trap).
+The convergence test is one ``limit(1).count()`` action per round on the
+changed-label set, so the loop does no driver-side data movement: labels
+never leave the cluster.
+
+At 100 TB: the state is one (id, comp) row per node — partitioned by id,
+orders of magnitude smaller than the corpus itself; the edge table is the
+candidate-pair output, already pruned by LSH banding / df-caps upstream.
+Replace localCheckpoint with a reliable checkpoint dir on a real cluster
+(executor loss mid-loop re-runs from the last checkpoint, not from zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable from it.
+
+    ``edges`` is an undirected pair list (direction ignored, self-loops
+    dropped). ``nodes`` optionally supplies the full node universe so
+    isolated nodes (docs with no duplicate) still get a component — their
+    own id. Returns (id, component); the fixpoint is unique, so the result
+    is deterministic regardless of iteration order.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    if nodes is not None:
+        node_df = nodes.select(F.col(id_col).alias("id")).distinct()
+    else:
+        node_df = sym.select(F.col("a").alias("id")).distinct()
+    labels = node_df.select("id", F.col("id").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # 1. neighbor step: min over own + neighbors' labels
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            sym["a"].alias("id"), "comp"
+        )
+        new = (
+            nbr.unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        # 2. pointer jump: comp <- label(comp). Every comp value IS a node
+        # id (labels only ever take values from the initial id set), so the
+        # lookup is a join against the label table itself.
+        jump = new.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
+        new = (
+            new.join(jump, new["comp"] == jump["cid"], "left")
+            .select("id", F.coalesce("ccomp", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "nc")
+            .join(labels, "id")
+            .filter(F.col("nc") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

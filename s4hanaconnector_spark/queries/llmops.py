@@ -583,3 +583,88 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payload = M.attach_payload(d, "text", "doc_id", kind="text")
     return M.extract_features(payload)
+
+
+# ---------------------------------------------------------------------------
+# E19f — dedup cluster assignment (connected components over pair output)
+# ---------------------------------------------------------------------------
+
+_JACCARD_EDGE_CTES = f"""
+rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 128
+),
+sh AS (SELECT s.doc, s.shingle FROM shingles s JOIN rare USING (shingle)),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc < b.doc GROUP BY 1, 2
+),
+jpe AS (
+    SELECT doc_a AS a, doc_b AS b
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM docs_aug),
+fpe AS (
+    SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY f) AS b FROM fp
+),
+edges0 AS (
+    SELECT a, b FROM fpe WHERE a <> b
+    UNION
+    SELECT a, b FROM jpe WHERE a <> b
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+{_JACCARD_EDGE_CTES.strip()},
+reach AS (
+    SELECT doc_id AS id, doc_id AS comp FROM docs_aug
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM lab
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19f: the dedup ladder's terminal step — fingerprint edges UNION
+    exact-Jaccard edges (>= 0.5, df-capped) fed to distributed connected
+    components; every document gets a cluster id (= min doc id reachable)
+    and its cluster's size. Transitive closure matters: doc A ~ B by
+    fingerprint and B ~ C by Jaccard must land A, B, C in ONE cluster —
+    pair lists alone cannot express that. The oracle replays the same
+    closure as a recursive CTE (viable at oracle scale only; the Spark side
+    is the O(log d)-round distributed loop, operators/graph.py)."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.graph import connected_components
+    from s4hanaconnector_spark.operators.text import fingerprint
+
+    d = docs_aug(spark, sf_dir)
+    fpt = d.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    fpe = fpt.select(
+        F.col("doc_id").alias("src"),
+        F.min("doc_id").over(W.partitionBy("f")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    jpe = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, df_cap=128).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(
+        fpe.unionAll(jpe), nodes=d.select("doc_id"), id_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
+    )

@@ -1,0 +1,57 @@
+"""Connected-components operator (E19f) — cluster assignment semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from s4hanaconnector_spark.operators.graph import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+def test_two_components_and_chain(spark):
+    """A long path (stress for propagation depth), a triangle, and the
+    direction-insensitivity of the edge list."""
+    path = [(i, i + 1) for i in range(1, 8)]  # 1-2-...-8
+    tri = [(20, 21), (22, 21), (20, 22)]  # reversed direction mixed in
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark, path + tri)).collect()
+    }
+    assert all(out[i] == 1 for i in range(1, 9))
+    assert all(out[i] == 20 for i in (20, 21, 22))
+
+
+def test_singleton_nodes(spark):
+    """Nodes with no edges keep themselves as component when the node
+    universe is supplied (docs with no duplicates)."""
+    nodes = _edges(spark, [(5, 5)]).sparkSession.createDataFrame(
+        [Row(id=i) for i in [1, 2, 3, 9]], "id bigint"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(1, 2)]), nodes=nodes, id_col="id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 9: 9}
+
+
+def test_self_loops_ignored(spark):
+    out = connected_components(_edges(spark, [(4, 4)])).collect()
+    assert out == []  # a pure self-loop contributes no node
+
+
+def test_converges_under_tight_iteration_budget(spark):
+    """Pointer jumping gives O(log d) rounds: a 16-node path must converge
+    within 6 iterations (would need 15 with plain neighbor propagation)."""
+    path = [(i, i + 1) for i in range(1, 16)]
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark, path), max_iter=6).collect()
+    }
+    assert set(out.values()) == {1}
