@@ -96,3 +96,26 @@ def primary_keys_from_dictionary(dd03l: DataFrame, tabname: str) -> DataFrame:
         .orderBy("position")
         .select("fieldname")
     )
+
+
+def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of a fixture table (E17 file source): same schema and
+    nanos handling as ``load_table``, but as an unbounded source — new files
+    dropped into the directory would flow through incrementally. The batch
+    read supplies the schema (streaming file sources require one up front;
+    on a real deployment this comes from the table's catalog entry)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory (or glob) to watch, not a
+    # bare file — a one-character glob selects exactly this table's file
+    # while making the source treat the fixture DIR as the watched base
+    glob_path = os.path.join(sf_dir, f"[{name[0]}]{name[1:]}.parquet")
+    df = spark.readStream.schema(schema).parquet(glob_path)
+    if name == "events" and isinstance(schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return df

@@ -1162,3 +1162,52 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "streaming_tumbling_revenue",
+    """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24+E26 through the REAL streaming engine, not a batch lookalike:
+    file source -> watermarked 30-min tumbling windows -> AvailableNow
+    trigger -> memory sink, run to completion and returned as a batch
+    DataFrame. The plan that runs here is the one a 24/7 deployment runs
+    (state store, micro-batches, exactly-once sink protocol); complete
+    output mode makes the final window set equal to the batch aggregate,
+    which is exactly what the oracle computes."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import (
+        run_available_now,
+        tumbling_window_agg,
+    )
+
+    # watermarks demand TIMESTAMP (an instant); with the session pinned to
+    # UTC the ntz->ltz cast is identity, reversed below on the window bound
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = tumbling_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__vs"),
+        ],
+    )
+    res = run_available_now(agg, "streaming_tumbling_revenue")
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("__vs").cast("double").alias("value_sum"),
+    )

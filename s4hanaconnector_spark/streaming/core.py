@@ -10,6 +10,7 @@ of a batch to the sink function.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from collections.abc import Callable
@@ -238,3 +239,35 @@ def stateful_latest_by_key(
         "update",
         timeout,
     )
+
+
+_SINK_SEQ = itertools.count()
+
+
+def run_available_now(
+    out: DataFrame, name: str, output_mode: str = "complete", timeout_sec: float = 300.0
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over the data available NOW
+    and return the materialized result (E24 batch-replay mode).
+
+    ``Trigger.AvailableNow`` processes the backlog in rate-limited
+    micro-batches THROUGH the streaming engine (state store, watermarks,
+    exactly-once sink protocol) and then stops — the same plan that runs
+    24/7 in production is verifiable against a batch oracle. The memory
+    sink holds only the AGGREGATED result (windows, not events), so
+    driver memory is bounded by |windows| — never corpus-sized."""
+    sink = f"{name}_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {sink} still running after {timeout_sec}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return out.sparkSession.table(sink)
