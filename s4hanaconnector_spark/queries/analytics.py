@@ -1211,3 +1211,95 @@ def streaming_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("__vs").cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "asof_error_last_click",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_id,
+       r.value AS click_value,
+       date_diff('microsecond', r.ts, l.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, event_id, value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): every error event picks
+    up the user's most recent preceding click. Implemented as the
+    union+running-window rewrite in operators/asof.py — one shuffle on
+    user_id, no row-pair explosion — and oracle-checked against DuckDB's
+    native ASOF LEFT JOIN. Gap emitted in microseconds (fixtures are
+    µs-aligned, so both engines are exact)."""
+    from s4hanaconnector_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error")
+    res = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "click_id", "value": "click_value", "ts": "click_ts"},
+        right_tiebreak="event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_value",
+        F.timestamp_diff("MICROSECOND", F.col("click_ts"), F.col("ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_error_clicks",
+    """
+SELECT er.event_id AS error_id,
+       count(*) AS n_clicks,
+       CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value_sum
+FROM (SELECT * FROM events WHERE event_type = 'error') er
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = er.user_id
+ AND c.ts BETWEEN er.ts AND er.ts + INTERVAL 12 HOUR
+GROUP BY 1
+""",
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via the bin-bucketing rewrite
+    (operators/asof.py): each error opens a 12-hour window; clicks land
+    in fixed 12-hour bins so Catalyst plans a hash equi-join on
+    (user_id, bin) + exact containment filter — never a
+    BroadcastNestedLoop theta join. Counts clicks per error window."""
+    from s4hanaconnector_spark.operators.asof import range_join_binned
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 12 hours")).alias("win_end"),
+    )
+    joined = range_join_binned(
+        clicks,
+        intervals,
+        on=["user_id"],
+        point_ts="ts",
+        interval_start="win_start",
+        interval_end="win_end",
+        bin_width="12 hours",
+    )
+    return joined.groupBy(F.col("error_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("click_value").cast("decimal(18,4)")).cast("double").alias("click_value_sum"),
+    )
