@@ -668,3 +668,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
     )
+
+
+@register(
+    "sample_documents",
+    f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT
+      < {int(0.05 * 16**8)}
+""",
+)
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% corpus sample (operators/sampling.py): the keep
+    decision is md5(doc_id, seed) — identical rows selected on any engine,
+    partitioning or rerun, unlike df.sample(). Pure row-local filter that
+    pipelines into the scan; no shuffle, no driver round-trip."""
+    from s4hanaconnector_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return hash_sample(d, ["doc_id"], 0.05, seed=42)
+
+
+@register(
+    "split_train_val_test",
+    f"""
+WITH b AS (
+    SELECT n_chars,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {int(0.8 * 16**8)} THEN 'train'
+            WHEN bucket < {int(0.9 * 16**8)} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS chars_total
+FROM b GROUP BY 1
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by cumulative md5-bucket ranges
+    (operators/sampling.py): disjoint, exhaustive, rerun-stable — the
+    property df.randomSplit() does not give under task retry. Verified by
+    per-split document and character totals."""
+    from s4hanaconnector_spark.operators.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        hash_split(d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 8))::BIGINT
+      < CASE WHEN lang = 'en' THEN {int(0.1 * 16**8)} ELSE {int(0.5 * 16**8)} END
+GROUP BY lang
+""",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample dominant English to 10% while keeping
+    50% of every other language — per-stratum rates resolved row-locally
+    (operators/sampling.py), single filter, no per-stratum passes."""
+    from s4hanaconnector_spark.operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        stratified_hash_sample(d, "lang", ["doc_id"], {"en": 0.1}, default_fraction=0.5, seed=7)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

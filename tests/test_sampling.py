@@ -1,0 +1,100 @@
+"""Deterministic sampling/splitting invariants (operators/sampling.py):
+stability under repartitioning and rerun, split disjointness/exhaustiveness,
+key-coherent selection, approximate rate accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s4hanaconnector_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sample_rerun_and_partitioning_invariant(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in hash_sample(d, ["doc_id"], 0.2).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(d.repartition(13), ["doc_id"], 0.2).select("doc_id").collect()
+    }
+    assert a == b and a  # same rows regardless of physical layout
+
+
+def test_sample_rate_within_tolerance(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    k = hash_sample(d, ["doc_id"], 0.5).count()
+    assert abs(k / n - 0.5) < 0.2  # 500-doc fixture: loose binomial bound
+
+
+def test_sample_seed_changes_selection(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in hash_sample(d, ["doc_id"], 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in hash_sample(d, ["doc_id"], 0.3, seed=2).collect()}
+    assert a != b
+
+
+def test_split_disjoint_exhaustive(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = hash_split(d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_agrees_with_sample_prefix(spark, sf_dir):
+    # hash_sample(f) == rows whose split-bucket falls in the first f mass:
+    # the same bucket function drives both, so a 0.8 sample IS the train set.
+    d = _docs(spark, sf_dir)
+    train = {
+        r["doc_id"]
+        for r in hash_split(d, ["doc_id"], {"train": 0.8, "rest": 0.2})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    sample = {r["doc_id"] for r in hash_sample(d, ["doc_id"], 0.8).collect()}
+    assert train == sample
+
+
+def test_split_weights_must_sum_to_one(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    try:
+        hash_split(d, ["doc_id"], {"a": 0.5, "b": 0.2})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for weights summing to 0.7")
+
+
+def test_stratified_rates(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = stratified_hash_sample(d, "lang", ["doc_id"], {"en": 0.0}, default_fraction=1.0)
+    langs = {r["lang"] for r in s.select("lang").distinct().collect()}
+    assert "en" not in langs and langs  # en fully dropped, others fully kept
+    assert s.count() == d.filter(F.col("lang") != "en").count()
+
+
+def test_key_coherence_multirow_keys(spark):
+    # rows sharing the key are kept/dropped as a unit (user-level sampling)
+    df = spark.createDataFrame(
+        [(u, i) for u in range(200) for i in range(3)], "user_id int, seq int"
+    )
+    kept = hash_sample(df, ["user_id"], 0.4).groupBy("user_id").agg(F.count("*").alias("n"))
+    assert kept.filter(F.col("n") != 3).count() == 0
+
+
+def test_sampling_adds_no_shuffle(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    plan = (
+        hash_sample(d, ["doc_id"], 0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
