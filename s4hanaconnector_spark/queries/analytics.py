@@ -1389,3 +1389,139 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "streaming_sliding_value",
+    """
+WITH expanded AS (
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - s.shift) * 1000000)
+               AS window_start,
+           event_type, value
+    FROM events, (SELECT unnest([0, 1800]) AS shift) s
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM expanded GROUP BY 1, 2
+""",
+)
+def streaming_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 sliding windows through the real streaming engine: 1-hour
+    windows sliding every 30 minutes (each event lands in exactly 2),
+    AvailableNow -> memory sink in complete mode. The oracle expands each
+    event to its two window starts explicitly, so both engines compute the
+    identical window set."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import (
+        run_available_now,
+        sliding_window_agg,
+    )
+
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__vs"),
+        ],
+    )
+    res = run_available_now(agg, "streaming_sliding_value")
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("__vs").cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "streaming_stateful_dedup",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 through the real engine: dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type), state TTL longer than the fixture's span so no
+    key re-emits, append mode. Emitting only the key columns makes the
+    result independent of WHICH physical row survived (that choice is
+    arrival-order dependent; the key set is not) — equal to batch
+    DISTINCT, which is the oracle."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import run_available_now, stateful_dedup
+
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = stateful_dedup(ev, ["user_id", "event_type"], "ts", "40 days")
+    res = run_available_now(
+        deduped.select("user_id", "event_type"),
+        "streaming_stateful_dedup",
+        output_mode="append",
+    )
+    return res
+
+
+@register(
+    "streaming_session_windows",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM gaps
+),
+s AS (
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM s
+WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 session windows + E26 late-data semantics through the real
+    engine, in APPEND mode: a session is emitted only once the watermark
+    (max event time - 10 min) passes its close — exactly the behavior a
+    24/7 deployment shows. The oracle reconstructs gap-based sessions in
+    SQL and applies the same watermark cutoff, so the held-back trailing
+    sessions are excluded on both sides deterministically."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import (
+        run_available_now,
+        session_window_agg,
+    )
+
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = session_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="10 minutes",
+    )
+    res = run_available_now(agg, "streaming_session_windows", output_mode="append")
+    return res.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
