@@ -1225,6 +1225,7 @@ ASOF LEFT JOIN (SELECT user_id, ts, event_id, value
                 FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
+    headline=True,
 )
 def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively): every error event picks
@@ -1271,6 +1272,7 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts BETWEEN er.ts AND er.ts + INTERVAL 12 HOUR
 GROUP BY 1
 """,
+    headline=True,
 )
 def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via the bin-bucketing rewrite
