@@ -101,6 +101,48 @@ def top_k_per_group(
     )
 
 
+def quantile_disc_per_group(
+    df: DataFrame, keys: list[str], value_col: str, q: float, id_col: str
+) -> DataFrame:
+    """Exact DISCRETE per-group quantile: the actual data value at sorted
+    position ``ceil(q * n)`` (1-based). Unlike interpolated ``percentile``,
+    the result is always a member of the group — and the positional
+    definition is engine-independent, so an oracle can replay it with the
+    identical window instead of trusting two engines' quantile conventions
+    to agree. ``id_col`` breaks sort ties deterministically (the VALUE at
+    the position is unaffected by tie order; the tiebreak just pins the
+    physical sort). One shuffle on ``keys``; per-group state is the sort —
+    at 100 TB prefer high-cardinality keys or approx_percentile."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    wn = W.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.filter(
+        F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("long")
+    ).select(*keys, F.col(value_col).alias(f"p{int(q * 100)}"))
+
+
+def quantile_outlier_filter(
+    df: DataFrame, keys: list[str], value_col: str, q: float, id_col: str
+) -> DataFrame:
+    """Keep rows whose ``value_col`` exceeds their group's discrete
+    q-quantile — the outlier-detection half of a length/score-based corpus
+    filter. The threshold table is tiny (one row per group) and broadcasts
+    into the probe join; the base scan is touched twice but never
+    shuffled on the probe side."""
+    thr = quantile_disc_per_group(df, keys, value_col, q, id_col)
+    pcol = f"p{int(q * 100)}"
+    return df.join(F.broadcast(thr), on=keys, how="inner").filter(
+        F.col(value_col) > F.col(pcol)
+    )
+
+
 # -- E28: set operators ------------------------------------------------------
 
 

@@ -159,3 +159,93 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     Prefer ``shingles_from_tokens`` over a materialized token column in hot
     paths (see its docstring for the re-evaluation pitfall)."""
     return shingles_from_tokens(tokens(normalize_text(c)), n)
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_size``-token chunks —
+    the context-window packing step of a training-data pipeline. Output:
+    one row per (doc, chunk) with ``chunk_id`` (0-based), ``n_chunk_tokens``
+    and ``chunk_md5`` (md5 of the space-rejoined chunk; pass
+    ``keep_text=True`` to also carry the chunk text).
+
+    All row-local: tokenization is materialized once per document (see the
+    ``shingles_from_tokens`` re-evaluation pitfall), chunk ids come from
+    ``explode(sequence(...))`` and each chunk is an O(chunk_size)
+    ``slice`` — no shuffle, pipelines straight out of the scan, and the
+    explode fan-out (~tokens/chunk_size per doc) is bounded by document
+    length, never by corpus size. Zero-token documents yield no rows
+    (mirrors an empty ``range()``; Spark's ``sequence(0, -1)`` would emit a
+    descending sequence, so they are filtered explicitly).
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w")).filter(
+        F.size("__w") > 0
+    )
+    n_chunks = F.ceil(F.size("__w") / F.lit(float(chunk_size))).cast("long")
+    exploded = toks_df.select(
+        id_col,
+        "__w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_id") * chunk_size + 1, chunk_size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        *([F.concat_ws(" ", chunk).alias("chunk_text")] if keep_text else []),
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str, id_col: str, min_doc_freq: int = 1) -> DataFrame:
+    """Corpus vocabulary with document frequency, total term frequency and
+    idf — the term-statistics pass feeding tokenizer training, stopword
+    discovery and tf-idf. One explode + one hash aggregation keyed on the
+    token (Spark plans partial count/count-distinct map-side, so the
+    shuffle carries per-partition partials, not one row per occurrence).
+    ``idf = ln(n_docs / doc_freq)``, rounded to 6 digits so IEEE libm
+    differences across engines cannot flip a value. The corpus size joins
+    in as a broadcast 1-row aggregate — no driver collect()."""
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_freq"),
+    ).filter(F.col("doc_freq") >= min_doc_freq).crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        "doc_freq",
+        "total_freq",
+        F.round(
+            F.log(F.col("__n_docs").cast("double") / F.col("doc_freq")), 6
+        ).alias("idf"),
+    )
+
+
+# PII patterns shared verbatim with the DuckDB oracle — restricted to the
+# regex-class/quantifier subset where Java regex and RE2 agree exactly.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER_ID_RE = r"\d{3}-\d{2}-\d{4}"  # SSN-shaped; also catches phone-ish ids
+
+
+def pii_redact(c: Column) -> Column:
+    """Mask email addresses and SSN-shaped number ids with typed
+    placeholder tags — the standard pre-training PII scrub. Pure
+    ``regexp_replace`` (global, JVM-side, codegen'd); order matters only
+    if patterns overlap, which these cannot (emails contain '@')."""
+    x = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(x, PII_NUMBER_ID_RE, "<ID>")
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (for filtering/reporting)."""
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        "n_number_ids": F.regexp_count(c, F.lit(PII_NUMBER_ID_RE)),
+    }

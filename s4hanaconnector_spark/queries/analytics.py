@@ -1261,6 +1261,57 @@ def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_next_click",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts - l.ts <= INTERVAL 6 HOUR THEN r.event_id END AS next_click_id,
+       CASE WHEN r.ts - l.ts <= INTERVAL 6 HOUR
+            THEN date_diff('microsecond', l.ts, r.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, event_id
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a match tolerance: every error event picks up the
+    user's next click, but only if it lands within 6 hours — the
+    time-to-recovery shape. Same union+running-window rewrite as the
+    backward variant (operators/asof.py, direction='forward': mirror-image
+    descending sort), tolerance nulls the payload instead of dropping the
+    row, exactly like DuckDB's ASOF LEFT JOIN post-filtered with a CASE.
+    Boundary is inclusive on both engines and exact because fixtures are
+    µs-aligned."""
+    from s4hanaconnector_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error")
+    res = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "next_click_id", "ts": "next_click_ts"},
+        direction="forward",
+        tolerance_interval="6 hours",
+        right_tiebreak="event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_click_id",
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("next_click_ts")).alias(
+            "gap_us"
+        ),
+    )
+
+
+@register(
     "range_join_error_clicks",
     """
 SELECT er.event_id AS error_id,

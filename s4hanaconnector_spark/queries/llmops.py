@@ -722,6 +722,143 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    f"""
+WITH words AS (
+    SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+),
+ch AS (
+    SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id, w
+    FROM words WHERE len(w) > 0
+)
+SELECT doc_id, chunk_id,
+       len(w[chunk_id * 64 + 1 : chunk_id * 64 + 64]) AS n_chunk_tokens,
+       md5(array_to_string(w[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ')) AS chunk_md5
+FROM ch
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: each document splits into consecutive
+    64-token chunks (operators/text.py chunk_by_tokens) — explode over a
+    per-doc sequence + O(64) slices, fully row-local, no shuffle. Chunk
+    content is verified by md5 of the rejoined tokens (both engines hash
+    identical UTF-8 bytes); DuckDB replays with range() + 1-based
+    inclusive list slices, which clamp at array end exactly like Spark's
+    slice()."""
+    d = t(spark, sf_dir, "documents")
+    return X.chunk_by_tokens(d, "text", "doc_id", chunk_size=64)
+
+
+@register(
+    "vocab_term_stats",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKS.replace('text', 'lower(text)')}) AS tok
+    FROM documents
+)
+SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq,
+       round(ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents) / count(DISTINCT doc_id)), 6) AS idf
+FROM toks GROUP BY tok
+""",
+)
+def vocab_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary pass (operators/text.py vocab_stats): explode
+    tokens once, one hash aggregation keyed on the token producing document
+    frequency, total term frequency and idf; the corpus size arrives as a
+    broadcast 1-row aggregate, not a driver collect. The shuffle moves
+    per-partition partial counts, not one row per token occurrence."""
+    d = t(spark, sf_dir, "documents")
+    return X.vocab_stats(d, "text", "doc_id")
+
+
+@register(
+    "quantile_outlier_docs",
+    """
+WITH rk AS (
+    SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+),
+thr AS (
+    SELECT lang, n_chars AS p95 FROM rk WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+)
+SELECT d.doc_id, d.lang, d.n_chars, thr.p95
+FROM documents d JOIN thr USING (lang)
+WHERE d.n_chars > thr.p95
+""",
+)
+def quantile_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier corpus filter: per-language exact DISCRETE p95 of
+    n_chars (value at sorted position ceil(q*n) — engine-independent
+    definition, so the oracle replays the identical window rather than
+    trusting two quantile conventions), then keep documents strictly above
+    their language's threshold. The one-row-per-lang threshold table
+    broadcasts into the probe join (operators/relational.py
+    quantile_outlier_filter)."""
+    from s4hanaconnector_spark.operators.relational import quantile_outlier_filter
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_outlier_filter(d, ["lang"], "n_chars", 0.95, "doc_id").select(
+        "doc_id", "lang", "n_chars", "p95"
+    )
+
+
+_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ssn '"
+    " || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(10 + doc_id % 90 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_ID = "\\d{3}-\\d{2}-\\d{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_ID}')) AS n_number_ids,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_ID}', '<ID>', 'g')) AS redacted_md5
+FROM pii
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py pii_redact): mask emails and SSN-shaped
+    number ids with typed tags, report per-doc hit counts. The fixture has
+    no natural PII, so each document gets a deterministic synthesized
+    email + SSN appended with identical string arithmetic in both engines;
+    the patterns stay inside the regex subset where Java regex and RE2
+    agree. Redaction output verified by md5 over the scrubbed text. Pure
+    row-local regexp_replace/regexp_count — codegen'd, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or ssn "),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (F.lit(10) + F.col("doc_id") % 90).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    c = F.col("text")
+    counts = X.pii_counts(c)
+    return pii.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_number_ids"].alias("n_number_ids"),
+        F.md5(X.pii_redact(c)).alias("redacted_md5"),
+    )
+
+
+@register(
     "sample_stratified_by_lang",
     f"""
 SELECT lang, count(*) AS n_docs

@@ -154,3 +154,110 @@ class TestMultimodalPlumbing:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestChunking:
+    def test_chunks_reassemble_and_cover(self, spark):
+        from s4hanaconnector_spark.operators.text import chunk_by_tokens
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(130))), (2, "a b"), (3, ""), (4, "   ")],
+            "id long, text string",
+        )
+        out = chunk_by_tokens(df, "text", "id", chunk_size=64, keep_text=True).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r)
+        # 130 tokens -> 64 + 64 + 2
+        sizes = [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+        assert sizes == [64, 64, 2]
+        # chunks reassemble to the original token stream
+        joined = " ".join(r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"]))
+        assert joined == " ".join(f"w{i}" for i in range(130))
+        assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+        # empty/blank docs yield no rows (no sequence(0,-1) descent)
+        assert 3 not in by_doc and 4 not in by_doc
+
+    def test_chunking_no_shuffle(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.text import chunk_by_tokens
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            chunk_by_tokens(d, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestVocab:
+    def test_vocab_counts_and_idf(self, spark):
+        from s4hanaconnector_spark.operators.text import vocab_stats
+
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+            "id long, text string",
+        )
+        rows = {r["tok"]: r for r in vocab_stats(df, "text", "id").collect()}
+        assert rows["banana"]["doc_freq"] == 3 and rows["banana"]["total_freq"] == 3
+        assert rows["apple"]["doc_freq"] == 1 and rows["apple"]["total_freq"] == 2
+        assert rows["banana"]["idf"] == 0.0  # ln(3/3)
+        import math
+
+        assert abs(rows["cherry"]["idf"] - round(math.log(3.0), 6)) < 1e-9
+
+    def test_min_doc_freq_filter(self, spark):
+        from s4hanaconnector_spark.operators.text import vocab_stats
+
+        df = spark.createDataFrame([(1, "x y"), (2, "x")], "id long, text string")
+        toks = {r["tok"] for r in vocab_stats(df, "text", "id", min_doc_freq=2).collect()}
+        assert toks == {"x"}
+
+
+class TestQuantileDisc:
+    def test_threshold_is_group_member_at_position(self, spark):
+        from s4hanaconnector_spark.operators.relational import quantile_disc_per_group
+
+        # group g: values 1..10 -> p50 = value at ceil(0.5*10)=5th = 5
+        df = spark.createDataFrame(
+            [("g", i, i) for i in range(1, 11)] + [("h", 7, 100)],
+            "k string, v long, id long",
+        )
+        rows = {r["k"]: r["p50"] for r in
+                quantile_disc_per_group(df, ["k"], "v", 0.5, "id").collect()}
+        assert rows == {"g": 5, "h": 7}
+
+    def test_outlier_filter_strictly_above(self, spark):
+        from s4hanaconnector_spark.operators.relational import quantile_outlier_filter
+
+        df = spark.createDataFrame(
+            [("g", i, i) for i in range(1, 11)], "k string, v long, id long"
+        )
+        kept = sorted(
+            r["v"] for r in quantile_outlier_filter(df, ["k"], "v", 0.5, "id").collect()
+        )
+        assert kept == [6, 7, 8, 9, 10]
+
+
+class TestPii:
+    def test_redacts_and_counts(self, spark):
+        from s4hanaconnector_spark.operators.text import pii_counts, pii_redact
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-y.org and 123-45-6789 ok"), (2, "clean text")],
+            "id long, text string",
+        )
+        c = F.col("text")
+        counts = pii_counts(c)
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                pii_redact(c).alias("red"),
+                counts["n_emails"].alias("ne"),
+                counts["n_number_ids"].alias("ni"),
+            ).collect()
+        }
+        assert rows[1]["red"] == "mail <EMAIL> and <ID> ok"
+        assert rows[1]["ne"] == 1 and rows[1]["ni"] == 1
+        assert rows[2]["red"] == "clean text" and rows[2]["ne"] == 0
