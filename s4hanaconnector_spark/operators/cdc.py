@@ -404,3 +404,59 @@ def scd2_versions(
     return versioned.filter(F.col(type_col) != "D").withColumn(
         "__is_current", F.col("__valid_to").isNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# E13 extension — point-in-time snapshot (time travel) from a change feed
+# ---------------------------------------------------------------------------
+def snapshot_as_of(
+    baseline_keys: DataFrame,
+    cv: DataFrame,
+    pk_names: list[str],
+    as_of_txid: int,
+    ord_col: str = "_transactionid",
+    seq_col: str = "transaction_seq",
+    type_col: str = "change_type",
+) -> DataFrame:
+    """Key membership of the table AS OF transaction ``as_of_txid``:
+    baseline snapshot keys plus/minus everything the change log says
+    happened up to (and including) that transaction — the time-travel
+    primitive a CDC log enables (the reference stitches initial load +
+    deltas by the txid captured before the snapshot,
+    S4HanaProducer.java:500-580; this is the same stitch evaluated at an
+    arbitrary past point).
+
+    Per key, the WINNING change is the latest (txid, seq, type) triple at
+    or below the cutoff — the type tiebreak pins engine-independent order
+    if one transaction carries several changes of a key. A key is present
+    iff it was in the baseline and never changed, or its winning change is
+    not a delete. Output: pk columns, ``last_txid`` (NULL = untouched
+    baseline row) and ``last_change_type`` ('B' = untouched baseline).
+
+    Plan: filter+window on the (small) log, then one full-outer hash join
+    against the baseline KEY projection — the 100 TB table contributes only
+    its column-pruned PK scan; payload re-attachment is a later broadcast
+    probe by the caller if needed.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*pk_names).orderBy(
+        F.col(ord_col).desc(), F.col(seq_col).desc(), F.col(type_col).desc()
+    )
+    winner = (
+        cv.filter(F.col(ord_col) <= as_of_txid)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*pk_names, F.col(ord_col).alias("last_txid"), F.col(type_col).alias("__ct"))
+    )
+    joined = baseline_keys.select(*pk_names).withColumn("__base", F.lit(1)).join(
+        winner, on=pk_names, how="full_outer"
+    )
+    present = (F.col("__ct").isNull() & F.col("__base").isNotNull()) | (
+        F.col("__ct").isNotNull() & (F.col("__ct") != "D")
+    )
+    return joined.filter(present).select(
+        *pk_names,
+        "last_txid",
+        F.coalesce(F.col("__ct"), F.lit("B")).alias("last_change_type"),
+    )

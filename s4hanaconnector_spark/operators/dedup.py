@@ -239,3 +239,71 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ]
     bits = toks.groupBy("doc").agg(*aggs)
     return bits.select("doc", F.concat(*[F.col(f"b{i}") for i in range(16)]).alias("simhash"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared_bands: int = 4,
+    max_rel_dist: float = 0.5,
+) -> DataFrame:
+    """Verification rung of the dedup ladder: take the MinHash-LSH candidate
+    pairs and CONFIRM them with exact Levenshtein distance over normalized
+    text — the cheap-candidates / exact-verify two-phase shape. Returns
+    (doc_a, doc_b, lev, rel_dist) for pairs whose relative edit distance
+    (lev / longer text) is at most ``max_rel_dist``.
+
+    Levenshtein is O(len_a·len_b) per pair, which is exactly why it only
+    runs on the LSH survivors (``min_shared_bands`` tightens the candidate
+    set) instead of all O(n²) pairs. The two text lookups are broadcast-
+    friendly only if docs are small; at 100 TB the join shuffles on doc id,
+    which is unavoidable for payload re-attachment and linear in the
+    candidate count."""
+    from s4hanaconnector_spark.operators.text import normalize_text
+
+    cands = minhash_lsh_candidates(df, text_col, id_col).filter(
+        F.col("n_shared_bands") >= min_shared_bands
+    )
+    norm = df.select(
+        F.col(id_col).alias("__nid"), normalize_text(F.col(text_col)).alias("__nt")
+    )
+    paired = (
+        cands.join(norm.withColumnRenamed("__nid", "doc_a"), on="doc_a")
+        .withColumnRenamed("__nt", "__ta")
+        .join(norm.withColumnRenamed("__nid", "doc_b"), on="doc_b")
+        .withColumnRenamed("__nt", "__tb")
+    )
+    lev = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    rel = F.round(
+        lev.cast("double") / F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1)), 6
+    )
+    return (
+        paired.select("doc_a", "doc_b", lev.alias("lev"), rel.alias("rel_dist"))
+        .filter(F.col("rel_dist") <= max_rel_dist)
+    )
+
+
+def cross_corpus_contamination(
+    train: DataFrame, eval_: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share at least
+    one word n-gram with any evaluation document (the n-gram-overlap
+    definition used for pre-training eval hygiene). Returns one row per
+    contaminated training doc: (train_id, n_evals_hit, n_shared_ngrams).
+
+    Both corpora reduce to DISTINCT (doc, shingle) pairs (shingle_table —
+    normalized text, whole-doc fallback for short docs); the overlap is one
+    equi-join on the shingle followed by a per-train-doc aggregation. At
+    scale the eval side is tiny (benchmarks), so it broadcasts; the train
+    shingle table never self-joins."""
+    tr = shingle_table(train, text_col, id_col, n).withColumnRenamed("doc", "train_id")
+    ev = shingle_table(eval_, text_col, id_col, n).withColumnRenamed("doc", "eval_id")
+    return (
+        tr.join(F.broadcast(ev), on="shingle")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("eval_id").alias("n_evals_hit"),
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+        )
+    )

@@ -249,3 +249,63 @@ def pii_counts(c: Column) -> dict[str, Column]:
         "n_emails": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
         "n_number_ids": F.regexp_count(c, F.lit(PII_NUMBER_ID_RE)),
     }
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText repetition
+    filters): for each document, the fraction of all word n-grams taken by
+    the single most frequent one (``top_ngram_frac``) and the fraction of
+    n-gram occurrences that are repeats of an earlier one
+    (``dup_ngram_frac``). High values mean boilerplate/keyword-stuffing.
+
+    Tokens materialize once, n-grams explode row-locally, and the counts
+    are two hash aggregations keyed by (doc, gram) then doc — both shuffles
+    are on the document id, so the pipeline scales with corpus size, not
+    vocabulary. Documents with fewer than ``n`` tokens are dropped (no
+    n-grams exist; both engines agree by construction)."""
+    toksed = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__w")).filter(
+        F.size("__w") >= n
+    )
+    grams = toksed.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, n)),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ngram_frac"),
+    )
+
+
+def tfidf_search(df: DataFrame, text_col: str, id_col: str, terms: list[str]) -> DataFrame:
+    """Score every document against a bag-of-words query with tf·idf — the
+    retrieval/relevance-scoring shape (idf as in ``vocab_stats``, unrounded
+    until the final score so both engines round the same product sum).
+
+    One token explode feeds both sides: term frequencies for the query
+    terms (an ``isin`` filter prunes the explode output before any
+    shuffle) and document frequencies for the idf table, which is
+    |terms| rows and broadcasts into the probe. Only documents containing
+    at least one query term survive — output is (id, score)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hits = toks.filter(F.col("tok").isin(terms))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    idf = (
+        hits.groupBy("tok")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", F.log(F.col("__n_docs").cast("double") / F.col("df")).alias("__idf"))
+    )
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(idf), on="tok")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("tf") * F.col("__idf")), 6).alias("score"))
+    )

@@ -1261,6 +1261,38 @@ def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_functions",
+    """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 completion: the remaining SQL:2003 rank-family window functions
+    (ntile / percent_rank / cume_dist) over one shared window — single
+    shuffle on the partition key, one sort, all three computed in the same
+    window operator. The unique-key sort tiebreak makes every rank
+    deterministic; the two ratio functions round at 6 digits (both engines
+    divide the same integers in double)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+@register(
     "asof_forward_next_click",
     """
 SELECT l.event_id, l.user_id, l.ts,

@@ -291,6 +291,61 @@ def cdc_change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_as_of",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, change_type,
+           transactionid, transaction_seq
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+win AS (
+    SELECT o_orderkey, transactionid AS last_txid, change_type,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY transactionid DESC, transaction_seq DESC,
+                                       change_type DESC) AS rn
+    FROM cv WHERE transactionid <= 1030
+),
+w1 AS (SELECT o_orderkey, last_txid, change_type FROM win WHERE rn = 1),
+j AS (
+    SELECT coalesce(b.o_orderkey, w1.o_orderkey) AS o_orderkey,
+           b.o_orderkey IS NOT NULL AS in_base, w1.last_txid, w1.change_type
+    FROM orders b FULL OUTER JOIN w1 ON b.o_orderkey = w1.o_orderkey
+)
+SELECT o_orderkey, last_txid, coalesce(change_type, 'B') AS last_change_type
+FROM j
+WHERE (change_type IS NULL AND in_base) OR (change_type IS NOT NULL AND change_type <> 'D')
+""",
+)
+def cdc_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the change log: table key membership AS OF
+    transaction 1030 — baseline snapshot keys plus inserts, minus keys
+    whose latest change at or below the cutoff is a delete (winner per key
+    = max (txid, seq, type), engine-independent order). The reference
+    stitches initial load + delta by a captured txid
+    (S4HanaProducer.java:500-580); this evaluates that stitch at an
+    arbitrary past point, the primitive behind reproducible training-data
+    snapshots."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    cv = pklog.filter(
+        (F.col("table_name") == "orders") & (F.col("schema_name") == "S4")
+    ).select(
+        F.col("pk1").cast("bigint").alias("o_orderkey"),
+        "change_type",
+        "transactionid",
+        "transaction_seq",
+    )
+    return C.snapshot_as_of(
+        orders,
+        cv,
+        ["o_orderkey"],
+        as_of_txid=1030,
+        ord_col="transactionid",
+    )
+
+
+@register(
     "cdc_scd2_history",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()},

@@ -722,6 +722,150 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sigs0 AS (
+    SELECT doc, substr(md5(shingle), 1, 1) AS band, min(md5(shingle)) AS sig
+    FROM shingles GROUP BY doc, band
+),
+small AS (
+    SELECT band, sig FROM sigs0 GROUP BY band, sig HAVING count(*) <= 64
+),
+sigs AS (
+    SELECT s.doc, s.band, s.sig FROM sigs0 s JOIN small USING (band, sig)
+),
+cands AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING count(*) >= 4
+),
+norm AS (SELECT doc_id, {_NORM} AS nt FROM docs_aug),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(na.nt, nb.nt) AS lev,
+           round(CAST(levenshtein(na.nt, nb.nt) AS DOUBLE)
+                 / greatest(length(na.nt), length(nb.nt), 1), 6) AS rel_dist
+    FROM cands c
+    JOIN norm na ON na.doc_id = c.doc_a
+    JOIN norm nb ON nb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev, rel_dist FROM scored WHERE rel_dist <= 0.5
+""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup verification rung (operators/dedup.py edit_distance_pairs):
+    MinHash-LSH candidates with >= 4 shared band signatures are CONFIRMED
+    by exact Levenshtein over normalized text — the cheap-candidates /
+    exact-verify two-phase shape. The O(len²) distance only ever runs on
+    LSH survivors, never all pairs; both engines implement the classic DP
+    metric, so the integer distances match exactly."""
+    return D.edit_distance_pairs(
+        docs_aug(spark, sf_dir), "text", "doc_id", min_shared_bands=4, max_rel_dist=0.5
+    )
+
+
+_DOC_SHINGLES_CTE = f"""
+words_d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+),
+sh_d AS (
+    SELECT DISTINCT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words_d WHERE len(w) >= 3)
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words_d WHERE len(w) < 3
+)
+"""
+
+
+@register(
+    "decontaminate_train_set",
+    f"""
+WITH {_DOC_SHINGLES_CTE.strip()},
+ev AS (SELECT doc AS eval_id, shingle FROM sh_d WHERE doc < 100),
+tr AS (SELECT doc AS train_id, shingle FROM sh_d WHERE doc >= 100)
+SELECT train_id, count(DISTINCT eval_id) AS n_evals_hit, count(*) AS n_shared_ngrams
+FROM tr JOIN ev USING (shingle)
+GROUP BY train_id
+""",
+)
+def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py
+    cross_corpus_contamination): documents with id < 100 play the held-out
+    eval set; any training document sharing a normalized word 3-gram with
+    an eval document is flagged with how many eval docs and how many
+    distinct-per-doc n-grams it hits. The eval shingle table is tiny and
+    broadcasts; the train side aggregates once on doc id — the train
+    corpus never self-joins."""
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 100)
+    tr = d.filter(F.col("doc_id") >= 100)
+    return D.cross_corpus_contamination(tr, ev, "text", "doc_id", n=3)
+
+
+@register(
+    "text_repetition",
+    f"""
+WITH words AS (
+    SELECT doc_id, {_DUCK_TOKS.replace('text', 'lower(text)')} AS w FROM documents
+),
+g2 AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2)
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+SELECT doc_id,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac,
+       round(1 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_ngram_frac
+FROM cnt GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (operators/text.py
+    repetition_stats, the Gopher/MassiveText repetition-filter shape):
+    top-bigram share and duplicate-bigram share per document. N-grams
+    explode row-locally; both aggregations key on the doc id, so the
+    shuffles scale with corpus size, not vocabulary."""
+    return X.repetition_stats(t(spark, sf_dir, "documents"), "text", "doc_id", n=2)
+
+
+@register(
+    "tfidf_retrieval",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKS.replace('text', 'lower(text)')}) AS tok
+    FROM documents
+),
+hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'shuffle', 'broadcast')),
+idf AS (
+    SELECT tok,
+           ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents)
+              / count(DISTINCT doc_id)) AS idf
+    FROM hits GROUP BY tok
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2)
+SELECT doc_id, round(sum(tf * idf.idf), 6) AS score
+FROM tf JOIN idf USING (tok)
+GROUP BY doc_id
+""",
+)
+def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words retrieval scoring (operators/text.py tfidf_search):
+    tf·idf of every document against the query {spark, shuffle, broadcast}.
+    One token explode feeds both term frequencies (isin-pruned before any
+    shuffle) and the |terms|-row idf table, which broadcasts into the
+    probe; idf stays unrounded until the final summed score so both
+    engines round the same product."""
+    return X.tfidf_search(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        ["spark", "shuffle", "broadcast"],
+    )
+
+
+@register(
     "chunk_documents",
     f"""
 WITH words AS (

@@ -315,3 +315,44 @@ def test_scd2_same_transaction_tiebreak(spark):
     rows = {r["change_type"]: r for r in C.scd2_versions(cv, ["id"]).collect()}
     assert rows["I"]["__valid_to"] == 10 and rows["I"]["__is_current"] is False
     assert rows["U"]["__valid_to"] is None and rows["U"]["__is_current"] is True
+
+
+class TestSnapshotAsOf:
+    def test_membership_semantics(self, spark):
+        from s4hanaconnector_spark.operators.cdc import snapshot_as_of
+
+        base = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        cv = spark.createDataFrame(
+            [
+                (2, "D", 10, 1),     # delete of baseline key before cutoff
+                (3, "U", 5, 1),      # update
+                (3, "D", 50, 1),     # ...deleted AFTER cutoff -> still present
+                (9, "I", 12, 1),     # insert of new key
+                (4, "D", 8, 1),      # delete of never-existed key -> absent
+                (5, "I", 6, 1),      # insert...
+                (5, "D", 7, 1),      # ...then deleted before cutoff -> absent
+            ],
+            "k long, change_type string, transactionid long, transaction_seq int",
+        )
+        rows = {
+            r["k"]: r
+            for r in snapshot_as_of(
+                base, cv, ["k"], as_of_txid=20, ord_col="transactionid"
+            ).collect()
+        }
+        assert set(rows) == {1, 3, 9}
+        assert rows[1]["last_change_type"] == "B" and rows[1]["last_txid"] is None
+        assert rows[3]["last_change_type"] == "U" and rows[3]["last_txid"] == 5
+        assert rows[9]["last_change_type"] == "I"
+
+    def test_same_txid_tiebreak_is_deterministic(self, spark):
+        from s4hanaconnector_spark.operators.cdc import snapshot_as_of
+
+        base = spark.createDataFrame([(1,)], "k long")
+        # same (txid, seq): 'U' > 'I' > 'D' lexicographically -> U wins
+        cv = spark.createDataFrame(
+            [(1, "D", 10, 1), (1, "U", 10, 1)],
+            "k long, change_type string, transactionid long, transaction_seq int",
+        )
+        rows = snapshot_as_of(base, cv, ["k"], 20, ord_col="transactionid").collect()
+        assert len(rows) == 1 and rows[0]["last_change_type"] == "U"

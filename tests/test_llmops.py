@@ -261,3 +261,49 @@ class TestPii:
         assert rows[1]["red"] == "mail <EMAIL> and <ID> ok"
         assert rows[1]["ne"] == 1 and rows[1]["ni"] == 1
         assert rows[2]["red"] == "clean text" and rows[2]["ne"] == 0
+
+
+class TestEditDistanceRung:
+    def test_confirms_synthesized_near_dups(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.dedup import edit_distance_pairs
+
+        out = edit_distance_pairs(docs_aug(spark, sf_dir), "text", "doc_id").collect()
+        assert out, "LSH survivors must exist"
+        # exact copies (+200000) and case variants (+100000) normalize
+        # identically -> lev == 0; near-dups (+300000) small but nonzero
+        by_pair = {(r["doc_a"], r["doc_b"]): r for r in out}
+        zero = [p for p, r in by_pair.items() if r["lev"] == 0]
+        near = [p for p, r in by_pair.items() if 0 < r["rel_dist"] <= 0.5]
+        assert zero and near
+        assert all(r["rel_dist"] <= 0.5 for r in by_pair.values())
+
+
+class TestDecontamination:
+    def test_flags_overlapping_train_docs(self, spark, sf_dir):
+        from s4hanaconnector_spark.operators.dedup import cross_corpus_contamination
+        from s4hanaconnector_spark.queries.registry import t as load
+
+        d = load(spark, sf_dir, "documents")
+        ev = d.filter(F.col("doc_id") < 100)
+        tr = d.filter(F.col("doc_id") >= 100)
+        out = cross_corpus_contamination(tr, ev, "text", "doc_id")
+        rows = out.collect()
+        assert rows  # fixture vocabulary guarantees 3-gram collisions
+        assert all(r["train_id"] >= 100 and r["n_evals_hit"] >= 1 for r in rows)
+
+
+class TestRepetition:
+    def test_detects_repeated_bigrams(self, spark):
+        from s4hanaconnector_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x y z w"), (3, "solo")],
+            "id long, text string",
+        )
+        rows = {r["id"]: r for r in repetition_stats(df, "text", "id").collect()}
+        # doc 1 bigrams: [a b, b a, a b, b a, a b] -> top 'a b' 3/5
+        assert rows[1]["top_ngram_frac"] == 0.6
+        assert rows[1]["dup_ngram_frac"] == round(1 - 2 / 5, 6)
+        assert rows[2]["top_ngram_frac"] == round(1 / 3, 6)
+        assert rows[2]["dup_ngram_frac"] == 0.0
+        assert 3 not in rows  # < n tokens -> no n-grams
