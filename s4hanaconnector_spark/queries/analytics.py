@@ -1261,6 +1261,94 @@ def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dim_enrich",
+    """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
+       c_mktsegment,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment through the REAL streaming
+    engine: the event stream joins the static customer dimension INSIDE
+    the micro-batch plan (Spark re-plans the static side per batch; with
+    the broadcast hint the dimension never shuffles and the stream side
+    never leaves its partitions), then aggregates 30-min tumbling windows
+    per market segment. This is the canonical streaming-ETL shape — enrich
+    then window — and AvailableNow + complete mode makes the final state
+    equal to the batch join+aggregate the oracle runs."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import (
+        run_available_now,
+        tumbling_window_agg,
+    )
+
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = tumbling_window_agg(
+        enriched,
+        "ts",
+        "30 minutes",
+        ["c_mktsegment"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__vs"),
+        ],
+    )
+    res = run_available_now(agg, "streaming_dim_enrich")
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "c_mktsegment",
+        "n",
+        F.col("__vs").cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "join_salted_supplier_revenue",
+    """
+SELECT s.s_name,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+)
+def join_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation path under the oracle gate: the lineitem-supplier
+    join runs SALTED (operators/skew.py — deterministic xxhash salt in
+    [0,8) on the big side, 8-fold replicated small side, join on
+    key+salt), and the result must hash-match the plain join the oracle
+    runs — proving the hot-key spread changes the physical distribution
+    and nothing else. The aggregation after the join collapses map-side,
+    so the salt sub-keys never inflate the shuffle."""
+    from s4hanaconnector_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, sup, on=["l_suppkey"], how="inner", n=8)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("gross"),
+        )
+    )
+
+
+@register(
     "window_rank_functions",
     """
 SELECT o_orderkey, o_orderpriority,

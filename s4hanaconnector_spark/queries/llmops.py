@@ -791,6 +791,7 @@ SELECT train_id, count(DISTINCT eval_id) AS n_evals_hit, count(*) AS n_shared_ng
 FROM tr JOIN ev USING (shingle)
 GROUP BY train_id
 """,
+    headline=True,
 )
 def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.py
@@ -880,6 +881,7 @@ SELECT doc_id, chunk_id,
        md5(array_to_string(w[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ')) AS chunk_md5
 FROM ch
 """,
+    headline=True,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: each document splits into consecutive
