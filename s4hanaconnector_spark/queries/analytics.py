@@ -1261,6 +1261,142 @@ def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_late_shipment_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commit/receipt dates absent -> 'shipped more than
+    90 days after ordering' stands in for 'received after committed'):
+    EXISTS decorrelates to a LEFT SEMI join with a mixed-side residual
+    predicate — the semi join keeps each order at most once no matter how
+    many late lines it has, then a single hash aggregation counts by
+    priority. The orders date filter pushes to the parquet scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q22_wealthy_inactive",
+    """
+WITH pos AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS b FROM customer WHERE c_acctbal > 0.0),
+stats AS (SELECT sum(b) AS s, count(*) AS n FROM pos)
+SELECT c.c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, stats
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n > stats.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone prefixes absent -> nationkey groups; 'no
+    orders' is never true in the dense fixtures -> 'no URGENT orders'):
+    scalar-subquery threshold + anti join. The global average arrives as a
+    broadcast 1-row aggregate and the comparison is division-free
+    (balance·n > sum in exact DECIMAL — both engines agree bit-for-bit,
+    where a double division could flip the frontier); the NOT EXISTS
+    decorrelates to a LEFT ANTI join on the filtered urgent-orders key
+    projection."""
+    cust = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(bal).alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("__n") > F.col("__s"))
+        .join(urgent, on="c_custkey", how="anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+SELECT c.u AS user_id, c.cid AS click_id, e.eid AS error_id,
+       date_diff('microsecond', c.cts, e.ets) AS gap_us
+FROM (SELECT user_id u, ts cts, event_id cid FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id u2, ts ets, event_id eid FROM events WHERE event_type = 'error') e
+  ON c.u = e.u2 AND e.ets BETWEEN c.cts AND c.cts + INTERVAL 1 HOUR
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join through the real engine: the
+    click stream joins the error stream on user with a 1-hour time-range
+    constraint. Both sides carry watermarks, and the range condition is
+    what lets the state store evict: a buffered click older than
+    watermark - 1 h can never match a future error, so state is bounded by
+    the window, not the stream length (the canonical Structured Streaming
+    join contract). Inner joins emit eagerly, so AvailableNow termination
+    yields exactly the batch theta-join the oracle runs."""
+    from s4hanaconnector_spark.catalog import load_table_stream
+    from s4hanaconnector_spark.streaming.core import run_available_now
+
+    ev = load_table_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("ets"),
+            F.col("event_id").alias("eid"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr("u = u2 AND ets >= cts AND ets <= cts + INTERVAL 1 HOUR"),
+        "inner",
+    )
+    res = run_available_now(joined, "stream_stream_join", output_mode="append")
+    return res.select(
+        F.col("u").alias("user_id"),
+        F.col("cid").alias("click_id"),
+        F.col("eid").alias("error_id"),
+        F.timestamp_diff("MICROSECOND", F.col("cts"), F.col("ets")).alias("gap_us"),
+    )
+
+
+@register(
     "streaming_dim_enrich",
     """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start,
