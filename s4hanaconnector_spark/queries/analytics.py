@@ -1261,6 +1261,39 @@ def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) - count(o_totalprice) AS n_null_totalprice,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate,
+       min(o_totalprice) AS min_totalprice,
+       max(o_totalprice) AS max_totalprice
+FROM orders
+""",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling in ONE pass: row count, key cardinalities,
+    null counts and min/max ranges computed in a single aggregation (no
+    per-metric scans — the profiler shape that still works when the table
+    is 100 TB). min/max of doubles are order-insensitive (no summation),
+    dates emit as ISO strings, so every output cell is exact."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        (F.count(F.lit(1)) - F.count(F.col("o_totalprice"))).alias("n_null_totalprice"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+    )
+
+
+@register(
     "q4_late_shipment_priority",
     """
 SELECT o_orderpriority, count(*) AS order_count

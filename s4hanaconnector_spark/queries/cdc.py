@@ -291,6 +291,69 @@ def cdc_change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_to_sink",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()}
+SELECT CAST(pk1 AS BIGINT) AS o_orderkey, max(transactionid) AS transactionid
+FROM pklog GROUP BY 1
+""",
+)
+def cdc_stream_to_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 -> E25 -> E16 end-to-end under the oracle gate: the synthetic
+    change log is written to files, read back as a STREAMING source
+    (changes_stream), collapsed to the per-PK transaction frontier by the
+    custom applyInPandasWithState operator, and delivered through the
+    transactional foreachBatch sink (idempotent per-batch commit log — the
+    reference's Kafka-transaction semantics, S4HanaProducer.java:424-450).
+    AvailableNow drains the backlog in one batch, so the emitted frontier
+    equals GROUP BY pk, max(txid) — which is exactly what the oracle
+    computes. What is verified is the whole pipeline: file source ->
+    state store -> exactly-once sink -> parquet readback."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.streaming.core import (
+        changes_stream,
+        stateful_latest_by_key,
+        transactional_sink,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    d = tempfile.mkdtemp(prefix="cdc_stream_sink_")
+    log_dir = os.path.join(d, "log")
+    out_dir = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    pklog.write.parquet(log_dir)
+
+    stream = changes_stream(spark, log_dir).select(
+        F.col("pk1").cast("bigint").alias("o_orderkey"),
+        F.col("transactionid"),
+    )
+    frontier = stateful_latest_by_key(stream, ["o_orderkey"], "transactionid")
+    sink = transactional_sink(out_dir)
+    q = (
+        frontier.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("cdc_stream_to_sink did not drain")
+    batches = _glob.glob(os.path.join(out_dir, "batch_id=*"))
+    # collapse emissions to the final frontier: robust if AvailableNow ever
+    # splits the backlog into several batches (each advance re-emits a key)
+    return (
+        spark.read.parquet(*batches)
+        .groupBy("o_orderkey")
+        .agg(F.max("transactionid").alias("transactionid"))
+    )
+
+
+@register(
     "cdc_snapshot_as_of",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()},

@@ -1005,6 +1005,73 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feature_zscore",
+    """
+WITH stats AS (
+    SELECT lang, sum(n_chars) AS s, sum(n_chars * n_chars) AS ssq, count(*) AS n
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN stats.n * stats.ssq - stats.s * stats.s > 0
+            THEN round((d.n_chars * stats.n - stats.s)
+                       / sqrt(CAST(stats.n * stats.ssq - stats.s * stats.s AS DOUBLE)), 6)
+       END AS z
+FROM documents d JOIN stats USING (lang)
+""",
+)
+def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization with EXACT integer moments:
+    z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²) is algebraically the population
+    z-score, but every term before the final sqrt/divide is BIGINT
+    arithmetic — no floating-point summation anywhere, so partition order
+    cannot perturb the statistics and both engines take the same IEEE sqrt
+    of the same integer. The per-group moment table broadcasts back into
+    the probe; zero-variance groups emit NULL on both sides."""
+    d = t(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    stats = d.groupBy("lang").agg(
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ssq"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    denom2 = F.col("__n") * F.col("__ssq") - F.col("__s") * F.col("__s")
+    return d.join(F.broadcast(stats), on="lang").select(
+        "doc_id",
+        "lang",
+        F.when(
+            denom2 > 0,
+            F.round((x * F.col("__n") - F.col("__s")) / F.sqrt(denom2.cast("double")), 6),
+        ).alias("z"),
+    )
+
+
+@register(
+    "histogram_doc_lengths",
+    """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       min(n_chars) AS bin_min,
+       max(n_chars) AS bin_max
+FROM documents GROUP BY 1
+""",
+)
+def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: fixed-width (100-char) length histogram — the
+    distribution check run before setting quality-filter thresholds. Pure
+    integer bin arithmetic, one map-side-combined aggregation; output is
+    |bins| rows regardless of corpus size."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 100).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("bin_min"),
+            F.max("n_chars").alias("bin_max"),
+        )
+    )
+
+
+@register(
     "sample_stratified_by_lang",
     f"""
 SELECT lang, count(*) AS n_docs
