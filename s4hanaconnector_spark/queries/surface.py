@@ -205,3 +205,88 @@ def catalog_pk_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("position"),
     )
     return primary_keys_from_dictionary(dd03l, "ACDOCA")
+
+
+@register(
+    "unpivot_order_metrics",
+    """
+SELECT metric, count(*) AS n, min(v) AS v_min, max(v) AS v_max
+FROM (
+    SELECT 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS v FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', o_totalprice FROM orders
+)
+GROUP BY metric
+""",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native ``DataFrame.unpivot`` (melt):
+    two numeric columns become (metric, value) rows — Spark plans this as
+    an Expand (each input row emits one row per metric, no shuffle, no
+    self-union scan), then one aggregation profiles each metric. min/max
+    of doubles are order-insensitive, so the whole output is exact."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        "o_totalprice",
+    )
+    long = o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_custkey", "o_totalprice"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+WITH payload AS (
+    SELECT '{"user": ' || user_id || ', "type": "' || event_type
+           || '", "id": ' || event_id || '}' AS j
+    FROM events
+)
+SELECT json_extract_string(j, '$.type') AS event_type,
+       count(*) AS n,
+       count(DISTINCT CAST(json_extract(j, '$.user') AS BIGINT)) AS n_users,
+       max(CAST(json_extract(j, '$.id') AS BIGINT)) AS max_id
+FROM payload
+GROUP BY 1
+""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion surface: events are re-serialized to JSON
+    text (identical string arithmetic in both engines — integer and string
+    fields only, so no float-formatting divergence), then every downstream
+    value is recovered by JSON-path extraction (``get_json_object`` /
+    ``json_extract``) and aggregated. The parse runs row-local inside
+    codegen; only the |event-types| aggregate shuffles."""
+    ev = t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"user": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('", "id": '),
+        F.col("event_id").cast("string"),
+        F.lit("}"),
+    )
+    payload = ev.select(j.alias("j"))
+    return (
+        payload.select(
+            F.get_json_object("j", "$.type").alias("event_type"),
+            F.get_json_object("j", "$.user").cast("bigint").alias("u"),
+            F.get_json_object("j", "$.id").cast("bigint").alias("id"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("u").alias("n_users"),
+            F.max("id").alias("max_id"),
+        )
+    )

@@ -100,3 +100,50 @@ def test_latest_by_key_partial_aggregation(spark, sf_dir):
     carries distinct keys, not the raw change feed."""
     plan = plan_of(spark, sf_dir, "cdc_latest_by_key")
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_quantile_outlier_threshold_broadcasts(spark, sf_dir):
+    """E35: the one-row-per-group threshold table must broadcast into the
+    probe join — a shuffle there would re-partition the full corpus to
+    join against ~5 rows."""
+    plan = plan_of(spark, sf_dir, "quantile_outlier_docs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontamination_eval_side_broadcasts(spark, sf_dir):
+    """E37: the eval-set shingle table is benchmark-sized; the train-side
+    shingle table must probe it via broadcast, never co-shuffle."""
+    plan = plan_of(spark, sf_dir, "decontaminate_train_set")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_idf_table_broadcasts(spark, sf_dir):
+    """E39: the |query-terms|-row idf table broadcasts into the tf probe."""
+    plan = plan_of(spark, sf_dir, "tfidf_retrieval")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q4_semi_join_with_date_pushdown(spark, sf_dir):
+    """E45/Q4 shape: the orders date window must reach the parquet scan, and
+    the EXISTS must plan as a semi join (one output row per order however
+    many lineitems match)."""
+    plan = plan_of(spark, sf_dir, "q4_late_shipment_priority")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_chunking_pipelines_without_exchange(spark, sf_dir):
+    """E34: chunking is row-local — any Exchange means a pointless
+    corpus-wide shuffle before a per-row explode."""
+    plan = plan_of(spark, sf_dir, "chunk_documents")
+    assert "Exchange" not in plan, plan
+
+
+def test_zscore_moments_broadcast(spark, sf_dir):
+    """E46: the per-group moment table (|langs| rows) broadcasts back into
+    the probe; the documents scan must not shuffle."""
+    plan = plan_of(spark, sf_dir, "feature_zscore")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
