@@ -1867,3 +1867,59 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "window_value_functions",
+    """
+SELECT o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 3) OVER w AS third_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 completion: the value-family window functions (first_value /
+    last_value / nth_value) with an explicit UNBOUNDED-UNBOUNDED frame —
+    the default running frame makes last_value degenerate to the current
+    row, a classic SQL trap both engines avoid identically once the frame
+    is spelled out. Unique (date, key) sort order pins every value."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
+@register(
+    "cross_join_region_nation",
+    """
+SELECT r.r_name, n.n_name, n.n_regionkey = r.r_regionkey AS is_home
+FROM region r CROSS JOIN nation n
+""",
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 completion: an EXPLICIT cartesian product (the one join shape
+    with no key) — legitimate only when both sides are bounded dims, as
+    here (5 x 25). Spark plans BroadcastNestedLoopJoin; the point of
+    declaring it is that the engine supports the shape while every
+    large-table query in this suite is asserted NOT to fall into it
+    (tests/test_plans.py no-cartesian checks)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )

@@ -1093,3 +1093,39 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_clean_pipeline",
+    f"""
+SELECT doc_id, md5(array_to_string(
+  list_transform(
+    list_filter({_DUCK_TOKS.replace('text', 'lower(text)')},
+                x -> NOT list_contains({_DUCK_SW}, x)),
+    x -> CASE WHEN length(x) > 3 AND x LIKE '%s'
+              THEN substr(x, 1, length(x) - 1) ELSE x END),
+  ' ')) AS clean_md5
+FROM documents
+""",
+)
+def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level cleaning pipeline: lowercase -> tokenize -> stopword
+    removal -> plural-strip stemming-lite -> rejoin, verified by md5 of
+    the cleaned text. The whole chain is higher-order array functions
+    (filter/transform) over ONE materialized token array — row-local,
+    codegen'd, no shuffle; the shape generalizes to any per-token
+    normalization an LLM-ingest pipeline applies."""
+    from s4hanaconnector_spark.operators.text import ENGLISH_STOPWORDS, tokens
+
+    d = t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    toksed = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("__w"))
+    cleaned = F.transform(
+        F.filter(F.col("__w"), lambda x: ~F.array_contains(sw, x)),
+        lambda x: F.when(
+            (F.length(x) > 3) & x.endswith("s"), F.substring(x, 1, F.length(x) - 1)
+        ).otherwise(x),
+    )
+    return toksed.select(
+        "doc_id", F.md5(F.concat_ws(" ", cleaned)).alias("clean_md5")
+    )
