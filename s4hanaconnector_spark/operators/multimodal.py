@@ -125,8 +125,9 @@ def frame_sample(
     — the mapInPandas contract where output row count differs from input
     (the batch-shape detail real decoders need). STUB: frame count derives
     deterministically from payload size (~1 frame/KB, capped), each frame
-    payload is a digest of (payload, frame_no); real body: av/ffmpeg keyframe
-    extraction at ``every_ms`` intervals."""
+    payload is a digest of (payload, ascii frame_no) — an ASCII suffix so an
+    external oracle can replay the hash over text; real body: av/ffmpeg
+    keyframe extraction at ``every_ms`` intervals."""
     if not decode_stub:
         raise NotImplementedError("real frame sampling requires av/ffmpeg")
 
@@ -141,7 +142,7 @@ def frame_sample(
                     rows["frame_no"].append(i)
                     rows["ts_ms"].append(i * every_ms)
                     rows["frame_payload"].append(
-                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                        hashlib.md5(raw + str(i).encode()).digest()
                     )
             yield pd.DataFrame(rows)
 

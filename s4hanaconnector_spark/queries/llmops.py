@@ -585,6 +585,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(payload)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+WITH f AS (
+    SELECT doc_id, text,
+           least(greatest(octet_length(encode(text)) // 1000, 1), 8) AS n_frames
+    FROM documents
+),
+fr AS (
+    SELECT doc_id, text, CAST(unnest(range(0, n_frames)) AS INT) AS frame_no FROM f
+)
+SELECT doc_id, frame_no,
+       CAST(frame_no AS BIGINT) * 1000 AS ts_ms,
+       md5(text || CAST(frame_no AS VARCHAR)) AS frame_md5
+FROM fr
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 fan-out plumbing under the oracle gate: one media payload row
+    becomes N frame rows through mapInPandas (the output-rows != input-rows
+    batch contract real video decoders need). The stub derives frame count
+    from payload size and each frame payload from md5(payload, frame_no),
+    so the ORACLE can replay every byte: the hex of the Spark-side binary
+    frame payload must equal DuckDB's md5 over the same text+suffix. Row-
+    local, no shuffle; fan-out bounded at 8 frames/doc."""
+    d = t(spark, sf_dir, "documents")
+    payload = M.attach_payload(d, "text", "doc_id", kind="video")
+    frames = M.frame_sample(payload, every_ms=1000, max_frames=8)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        "ts_ms",
+        F.lower(F.hex("frame_payload")).alias("frame_md5"),
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    """
+SELECT doc_id,
+       md5(text || '64x64') AS resized_md5,
+       16 AS n_bytes, 64 AS width, 64 AS height
+FROM documents
+""",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 transform plumbing under the oracle gate: payload -> decode ->
+    resize -> re-encode with updated (width, height) metadata, one row in /
+    one row out through mapInPandas. The stub's 'resized' payload is the
+    md5 digest of (payload, 'WxH'), replayed byte-for-byte by the oracle;
+    the metadata struct carries the new dimensions. Pure projection — no
+    shuffle, parallelism = input splits."""
+    d = t(spark, sf_dir, "documents")
+    payload = M.attach_payload(d, "text", "doc_id", kind="image")
+    resized = M.image_resize(payload, 64, 64)
+    return resized.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("resized_md5"),
+        F.col("media_meta.n_bytes").cast("int").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # E19f — dedup cluster assignment (connected components over pair output)
 # ---------------------------------------------------------------------------
