@@ -50,3 +50,53 @@ def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool
         return bool(any(c.isBucket for c in da)) and bool(any(c.isBucket for c in db))
     except Exception:
         return False
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_cols`` (one directory
+    per value combination). The payoff is PARTITION PRUNING: any downstream
+    filter on a partition column is resolved against the directory listing
+    — pruned partitions are never opened, let alone scanned. At 100 TB this
+    is the first-order I/O lever (date/table/tenant partitioning), ahead of
+    row-group skipping and column pruning, both of which still apply inside
+    the surviving partitions.
+
+    Partition columns must be low-cardinality (each value is a directory;
+    a high-cardinality partition key creates the millions-of-small-files
+    problem ``compact_partitions`` exists to fix)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_files: int, partition_cols: list[str] | None = None
+) -> None:
+    """Rewrite a parquet dataset into ``target_files`` files (per partition
+    value if ``partition_cols`` is given) — the small-files compaction every
+    long-running ingest needs: streaming sinks and frequent CDC batches each
+    leave a file per micro-batch x shuffle-partition, and scan planning cost
+    grows with file count (one footer read + task per tiny file). Uses a
+    fresh overwrite write with ``coalesce``; run it on cold partitions, not
+    the one currently ingesting."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = df.coalesce(target_files).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    # atomic-ish swap via filesystem rename (object stores: copy + delete)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def cluster_within_partitions(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Sort rows WITHIN each partition by ``cols`` without any shuffle
+    (``sortWithinPartitions``) — parquet then writes tight min/max row-group
+    statistics on those columns, so point/range predicates skip row groups
+    (the poor man's Z-order for single-key access patterns). Exchange-free
+    by construction; combine with ``write_partitioned`` for directory-level
+    + row-group-level pruning on different keys."""
+    return df.sortWithinPartitions(*cols)

@@ -1923,3 +1923,59 @@ def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
     )
+
+
+@register(
+    "user_event_sequences",
+    """
+SELECT user_id, count(*) AS n_events,
+       md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_md5
+FROM events GROUP BY user_id
+""",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence mining: each user's full ordered event-type
+    sequence, verified by md5. The discipline being proven is ORDERED
+    distributed aggregation: collect_list gives arbitrary partition order,
+    so the rows ride a (ts, event_id, type) struct that array_sort puts
+    into total order — the unique event_id tiebreak makes the sequence
+    identical on any partitioning, matching DuckDB's ORDER BY inside
+    string_agg. One shuffle on user_id; per-group state is the user's
+    event list (bounded by per-user activity, not corpus size)."""
+    ev = t(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.md5(
+            F.concat_ws(" ", F.transform(seq, lambda x: x.getField("event_type")))
+        ).alias("seq_md5"),
+    )
+
+
+@register(
+    "orders_monthly_series",
+    """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def orders_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to calendar months (date_trunc) with exact
+    decimal revenue — the downsample-for-dashboards shape; month emitted
+    as a string so both engines agree on the bucket label."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )

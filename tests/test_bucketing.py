@@ -72,3 +72,49 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         "l_orderkey", "o_orderkey"
     )
     assert bucketed == o.join(li, "o_orderkey").count()
+
+
+class TestPartitionPruning:
+    def test_partition_filter_prunes_directories(self, spark, sf_dir, tmp_path):
+        from s4hanaconnector_spark.catalog import load_table
+        from s4hanaconnector_spark.operators.bucketing import write_partitioned
+
+        path = str(tmp_path / "events_by_type")
+        ev = load_table(spark, sf_dir, "events")
+        write_partitioned(ev, path, ["event_type"])
+
+        df = spark.read.parquet(path).filter("event_type = 'click'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the filter must land in PartitionFilters (directory pruning),
+        # not as a post-scan data filter
+        assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
+        # and the pruned read returns exactly the clicks
+        assert df.count() == ev.filter("event_type = 'click'").count()
+
+    def test_compaction_reduces_file_count(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from s4hanaconnector_spark.catalog import load_table
+        from s4hanaconnector_spark.operators.bucketing import compact_partitions
+
+        path = str(tmp_path / "frag")
+        ev = load_table(spark, sf_dir, "events").repartition(16)
+        ev.write.parquet(path)
+        before = len(glob.glob(f"{path}/part-*.parquet"))
+        n = spark.read.parquet(path).count()
+        compact_partitions(spark, path, target_files=2)
+        after = len(glob.glob(f"{path}/part-*.parquet"))
+        assert before >= 16 and after <= 2
+        assert spark.read.parquet(path).count() == n
+
+    def test_cluster_within_partitions_no_exchange(self, spark, sf_dir):
+        from s4hanaconnector_spark.catalog import load_table
+        from s4hanaconnector_spark.operators.bucketing import cluster_within_partitions
+
+        ev = load_table(spark, sf_dir, "events")
+        plan = (
+            cluster_within_partitions(ev, ["user_id", "ts"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Sort" in plan, plan
