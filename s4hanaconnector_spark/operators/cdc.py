@@ -433,10 +433,14 @@ def snapshot_as_of(
     not a delete. Output: pk columns, ``last_txid`` (NULL = untouched
     baseline row) and ``last_change_type`` ('B' = untouched baseline).
 
-    Plan: filter+window on the (small) log, then one full-outer hash join
-    against the baseline KEY projection — the 100 TB table contributes only
-    its column-pruned PK scan; payload re-attachment is a later broadcast
-    probe by the caller if needed.
+    Plan: filter+window on the (small) log, then BROADCAST left join +
+    broadcast anti join against the baseline KEY projection, unioned — the
+    obvious full-outer formulation forces a sort-merge join (full outer
+    cannot build a broadcast hash table on Spark's probe semantics here),
+    which would SHUFFLE the 100 TB baseline; this decomposition touches the
+    baseline with two broadcast probes of its column-pruned PK scan and
+    never repartitions it. Payload re-attachment is a later broadcast probe
+    by the caller if needed.
     """
     from pyspark.sql import Window as W
 
@@ -449,13 +453,23 @@ def snapshot_as_of(
         .filter(F.col("__rn") == 1)
         .select(*pk_names, F.col(ord_col).alias("last_txid"), F.col(type_col).alias("__ct"))
     )
-    joined = baseline_keys.select(*pk_names).withColumn("__base", F.lit(1)).join(
-        winner, on=pk_names, how="full_outer"
+    base = baseline_keys.select(*pk_names)
+    # baseline keys, annotated with their winning change if any
+    from_base = base.join(F.broadcast(winner), on=pk_names, how="left").filter(
+        F.col("__ct").isNull() | (F.col("__ct") != "D")
     )
-    present = (F.col("__ct").isNull() & F.col("__base").isNotNull()) | (
-        F.col("__ct").isNotNull() & (F.col("__ct") != "D")
+    # keys born after the baseline: winning non-delete changes absent from it.
+    # The intersection (base ⋉ winner) is computed FIRST — broadcast winner
+    # into a semi probe of the baseline scan, output <= |winner| rows — so
+    # the anti join's build side is small; anti-joining winner against the
+    # raw baseline would have to broadcast or shuffle the 100 TB side.
+    matched = base.join(
+        F.broadcast(winner.select(*pk_names)), on=pk_names, how="semi"
     )
-    return joined.filter(present).select(
+    from_log = winner.filter(F.col("__ct") != "D").join(
+        F.broadcast(matched), on=pk_names, how="anti"
+    )
+    return from_base.unionByName(from_log).select(
         *pk_names,
         "last_txid",
         F.coalesce(F.col("__ct"), F.lit("B")).alias("last_change_type"),

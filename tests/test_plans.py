@@ -147,3 +147,12 @@ def test_zscore_moments_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "feature_zscore")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_snapshot_as_of_never_sorts_baseline(spark, sf_dir):
+    """E40: time travel must not sort-merge (shuffle) the baseline — the
+    full-outer formulation would; the left+anti decomposition keeps every
+    join broadcast."""
+    plan = plan_of(spark, sf_dir, "cdc_snapshot_as_of")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
