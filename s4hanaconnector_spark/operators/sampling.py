@@ -82,3 +82,33 @@ def stratified_hash_sample(
     for value, frac in fractions.items():
         thr = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(thr)
     return df.filter(b < thr)
+
+
+def hash_topk_per_group(
+    df: DataFrame, group_cols: list[str], keys: list[str], k: int, seed: int = 42
+) -> DataFrame:
+    """EXACTLY k rows per group (fewer if the group is smaller), selected
+    deterministically: rank rows inside each group by md5(key, seed) and
+    keep the k smallest — a reproducible stand-in for per-group reservoir
+    sampling. Unlike fraction-based sampling, the output size per group is
+    fixed, which is what eval-set carving and per-source quota sampling
+    need. Changing the seed draws an independent sample; reruns, retries
+    and other engines select the identical rows.
+
+    One shuffle on the group columns (the window); the rank prunes to k
+    before anything downstream, so the post-sample data is |groups|·k."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(
+        F.concat_ws(
+            _SEP, *[F.col(c).cast("string") for c in keys], F.lit(str(seed))
+        )
+    )
+    w = W.partitionBy(*group_cols).orderBy(
+        h.asc(), *[F.col(c).asc() for c in keys]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

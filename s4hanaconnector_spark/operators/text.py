@@ -309,3 +309,59 @@ def tfidf_search(df: DataFrame, text_col: str, id_col: str, terms: list[str]) ->
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("tf") * F.col("__idf")), 6).alias("score"))
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance scoring (the Robertson-Sparck Jones ranking function
+    every lexical retrieval stack uses):
+    ``idf·tf(k1+1) / (tf + k1(1−b + b·dl/avgdl))`` summed over query terms.
+    Extends ``tfidf_search`` with document-length normalization: long
+    documents stop winning on raw term count.
+
+    Parity discipline: every input to the float formula is an exact
+    integer aggregate (tf, dl, Σdl, N, df), the formula is mirrored
+    token-for-token in the oracle so both engines execute the same IEEE
+    operation tree, and only the final summed score rounds (6 digits).
+    One explode feeds tf, dl and df; idf and the 1-row corpus stats
+    broadcast into the probe."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    corpus = dl.agg(
+        F.sum("__dl").alias("__total_dl"), F.count(F.lit(1)).alias("__n_docs")
+    )
+    hits = toks.filter(F.col("tok").isin(terms))
+    idf = (
+        hits.groupBy("tok")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            F.log(F.col("__n_docs").cast("double") / F.col("__df")).alias("__idf"),
+        )
+    )
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
+    scored = (
+        tf.join(F.broadcast(idf), on="tok")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    norm_dl = (
+        F.col("__dl").cast("double")
+        * F.col("__n_docs").cast("double")
+        / F.col("__total_dl").cast("double")
+    )
+    contrib = (
+        F.col("__idf")
+        * (F.col("__tf") * F.lit(k1 + 1.0))
+        / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_dl))
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum(contrib), 6).alias("bm25"))

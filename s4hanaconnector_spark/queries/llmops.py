@@ -1069,6 +1069,69 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_k_per_lang",
+    """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'),
+                                       doc_id) AS rn
+    FROM documents
+) WHERE rn <= 10
+""",
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling (operators/sampling.py
+    hash_topk_per_group): exactly 10 documents per language, chosen by
+    md5-hash rank — the reproducible reservoir-sampling stand-in eval-set
+    carving needs (fraction sampling cannot promise per-group sizes). Any
+    engine, partitioning or rerun selects the identical rows."""
+    from s4hanaconnector_spark.operators.sampling import hash_topk_per_group
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_topk_per_group(d, ["lang"], ["doc_id"], k=10, seed=42)
+
+
+@register(
+    "bm25_retrieval",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKS.replace('text', 'lower(text)')}) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT sum(dl) AS total_dl, count(*) AS n_docs FROM dl),
+hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'shuffle', 'broadcast')),
+idf AS (
+    SELECT tok,
+           ln((SELECT CAST(n_docs AS DOUBLE) FROM corpus) / count(DISTINCT doc_id)) AS idf
+    FROM hits GROUP BY tok
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2)
+SELECT tf.doc_id,
+       round(sum(idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) * CAST(corpus.n_docs AS DOUBLE) / CAST(corpus.total_dl AS DOUBLE))))), 6) AS bm25
+FROM tf
+JOIN idf USING (tok)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN corpus
+GROUP BY tf.doc_id
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/text.py bm25_search, k1=1.2,
+    b=0.75) over the query {spark, shuffle, broadcast} — tf-idf plus
+    document-length normalization, the default first-stage ranker for
+    RAG/retrieval pipelines. All formula inputs are exact integer
+    aggregates; the oracle mirrors the operation tree and only the summed
+    score rounds."""
+    return X.bm25_search(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        ["spark", "shuffle", "broadcast"],
+    )
+
+
+@register(
     "feature_zscore",
     """
 WITH stats AS (

@@ -98,3 +98,33 @@ def test_sampling_adds_no_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+class TestHashTopKPerGroup:
+    def test_exact_k_and_deterministic(self, spark):
+        from s4hanaconnector_spark.operators.sampling import hash_topk_per_group
+
+        df = spark.createDataFrame(
+            [(i, "g" if i % 2 == 0 else "h") for i in range(100)], "id long, g string"
+        )
+        a = hash_topk_per_group(df, ["g"], ["id"], k=7).collect()
+        b = hash_topk_per_group(df.repartition(13), ["g"], ["id"], k=7).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-invariant
+        per = {}
+        for r in a:
+            per[r["g"]] = per.get(r["g"], 0) + 1
+        assert per == {"g": 7, "h": 7}
+
+    def test_small_group_returns_all(self, spark):
+        from s4hanaconnector_spark.operators.sampling import hash_topk_per_group
+
+        df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+        assert hash_topk_per_group(df, ["g"], ["id"], k=10).count() == 2
+
+    def test_seed_changes_selection(self, spark):
+        from s4hanaconnector_spark.operators.sampling import hash_topk_per_group
+
+        df = spark.createDataFrame([(i, "g") for i in range(1000)], "id long, g string")
+        a = {r["id"] for r in hash_topk_per_group(df, ["g"], ["id"], 20, seed=1).collect()}
+        b = {r["id"] for r in hash_topk_per_group(df, ["g"], ["id"], 20, seed=2).collect()}
+        assert a != b
