@@ -1979,3 +1979,44 @@ def orders_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "user_retention_daily",
+    """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+)
+SELECT strftime(a.d, '%Y-%m-%d') AS day, count(*) AS active,
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained_next_day
+FROM days a LEFT JOIN days b ON b.user_id = a.user_id AND b.d = a.d + 1
+GROUP BY a.d
+""",
+)
+def user_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention: distinct (user, day) activity
+    self-joined one day forward — how many of each day's active users
+    return tomorrow. The distinct pass collapses events to user-days
+    BEFORE the join (agg-before-join again), so the self-join is
+    user-days x user-days, not events x events; counts stay raw so no
+    ratio ever divides across engines."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    nxt = days.select(
+        F.col("user_id").alias("u2"), F.date_sub(F.col("d"), 1).alias("d_prev")
+    )
+    joined = days.join(
+        nxt, (days["user_id"] == nxt["u2"]) & (days["d"] == nxt["d_prev"]), "left"
+    )
+    return joined.groupBy(days["d"]).agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("u2").isNotNull(), 1).otherwise(0)).alias(
+            "retained_next_day"
+        ),
+    ).select(
+        F.date_format(F.col("d"), "yyyy-MM-dd").alias("day"),
+        "active",
+        "retained_next_day",
+    )

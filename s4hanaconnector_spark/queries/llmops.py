@@ -1069,6 +1069,79 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pretraining_corpus",
+    f"""
+WITH kept AS (
+    SELECT doc_id, text FROM documents WHERE length(text) BETWEEN 50 AND 10000
+),
+fp AS (
+    SELECT doc_id, text, md5({_NORM}) AS f FROM kept
+),
+canon AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+),
+words AS (
+    SELECT doc_id, {_DUCK_TOKS} AS w FROM canon
+),
+ch AS (
+    SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id, w
+    FROM words WHERE len(w) > 0
+),
+chunks AS (
+    SELECT doc_id, len(w[chunk_id * 64 + 1 : chunk_id * 64 + 64]) AS n_toks FROM ch
+),
+labeled AS (
+    SELECT doc_id, n_toks,
+           CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT < {int(0.8 * 16**8)} THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT < {int((0.8 + 0.1) * 16**8)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM chunks
+)
+SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       sum(n_toks) AS n_tokens
+FROM labeled GROUP BY split
+""",
+    headline=True,
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline as one declared plan — the
+    end-to-end shape a user actually runs, not isolated operators:
+    length-band quality filter -> fingerprint dedup (min-id canonical per
+    normalized-md5) -> 64-token context-window chunking -> deterministic
+    80/10/10 split -> per-split document/chunk/token budget. Every stage
+    is an operator declared (and oracle-checked) on its own elsewhere in
+    this registry; composing them stays exact because each is. Catalyst
+    fuses the whole thing: filter pushes to the scan, one window shuffle
+    for dedup, chunking row-local, split row-local, one final
+    aggregation."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.sampling import hash_split
+    from s4hanaconnector_spark.operators.text import chunk_by_tokens, fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    kept = d.filter(F.length("text").between(50, 10000)).select("doc_id", "text")
+    w = W.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    canon = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    chunks = chunk_by_tokens(canon, "text", "doc_id", chunk_size=64)
+    labeled = hash_split(
+        chunks, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return labeled.groupBy("split").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
+@register(
     "sample_k_per_lang",
     """
 SELECT doc_id, lang FROM (
