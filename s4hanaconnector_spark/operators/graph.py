@@ -93,3 +93,47 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the canonical
+    iterative-numeric workload (importance scoring over a link/citation/
+    interaction graph). ``iterations`` is fixed rather than
+    convergence-tested so the computation is a finite, replayable operation
+    tree: an external oracle can unroll exactly the same N rounds.
+
+    Per round, each node's rank becomes ``(1−d)/n + d·Σ in-neighbors
+    rank/outdeg`` — one join of the rank table to the edge list and one
+    aggregation on the destination, both partitioned by node id. The rank
+    state is |nodes| rows, tiny next to the edges; ``localCheckpoint``
+    after each round cuts the growing lineage (same iterative-DataFrame
+    trap as ``connected_components``). Dangling nodes (no in-edges) settle
+    at the teleport term. The node count is the one driver-side scalar
+    (bounded metadata)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    teleport = F.lit((1.0 - damping)) / F.lit(float(n))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .join(deg, on="src")
+            .select(F.col("dst").alias("id"), (F.col("r") / F.col("__outdeg")).alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(contrib, on="id", how="left").select(
+            "id",
+            (teleport + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("r"),
+        ).localCheckpoint(eager=False)
+    return ranks

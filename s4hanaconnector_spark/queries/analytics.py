@@ -1981,6 +1981,62 @@ def orders_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    ctes = [
+        """ed0 AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+    SELECT nodes.id,
+           (1.0 - 0.85) / nn.n
+           + 0.85 * coalesce(sum(r{i - 1}.r / deg.outdeg), 0.0) AS r
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN edges ON edges.dst = nodes.id
+    LEFT JOIN r{i - 1} ON r{i - 1}.id = edges.src
+    LEFT JOIN deg ON deg.src = edges.src
+    GROUP BY nodes.id, nn.n
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(r, 6) AS rank FROM r{iterations}"
+
+
+@register("graph_pagerank", _pagerank_oracle(5))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative numeric graph algorithm (operators/graph.py pagerank):
+    5 fixed PageRank rounds over the customer-supplier interaction graph
+    (distinct order-lineitem pairs, both directions, node ids prefixed
+    'c'/'s'). Fixed iteration count makes the float operation tree finite
+    and replayable — the oracle unrolls the SAME 5 rounds as chained CTEs,
+    every arithmetic expression mirrored, only the final rank rounded.
+    Each round is one edge join + one aggregation on node id; rank state
+    is |nodes| rows with lineage cut per round (localCheckpoint), the
+    iterative-DataFrame discipline connected_components also uses."""
+    from s4hanaconnector_spark.operators.graph import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("id", F.round("r", 6).alias("rank"))
+
+
 @register(
     "user_retention_daily",
     """

@@ -55,3 +55,29 @@ def test_converges_under_tight_iteration_budget(spark):
         for r in connected_components(_edges(spark, path), max_iter=6).collect()
     }
     assert set(out.values()) == {1}
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one_and_favor_hubs(self, spark):
+        from s4hanaconnector_spark.operators.graph import pagerank
+
+        # star: everything links to 'hub' (and back, so nothing dangles)
+        edges = [("a", "hub"), ("b", "hub"), ("c", "hub"),
+                 ("hub", "a"), ("hub", "b"), ("hub", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        ranks = {r["id"]: r["r"] for r in pagerank(df, iterations=10).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6  # stochastic vector
+        assert all(ranks["hub"] > ranks[x] for x in "abc")
+        a, b, c = ranks["a"], ranks["b"], ranks["c"]
+        assert abs(a - b) < 1e-12 and abs(b - c) < 1e-12  # symmetry
+
+    def test_dangling_node_gets_teleport_only(self, spark):
+        from s4hanaconnector_spark.operators.graph import pagerank
+
+        # 'sink' has no in-edges after one hop chain: x -> sink means sink HAS
+        # an in-edge; make 'lonely' only ever a source
+        df = spark.createDataFrame(
+            [("lonely", "p"), ("p", "q"), ("q", "p")], "src string, dst string"
+        )
+        ranks = {r["id"]: r["r"] for r in pagerank(df, iterations=5, damping=0.85).collect()}
+        assert abs(ranks["lonely"] - 0.15 / 3) < 1e-12  # teleport term only
