@@ -365,3 +365,67 @@ def bm25_search(
         / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_dl))
     )
     return scored.groupBy(id_col).agg(F.round(F.sum(contrib), 6).alias("bm25"))
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information:
+    ``pmi(a,b) = ln( P(ab) / (P(a)·P(b)) )`` over corpus bigrams — the
+    classic phrase-detection signal (high PMI = 'new york', not 'of the').
+
+    Parity discipline: every probability input is an exact integer count
+    (bigram count, unigram counts, corpus totals); the single float
+    expression evaluates per-row on those integers, so there is no
+    cross-partition float accumulation anywhere — the oracle mirrors the
+    identical operation tree and both engines produce the same double
+    before the final 6-digit round. Corpus totals ride along as broadcast
+    1-row aggregates. ``min_count`` drops noise bigrams (standard PMI
+    practice; also bounds the output)."""
+    toksed = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__w"))
+    uni = (
+        toksed.select(F.explode("__w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toksed.filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.struct(
+                        F.get(F.col("__w"), i - 1).alias("a"),
+                        F.get(F.col("__w"), i).alias("b"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    tot_u = uni.agg(F.sum("c").alias("__tu"))
+    # total bigram count must include the min_count-dropped rare bigrams, so
+    # it comes from the token arrays directly (sum of per-doc len-1), not
+    # from summing the filtered bigram table
+    tot_bi = toksed.filter(F.size("__w") >= 2).agg(
+        F.sum(F.size("__w") - 1).alias("__tb")
+    )
+    # unigram table is vocab-sized (can be millions of rows at corpus scale)
+    # — join on the token and let AQE pick broadcast when it actually fits;
+    # only the 1-row totals are forced broadcasts
+    scored = (
+        bi.join(uni.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a"), on="a")
+        .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b"), on="b")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_bi))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("__tb").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("__tu").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("__tu").cast("double")
+    return scored.select(
+        "a", "b", "c_ab",
+        F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+    )

@@ -1069,6 +1069,46 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "collocations_pmi",
+    f"""
+WITH words AS (
+    SELECT doc_id, {_DUCK_TOKS.replace('text', 'lower(text)')} AS w FROM documents
+),
+uni AS (
+    SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM words) GROUP BY t
+),
+bi AS (
+    SELECT a, b, count(*) AS c_ab FROM (
+        SELECT w[i] AS a, w[i + 1] AS b
+        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2)
+    ) GROUP BY a, b HAVING count(*) >= 5
+),
+tu AS (SELECT sum(c) AS tu FROM uni),
+tb AS (SELECT sum(len(w) - 1) AS tb FROM words WHERE len(w) >= 2)
+SELECT bi.a, bi.b, bi.c_ab,
+       round(ln((CAST(bi.c_ab AS DOUBLE) / CAST(tb.tb AS DOUBLE))
+                / ((CAST(ua.c AS DOUBLE) / CAST(tu.tu AS DOUBLE))
+                   * (CAST(ub.c AS DOUBLE) / CAST(tu.tu AS DOUBLE)))), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.t = bi.a
+JOIN uni ub ON ub.t = bi.b
+CROSS JOIN tu CROSS JOIN tb
+""",
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (operators/
+    text.py pmi_collocations): which adjacent word pairs co-occur far more
+    than chance — the phrase-detection pass tokenizer/vocab pipelines run.
+    Every probability input is an exact integer count, the float
+    expression is per-row (no cross-partition accumulation), and the
+    oracle mirrors the identical operation tree before the 6-digit
+    round."""
+    return X.pmi_collocations(
+        t(spark, sf_dir, "documents"), "text", "doc_id", min_count=5
+    )
+
+
+@register(
     "pipeline_pretraining_corpus",
     f"""
 WITH kept AS (
