@@ -1,0 +1,92 @@
+"""Command-line surface — the engine's equivalent of the reference's
+REST/servlet layer (O31, ``rest/SourceTableService.java:39-74``): list what
+the engine can do, run any declared query, inspect its physical plan, and
+import a table mapping. A user of the reference drives it over HTTP; a user
+of this engine drives the same operations from the shell or Python.
+
+Kept dependency-free (argparse + stdlib) and thin: every command resolves
+to the same public API the tests use (`queries.load_all`, `mapping`,
+`session.get_spark`), so nothing here has behavior of its own to drift.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="s4hanaconnector-spark",
+        description="PySpark-native analytics engine: declared-query runner",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-queries", help="list every declared query (name, oracle?, headline?)")
+
+    runp = sub.add_parser("run", help="run a declared query and print JSON lines")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+
+    planp = sub.add_parser("plan", help="print a query's physical plan")
+    planp.add_argument("query")
+    planp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    impp = sub.add_parser(
+        "import-table", help="infer a table mapping from parquet and write the JSON file"
+    )
+    impp.add_argument("table")
+    impp.add_argument("--pk", required=True, help="comma-separated primary-key columns")
+    impp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    impp.add_argument("--out-dir", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out or sys.stdout
+    args = _build_parser().parse_args(argv)
+
+    from s4hanaconnector_spark.queries import load_all
+
+    if args.cmd == "list-queries":
+        for name, q in sorted(load_all().items()):
+            tags = ("oracle" if q.oracle else "rows-only") + (
+                ",headline" if q.headline else ""
+            )
+            print(f"{name}\t{tags}", file=out)
+        return 0
+
+    if args.cmd in ("run", "plan"):
+        reg = load_all()
+        if args.query not in reg:
+            print(f"unknown query: {args.query}", file=out)
+            return 2
+        from s4hanaconnector_spark.session import get_spark
+
+        df = reg[args.query].fn(get_spark(), args.sf_dir)
+        if args.cmd == "plan":
+            print(df._jdf.queryExecution().executedPlan().toString(), file=out)
+            return 0
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str, sort_keys=True), file=out)
+        return 0
+
+    if args.cmd == "import-table":
+        from s4hanaconnector_spark.catalog import load_table
+        from s4hanaconnector_spark.mapping import TableMapping
+        from s4hanaconnector_spark.session import get_spark
+
+        df = load_table(get_spark(), args.sf_dir, args.table)
+        m = TableMapping.infer(df, args.table, args.pk.split(","))
+        path = m.write(args.out_dir)
+        print(path, file=out)
+        return 0
+
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""CLI surface (the reference's REST layer analogue, O31): list, run,
+plan, import-table — driven in-process through main()."""
+
+from __future__ import annotations
+
+import io
+import json
+
+
+def _run(argv):
+    from s4hanaconnector_spark.cli import main
+
+    buf = io.StringIO()
+    rc = main(argv, out=buf)
+    return rc, buf.getvalue()
+
+
+def test_list_queries_names_every_declared_query(spark):
+    from s4hanaconnector_spark.queries import load_all
+
+    rc, out = _run(["list-queries"])
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l]
+    assert len(lines) == len(load_all())
+    assert any("\toracle,headline" in l for l in lines)
+
+
+def test_run_prints_json_rows(spark, sf_dir):
+    rc, out = _run(["run", "cdc_order_limit", "--sf-dir", sf_dir, "--limit", "5"])
+    assert rc == 0
+    rows = [json.loads(l) for l in out.splitlines()]
+    assert len(rows) == 5
+    assert "o_orderkey" in rows[0]
+
+
+def test_run_unknown_query_is_an_error(spark):
+    rc, out = _run(["run", "nope"])
+    assert rc == 2 and "unknown query" in out
+
+
+def test_plan_prints_physical_plan(spark, sf_dir):
+    rc, out = _run(["plan", "cdc_initial_load", "--sf-dir", sf_dir])
+    assert rc == 0 and "FileScan parquet" in out
+
+
+def test_import_table_writes_mapping_json(spark, sf_dir, tmp_path):
+    rc, out = _run(
+        ["import-table", "orders", "--pk", "o_orderkey",
+         "--sf-dir", sf_dir, "--out-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    path = out.strip()
+    m = json.load(open(path))
+    assert m["pkcolumns"] == ["o_orderkey"]
+    assert any(c["alias"] == "o_totalprice" for c in m["columnmappings"])
