@@ -1069,6 +1069,96 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunks",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+words AS (
+    SELECT doc_id, {_DUCK_TOKS.replace('documents', 'docs_aug')} AS w FROM docs_aug
+),
+ch AS (
+    SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id, w
+    FROM words WHERE len(w) > 0
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(w[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ')) AS chunk_md5
+    FROM ch
+)
+SELECT chunk_md5, count(*) AS n_dups,
+       min(doc_id * 1000000 + chunk_id) AS canonical_key
+FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1
+""",
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT dedup: documents chunk into 64-token windows and the
+    chunks themselves dedupe by content hash — the granularity modern
+    pipelines actually dedup at (a boilerplate paragraph repeated across
+    distinct documents never collides at whole-document level). Runs on
+    docs_aug so exact-copy documents guarantee colliding chunks; canonical
+    = min (doc, chunk) encoded as doc_id*1e6+chunk_id (chunk counts are
+    bounded far below 1e6). Chunking is row-local; the only shuffle is the
+    hash aggregation on the chunk digest."""
+    from s4hanaconnector_spark.operators.text import chunk_by_tokens
+
+    chunks = chunk_by_tokens(docs_aug(spark, sf_dir), "text", "doc_id", chunk_size=64)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("canonical_key"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "decontaminate_semantic",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+ev AS (
+    SELECT vec_id AS eval_id, embedding AS qv FROM e_aug
+    WHERE vec_id >= 100000 AND vec_id < 100100
+),
+tr AS (SELECT vec_id AS train_id, embedding AS cv FROM e_aug WHERE vec_id < 100000),
+pairs AS (SELECT eval_id, train_id, qv, cv FROM ev CROSS JOIN tr),
+expl AS (SELECT eval_id, train_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT eval_id, train_id, round({_COS_DOT}, 6) AS cosine
+    FROM expl GROUP BY eval_id, train_id
+)
+SELECT eval_id, train_id, cosine FROM scored WHERE cosine >= 0.98
+""",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram pass (E37): flag training vectors whose cosine to any held-out
+    eval embedding exceeds 0.98 (paraphrases and perturbations that share
+    no n-grams still collide in embedding space). The synthesized
+    perturbed copies (vec_id+100000, cosine ~0.9875 to their source) stand
+    in for the eval set; every flagged train vector must be a true source.
+    Eval side is benchmark-sized and broadcasts; one corpus pass, cosines
+    rounded before the threshold so the frontier cannot flip."""
+    e = emb_aug(spark, sf_dir)
+    ev = e.filter((F.col("vec_id") >= 100000) & (F.col("vec_id") < 100100)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    tr = e.filter(F.col("vec_id") < 100000).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    from s4hanaconnector_spark.operators.similarity import cosine
+
+    paired = F.broadcast(
+        ev.select(F.col("q_id"), F.col("embedding").alias("__qv"))
+    ).crossJoin(tr.select(F.col("c_id"), F.col("embedding").alias("__cv")))
+    scored = paired.select(
+        F.col("q_id").alias("eval_id"),
+        F.col("c_id").alias("train_id"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.98)
+
+
+@register(
     "collocations_pmi",
     f"""
 WITH words AS (
