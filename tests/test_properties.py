@@ -172,3 +172,67 @@ def test_apply_changes_invariants(spark, feed, present):
     got = {r["id"]: r["val"] for r in out}
     assert got == expected
     assert len(out) == len(expected)  # no duplicate PKs materialized
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sampling invariants
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="abc XY1 ", min_size=0, max_size=120), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts, chunk_size=st.integers(min_value=1, max_value=7))
+def test_chunking_partitions_the_token_stream(spark, docs, chunk_size):
+    """For ANY text: chunks reassemble to the exact token stream, every
+    chunk except possibly the last is full, and empty docs vanish."""
+    from s4hanaconnector_spark.operators.text import chunk_by_tokens
+
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    out = chunk_by_tokens(df, "text", "id", chunk_size=chunk_size, keep_text=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, text in enumerate(docs):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # contiguous ids, full chunks except the tail, exact reassembly
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_chunk_tokens"] == chunk_size for c in chunks[:-1])
+        assert 1 <= chunks[-1]["n_chunk_tokens"] <= chunk_size
+        assert " ".join(c["chunk_text"] for c in chunks) == " ".join(toks)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_hash_split_disjoint_exhaustive_stable(spark, ids, seed):
+    """For ANY id set and seed: every row lands in exactly one split, and
+    re-splitting (any partitioning) reproduces the identical assignment."""
+    from s4hanaconnector_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, ["id"], w, seed=seed).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(df.repartition(7), ["id"], w, seed=seed).collect()
+    }
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= {"train", "val", "test"}

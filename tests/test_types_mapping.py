@@ -117,3 +117,35 @@ def test_pk_required():
 
     with pytest.raises(ValueError, match="primary keys"):
         TableMapping.infer(None, "t", [])
+
+
+class TestSchemaEvolution:
+    """Source tables grow columns over time (SAP appends Z-fields); the
+    ingest layer must unify old and new batches without rewriting history."""
+
+    def test_merge_schema_unifies_batches(self, spark, tmp_path):
+        base = str(tmp_path / "evolving")
+        spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(
+            base + "/b0"
+        )
+        spark.createDataFrame(
+            [(2, "y", 42)], "id long, a string, z_new long"
+        ).write.parquet(base + "/b1")
+        df = spark.read.option("mergeSchema", True).parquet(base + "/b0", base + "/b1")
+        assert set(df.columns) == {"id", "a", "z_new"}
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows[1]["z_new"] is None  # old rows: new column is null
+        assert rows[2]["z_new"] == 42
+
+    def test_mapping_reinfer_picks_up_new_column(self, spark, tmp_path):
+        from s4hanaconnector_spark.mapping import TableMapping
+
+        df0 = spark.createDataFrame([(1, "x")], "id long, a string")
+        m0 = TableMapping.infer(df0, "t", ["id"])
+        df1 = spark.createDataFrame([(1, "x", 1.5)], "id long, a string, z double")
+        m1 = TableMapping.infer(df1, "t", ["id"])
+        assert [c.alias for c in m0.columnmappings] == ["id", "a"]
+        assert [c.alias for c in m1.columnmappings] == ["id", "a", "z"]
+        # old mapping still valid against the evolved table (projection subset)
+        proj = df1.select(*[c.as_spark() for c in m0.columnmappings])
+        assert proj.columns == ["id", "a"]
