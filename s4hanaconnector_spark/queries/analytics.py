@@ -2076,3 +2076,36 @@ def user_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active",
         "retained_next_day",
     )
+
+
+@register(
+    "audit_sequence_gaps",
+    """
+WITH ev AS (SELECT DISTINCT user_id, event_id FROM events),
+g AS (
+    SELECT user_id, event_id,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+    FROM ev
+)
+SELECT user_id, event_id AS gap_after, nxt AS next_id, nxt - event_id - 1 AS n_missing
+FROM g WHERE nxt - event_id > 1
+""",
+)
+def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit (the gaps half of gaps-and-islands):
+    for each user, every hole in their observed event-id sequence with its
+    size — the completeness check a CDC/ingest pipeline runs to prove no
+    records were dropped (the reference's transaction-seq numbering exists
+    for exactly this). One window over (user, id); integer arithmetic
+    only."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id").distinct()
+    w = W.partitionBy("user_id").orderBy("event_id")
+    g = ev.withColumn("nxt", F.lead("event_id").over(w))
+    return g.filter(F.col("nxt") - F.col("event_id") > 1).select(
+        "user_id",
+        F.col("event_id").alias("gap_after"),
+        F.col("nxt").alias("next_id"),
+        (F.col("nxt") - F.col("event_id") - 1).alias("n_missing"),
+    )
