@@ -156,3 +156,20 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach single-pass observability metrics to a DataFrame: the named
+    aggregate expressions are computed DURING whatever action consumes the
+    frame (``Observation`` / ``CollectMetrics``), so row counts, null
+    counts and value ranges cost zero extra scans — the monitoring pattern
+    for 100 TB loads, where a separate ``df.count()`` doubles the I/O bill
+    (and the reference's rows-processed accounting,
+    S4HanaProducer.java:551,627, done Spark-natively).
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has run the frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(a) for a, c in metrics.items()]), obs

@@ -20,3 +20,31 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     # deviation); allow 3 sigma
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(3, 0.15 * v), (k, approx[k], v)
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """observed(): quality counters ride the SAME job as the consuming
+    action — no second scan (the plan shows CollectMetrics, and the
+    observation is populated after one action)."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.catalog import load_table
+    from s4hanaconnector_spark.operators.relational import observed
+
+    o = load_table(spark, sf_dir, "orders")
+    df, obs = observed(
+        o,
+        "load_metrics",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_price": F.count(F.lit(1)) - F.count("o_totalprice"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan, plan
+    df.write.format("noop").mode("overwrite").save()  # one action
+    got = obs.get
+    assert got["n_rows"] == o.count()
+    assert got["n_null_price"] == 0
+    assert got["max_price"] > 0
