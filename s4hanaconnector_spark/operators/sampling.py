@@ -112,3 +112,19 @@ def hash_topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, keys: list[str], weight_col: str, max_weight: int, seed: int = 42
+) -> DataFrame:
+    """Importance sampling, deterministically: keep each row with
+    probability ``min(1, weight/max_weight)`` where the accept decision is
+    the row's md5 bucket — upweighting long/high-quality documents in a
+    training mixture without randomness. The comparison is cross-multiplied
+    (``bucket·max_weight < SPACE·min(weight, max_weight)``) so it stays in
+    exact BIGINT arithmetic: no division, no float threshold, bit-identical
+    on any engine or rerun. Row-local filter; weights must be integers
+    (scale fractional weights up by a constant first)."""
+    b = hash_bucket(keys, seed)
+    w = F.least(F.col(weight_col), F.lit(max_weight)).cast("bigint")
+    return df.filter(b * F.lit(max_weight) < F.lit(BUCKET_SPACE) * w)

@@ -1459,3 +1459,65 @@ def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toksed.select(
         "doc_id", F.md5(F.concat_ws(" ", cleaned)).alias("clean_md5")
     )
+
+
+@register(
+    "sample_importance_weighted",
+    f"""
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT * 500
+      < {16**8} * least(n_chars, 500)
+""",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (operators/sampling.py
+    weighted_hash_sample): each document kept with probability
+    min(1, n_chars/500) — longer documents are likelier to survive, the
+    length-proportional upweighting used when balancing training
+    mixtures. Accept decision is exact BIGINT cross-multiplication of the
+    md5 bucket (no division, no randomness) — identical selection on any
+    engine, partitioning or rerun."""
+    from s4hanaconnector_spark.operators.sampling import weighted_hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(d, ["doc_id"], "n_chars", max_weight=500, seed=42)
+
+
+@register(
+    "mixture_token_budget",
+    f"""
+WITH words AS (
+    SELECT doc_id, source, len({_DUCK_TOKS}) AS n_toks FROM documents
+),
+per AS (SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens FROM words GROUP BY source),
+ns AS (SELECT count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(1000000.0 / ns.n_sources / n_tokens, 6) AS epochs_for_equal_share
+FROM per, ns
+""",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: per-source document and token counts
+    plus the repetition factor (epochs) each source needs to contribute an
+    equal share of a 1M-token budget — the arithmetic behind mixture
+    weights in pre-training data recipes. Token counts are exact integers;
+    the single division chain mirrors the oracle's operation order before
+    the 6-digit round. One aggregation on source; the 1-row source count
+    broadcasts."""
+    from s4hanaconnector_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("n_tokens"))
+    )
+    ns = per.agg(F.count(F.lit(1)).alias("__n_sources"))
+    return per.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.lit(1000000.0) / F.col("__n_sources") / F.col("n_tokens"), 6
+        ).alias("epochs_for_equal_share"),
+    )
