@@ -291,6 +291,61 @@ def cdc_change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_poll_roundtrip",
+    _DELTA_ORACLE_BODY.replace(
+        f"_transactionid > {LO} AND _transactionid <= {HI}",
+        "_transactionid > 0 AND _transactionid <= "
+        "(SELECT max(transactionid) FROM pklog)",
+    )
+    + """
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+       l._transactionid,
+       l.o_orderkey,
+       o.o_custkey,
+       upper(o.o_orderstatus) AS o_orderstatus_u,
+       o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_d,
+       o.o_orderpriority
+FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+""",
+)
+def cdc_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 end-to-end under the oracle gate: one FULL poll() invocation —
+    watermark computation (no in-flight writers inside the staleness
+    window, so hi collapses to the log maximum), impacted-table fan-out,
+    the broadcast-strategy delta, and the exactly-once RangeCommitSink —
+    then the committed parquet range is read BACK and hash-compared
+    against the reference delta SQL over (0, max]. What is verified is
+    the whole lifecycle the reference's S4HanaProducer.poll runs per
+    interval, including the sink round-trip, not just the delta plan."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    txns = synthetic_transactions(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_poll_rt_")
+    sink = RangeCommitSink(out_dir)
+    # now is far past the fixture's order dates, so no transaction falls in
+    # the 7200 s staleness window -> the min-active sentinel collapses and
+    # hi = max(log txid), covering the entire synthetic feed
+    hi = poll(
+        spark,
+        [ORDERS_MAPPING],
+        lambda name: orders,
+        pklog,
+        txns,
+        from_txid=0,
+        sink=sink,
+        now_ts="2026-01-01 00:00:00",
+    )
+    assert sink.committed(ORDERS_MAPPING.name, hi)
+    return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name, f"txid_hi={hi}"))
+
+
+@register(
     "cdc_stream_to_sink",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()}
