@@ -119,3 +119,23 @@ def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
     return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> list[str]:
+    """Register every fixture table as a temp view so arbitrary Spark SQL
+    runs against the catalog — the raw-SQL escape hatch a migrating user
+    needs for queries this engine has no declared operator for. Views are
+    lazy: nothing is read until a query touches a table, and Catalyst
+    still pushes filters/pruning into each scan."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Run raw ANSI SQL against the registered fixture tables (registering
+    them first if needed)."""
+    existing = {t.name for t in spark.catalog.listTables()}
+    if not set(TABLES) <= existing:
+        register_tables(spark, sf_dir)
+    return spark.sql(query)

@@ -53,3 +53,20 @@ def test_import_table_writes_mapping_json(spark, sf_dir, tmp_path):
     m = json.load(open(path))
     assert m["pkcolumns"] == ["o_orderkey"]
     assert any(c["alias"] == "o_totalprice" for c in m["columnmappings"])
+
+
+def test_raw_sql_surface(spark, sf_dir):
+    """register_tables + sql(): a migrating user's arbitrary SQL runs
+    unmodified against the engine catalog, with pushdown intact."""
+    from s4hanaconnector_spark.catalog import sql
+
+    df = sql(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > 100000 GROUP BY o_orderpriority",
+        sf_dir,
+    )
+    rows = {r["o_orderpriority"]: r["n"] for r in df.collect()}
+    assert len(rows) == 5 and all(n > 0 for n in rows.values())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
