@@ -2109,3 +2109,35 @@ def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nxt").alias("next_id"),
         (F.col("nxt") - F.col("event_id") - 1).alias("n_missing"),
     )
+
+
+@register(
+    "audit_sequence_islands",
+    """
+WITH ev AS (SELECT DISTINCT user_id, event_id FROM events),
+g AS (
+    SELECT user_id, event_id,
+           event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+    FROM ev
+)
+SELECT user_id, min(event_id) AS island_start, max(event_id) AS island_end,
+       count(*) AS island_len
+FROM g GROUP BY user_id, grp
+""",
+)
+def audit_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The islands half of gaps-and-islands: maximal runs of consecutive
+    event ids per user, via the canonical ``id − row_number()`` grouping
+    trick (consecutive ids share the difference) — one window + one
+    aggregation, both on the user key, integer arithmetic only. Pairs with
+    `audit_sequence_gaps` to fully characterize sequence continuity."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id").distinct()
+    w = W.partitionBy("user_id").orderBy("event_id")
+    g = ev.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    return g.groupBy("user_id", "grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("grp")
