@@ -345,6 +345,91 @@ def cdc_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name, f"txid_hi={hi}"))
 
 
+_POLL2_NOW1 = "1998-08-05 00:00:00"  # inside the fixture's date range -> gated
+_POLL2_STALENESS = 604800
+
+
+@register(
+    "cdc_two_poll_advance",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+{TRANSACTIONS_ORACLE_CTE.strip()},
+hi1 AS (
+    SELECT least(a.max_log, b.min_active) AS v FROM
+        (SELECT coalesce(max(transactionid), 9223372036854775807) AS max_log FROM pklog) a,
+        (SELECT coalesce(min(update_transaction_id) - 1, 9223372036854775807) AS min_active
+         FROM transactions WHERE update_transaction_id > 0
+           AND start_time > TIMESTAMP '{_POLL2_NOW1}' - INTERVAL {_POLL2_STALENESS} SECONDS) b
+),
+hi2 AS (SELECT max(transactionid) AS v FROM pklog),
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+l1 AS (
+    SELECT max(_transactionid) AS _transactionid, o_orderkey FROM cv, hi1
+    WHERE _transactionid > 0 AND _transactionid <= hi1.v GROUP BY o_orderkey
+),
+l2 AS (
+    SELECT max(_transactionid) AS _transactionid, o_orderkey FROM cv, hi1, hi2
+    WHERE _transactionid > hi1.v AND _transactionid <= hi2.v GROUP BY o_orderkey
+),
+d1 AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l1._transactionid, l1.o_orderkey, o.o_custkey,
+           upper(o.o_orderstatus) AS o_orderstatus_u, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_d, o.o_orderpriority,
+           (SELECT v FROM hi1) AS txid_hi
+    FROM l1 LEFT OUTER JOIN orders o ON l1.o_orderkey = o.o_orderkey
+),
+d2 AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l2._transactionid, l2.o_orderkey, o.o_custkey,
+           upper(o.o_orderstatus) AS o_orderstatus_u, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_d, o.o_orderpriority,
+           (SELECT v FROM hi2) AS txid_hi
+    FROM l2 LEFT OUTER JOIN orders o ON l2.o_orderkey = o.o_orderkey
+)
+SELECT * FROM d1 UNION ALL SELECT * FROM d2
+""",
+)
+def cdc_two_poll_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO advancing polls under the oracle gate — the reference's actual
+    steady state, where each interval resumes from the previous hi
+    watermark. Poll 1 runs with 'now' inside the fixture's date range, so
+    open write transactions GATE the watermark below the log maximum
+    (commit-order safety, O20); poll 2 runs later with no in-flight
+    writers and drains the rest. Each poll's delta lands in its own
+    txid_hi partition of the RangeCommitSink; the readback's partition
+    column proves which range emitted each row, and the oracle recomputes
+    hi1 with the identical watermark SQL so the split is scale-agnostic.
+    A PK changed in both ranges legitimately appears twice with different
+    transaction ids — exactly what a downstream consumer would see."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    txns = synthetic_transactions(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_two_poll_")
+    sink = RangeCommitSink(out_dir)
+    hi1 = poll(
+        spark, [ORDERS_MAPPING], lambda name: orders, pklog, txns,
+        from_txid=0, sink=sink, now_ts=_POLL2_NOW1,
+        staleness_seconds=_POLL2_STALENESS,
+    )
+    hi2 = poll(
+        spark, [ORDERS_MAPPING], lambda name: orders, pklog, txns,
+        from_txid=hi1, sink=sink, now_ts="2026-01-01 00:00:00",
+    )
+    assert hi2 > hi1 >= 0
+    return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name)).withColumn(
+        "txid_hi", F.col("txid_hi").cast("bigint")
+    )
+
+
 @register(
     "cdc_stream_to_sink",
     f"""
