@@ -494,6 +494,95 @@ def cdc_stream_to_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_restart_resume",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+f1 AS (
+    SELECT CAST(pk1 AS BIGINT) AS k, transactionid AS t FROM pklog WHERE change_type = 'U'
+),
+f2 AS (
+    SELECT CAST(pk1 AS BIGINT) AS k, transactionid AS t FROM pklog WHERE change_type IN ('I', 'D')
+),
+b0 AS (SELECT k, max(t) AS t FROM f1 GROUP BY k),
+b1 AS (
+    SELECT f2a.k, f2a.t FROM (SELECT k, max(t) AS t FROM f2 GROUP BY k) f2a
+    LEFT JOIN b0 ON b0.k = f2a.k
+    WHERE f2a.t > coalesce(b0.t, -1)
+)
+SELECT 0 AS batch_seq, k AS o_orderkey, t AS transactionid FROM b0
+UNION ALL
+SELECT 1, k, t FROM b1
+""",
+)
+def cdc_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOP/RESTART continuity of the streaming pipeline, oracle-checked:
+    the update-leg half of the change log streams through the stateful
+    frontier and the query STOPS; the insert/delete half arrives and a NEW
+    query starts on the SAME checkpoint. The second run must (a) not
+    reprocess the first half (file-source offsets resume) and (b) keep the
+    per-key frontier ACROSS the restart (state store resumes): a key whose
+    second-half transaction does not beat its first-half maximum stays
+    silent. Both properties are visible in the per-batch sink output the
+    oracle recomputes — a lost checkpoint would re-emit every first-half
+    key in batch 1 and fail the hash."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from s4hanaconnector_spark.streaming.core import (
+        changes_stream,
+        stateful_latest_by_key,
+        transactional_sink,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    d = tempfile.mkdtemp(prefix="cdc_restart_")
+    log_dir = os.path.join(d, "log")
+    out_dir = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(log_dir)
+
+    def _drop(df, fname):
+        tmp = os.path.join(d, "w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(log_dir, fname))
+
+    def _run_once():
+        stream = changes_stream(spark, log_dir).select(
+            F.col("pk1").cast("bigint").alias("o_orderkey"), F.col("transactionid")
+        )
+        frontier = stateful_latest_by_key(stream, ["o_orderkey"], "transactionid")
+        q = (
+            frontier.writeStream.outputMode("update")
+            .foreachBatch(transactional_sink(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("restart-resume stream did not drain")
+
+    _drop(pklog.filter(F.col("change_type") == "U"), "poll1.parquet")
+    _run_once()  # batch 0: update legs
+    _drop(pklog.filter(F.col("change_type").isin("I", "D")), "poll2.parquet")
+    _run_once()  # batch 1: NEW query, same checkpoint -> resumes state
+
+    reads = []
+    for seq in (0, 1):
+        reads.append(
+            spark.read.parquet(os.path.join(out_dir, f"batch_id={seq}"))
+            .select(
+                F.lit(seq).alias("batch_seq"), "o_orderkey", "transactionid"
+            )
+        )
+    return reads[0].unionByName(reads[1])
+
+
+@register(
     "cdc_snapshot_as_of",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()},
