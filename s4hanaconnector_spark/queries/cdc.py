@@ -345,6 +345,90 @@ def cdc_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name, f"txid_hi={hi}"))
 
 
+LINEITEM_MAPPING = TableMapping(
+    name="lineitem",
+    mastertable="lineitem",
+    columnmappings=[
+        ColumnMapping("l_orderkey", '"L1"."l_orderkey"', "BIGINT"),
+        ColumnMapping("l_linenumber", '"L1"."l_linenumber"', "INTEGER"),
+        ColumnMapping("l_quantity", '"L1"."l_quantity"', "DOUBLE"),
+        ColumnMapping("l_extendedprice", '"L1"."l_extendedprice"', "DOUBLE"),
+        ColumnMapping("l_returnflag", '"L1"."l_returnflag"', "NVARCHAR(1)"),
+    ],
+    pkcolumns=["l_orderkey", "l_linenumber"],
+)
+
+_LI_PKLOG_CTE = """
+pklog AS (
+    SELECT 'S4' AS schema_name, 'U' AS change_type,
+           CAST(l_orderkey AS VARCHAR) AS pk1, CAST(l_linenumber AS VARCHAR) AS pk2,
+           CAST(1000 + (l_orderkey + 3 * l_linenumber) % 50 AS BIGINT) AS transactionid,
+           'lineitem' AS table_name
+    FROM lineitem WHERE (l_orderkey + l_linenumber) % 9 = 0
+    UNION ALL
+    SELECT 'S4', 'D', CAST(l_orderkey + 5000000 AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+           CAST(1000 + (l_orderkey + l_linenumber) % 40 AS BIGINT), 'lineitem'
+    FROM lineitem WHERE (l_orderkey + l_linenumber) % 17 = 0
+)
+"""
+
+
+def _li_pklog(li: DataFrame) -> DataFrame:
+    """Compound-key synthetic change feed for lineitem (pk1=l_orderkey,
+    pk2=l_linenumber) — arithmetic mirrored in ``_LI_PKLOG_CTE``."""
+    k, n = F.col("l_orderkey"), F.col("l_linenumber")
+    null_pks = [F.lit(None).cast("string").alias(f"pk{i}") for i in range(3, 7)]
+
+    def leg(pred, ctype, pk1_expr, txid_expr):
+        return li.filter(pred).select(
+            F.lit("S4").alias("schema_name"),
+            F.lit(ctype).alias("change_type"),
+            pk1_expr.cast("string").alias("pk1"),
+            n.cast("string").alias("pk2"),
+            *null_pks,
+            txid_expr.cast("bigint").alias("transactionid"),
+            F.lit("lineitem").alias("table_name"),
+        )
+
+    return leg((k + n) % 9 == 0, "U", k, F.lit(1000) + (k + 3 * n) % 50).unionByName(
+        leg((k + n) % 17 == 0, "D", k + 5000000, F.lit(1000) + (k + n) % 40)
+    )
+
+
+@register(
+    "cdc_delta_multipk",
+    f"""
+WITH {_LI_PKLOG_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS l_orderkey, CAST(pk2 AS INTEGER) AS l_linenumber,
+           transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'lineitem' AND schema_name = 'S4'
+),
+l AS (
+    SELECT max(_transactionid) AS _transactionid, l_orderkey, l_linenumber
+    FROM cv WHERE _transactionid > {LO} AND _transactionid <= {HI}
+    GROUP BY l_orderkey, l_linenumber
+)
+SELECT CASE WHEN s.l_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+       l._transactionid, l.l_orderkey, l.l_linenumber,
+       s.l_quantity, s.l_extendedprice, s.l_returnflag
+FROM l LEFT OUTER JOIN lineitem s
+  ON l.l_orderkey = s.l_orderkey AND l.l_linenumber = s.l_linenumber
+""",
+)
+def cdc_delta_multipk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference delta on a COMPOUND primary key (pk1+pk2 — the
+    reference stringifies up to six key columns into PKLOG,
+    S4HanaProducer.java:99-111; lineitem's natural key is
+    (l_orderkey, l_linenumber)): per-key latest dedup groups on both
+    columns, the outer join is a two-column conjunctive equi-join, and
+    deleted rows carry BOTH key parts from the log side. The change view
+    casts each stringified key back to its native source type so the join
+    compares bigint/int, never strings."""
+    li = t(spark, sf_dir, "lineitem")
+    return C.cdc_delta(li, _li_pklog(li), LINEITEM_MAPPING, LO, HI, strategy="broadcast")
+
+
 _POLL2_NOW1 = "1998-08-05 00:00:00"  # inside the fixture's date range -> gated
 _POLL2_STALENESS = 604800
 
