@@ -179,3 +179,53 @@ def range_join_binned(
             unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
         return matched.unionByName(unmatched)
     raise ValueError(f"how must be inner|left, got {how!r}")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of (pandas ``merge_asof direction='nearest'``):
+    each left row takes the right row with the SMALLEST absolute time gap,
+    looking both backward and forward; exact ties prefer the backward
+    match (the pandas convention). Composed as the backward pass feeding
+    the forward pass — ``asof_join`` preserves all left columns, so
+    chaining costs one extra shuffle on the same keys, not a new
+    algorithm — then a row-local gap comparison picks the winner. Adds
+    ``__asof_direction`` ('backward'/'forward', NULL when no match)."""
+    b_payload = {rc: f"__b_{alias}" for rc, alias in payload.items()}
+    b_payload[right_ts] = "__b_ts"
+    f_payload = {rc: f"__f_{alias}" for rc, alias in payload.items()}
+    f_payload[right_ts] = "__f_ts"
+
+    both = asof_join(
+        asof_join(left, right, on, left_ts, right_ts, b_payload,
+                  direction="backward", right_tiebreak=right_tiebreak),
+        right, on, left_ts, right_ts, f_payload,
+        direction="forward", right_tiebreak=right_tiebreak,
+    )
+    # timestamp subtraction yields comparable intervals (NTZ won't cast to
+    # long in Spark 4; numeric ts columns subtract to numerics — both compare)
+    gb = F.col(left_ts) - F.col("__b_ts")
+    gf = F.col("__f_ts") - F.col(left_ts)
+    take_backward = F.col("__b_ts").isNotNull() & (
+        F.col("__f_ts").isNull() | (gb <= gf)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    for rc, alias in payload.items():
+        out_cols.append(
+            F.when(take_backward, F.col(f"__b_{alias}"))
+            .otherwise(F.col(f"__f_{alias}"))
+            .alias(alias)
+        )
+    out_cols.append(
+        F.when(take_backward, F.lit("backward"))
+        .when(F.col("__f_ts").isNotNull(), F.lit("forward"))
+        .alias("__asof_direction")
+    )
+    return both.select(*out_cols)

@@ -1550,6 +1550,59 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_click",
+    """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+b AS (
+    SELECT e.event_id, e.user_id, e.ts, r.event_id AS b_id, r.ts AS b_ts
+    FROM e ASOF LEFT JOIN c r ON e.user_id = r.user_id AND e.ts >= r.ts
+),
+f AS (
+    SELECT e.event_id, r.event_id AS f_id, r.ts AS f_ts
+    FROM e ASOF LEFT JOIN c r ON e.user_id = r.user_id AND e.ts <= r.ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN b.b_ts IS NOT NULL
+                 AND (f.f_ts IS NULL OR b.ts - b.b_ts <= f.f_ts - b.ts)
+            THEN b.b_id ELSE f.f_id END AS nearest_click_id,
+       CASE WHEN b.b_ts IS NOT NULL
+                 AND (f.f_ts IS NULL OR b.ts - b.b_ts <= f.f_ts - b.ts)
+            THEN 'backward'
+            WHEN f.f_ts IS NOT NULL THEN 'forward' END AS __asof_direction
+FROM b JOIN f ON f.event_id = b.event_id
+""",
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    every error event pairs with whichever click is closest in time, past
+    or future, ties preferring the past match. Composed from the backward
+    and forward union+running-window passes (operators/asof.py
+    asof_join_nearest — the second pass chains on the first's output, so
+    the cost is two shuffles on the same key, no new algorithm) and
+    oracle-checked against DuckDB's two native ASOF joins combined with
+    the identical gap comparison."""
+    from s4hanaconnector_spark.operators.asof import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_nearest(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "nearest_click_id"},
+        right_tiebreak="event_id",
+    )
+
+
+@register(
     "asof_forward_next_click",
     """
 SELECT l.event_id, l.user_id, l.ts,

@@ -98,3 +98,32 @@ def test_range_join_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_nearest_picks_closest_and_prefers_backward(spark):
+    from s4hanaconnector_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 999.0)], "lid long, ts double"
+    )
+    right = spark.createDataFrame(
+        # lid 1: backward at 90 (gap 10) vs forward at 105 (gap 5) -> forward
+        # lid 2: backward at 195 (gap 5) vs forward at 205 (gap 5) -> TIE -> backward
+        # lid 3: no right rows nearby except far ones -> still nearest of what exists
+        [(90.0, 10), (105.0, 11), (195.0, 20), (205.0, 21)],
+        "ts double, rid long",
+    )
+    # single group: add a constant key
+    from pyspark.sql import functions as F
+
+    l = left.withColumn("k", F.lit(1))
+    r = right.withColumn("k", F.lit(1))
+    out = {
+        row["lid"]: row
+        for row in asof_join_nearest(
+            l, r, ["k"], "ts", "ts", {"rid": "nearest_rid"}, right_tiebreak="rid"
+        ).collect()
+    }
+    assert out[1]["nearest_rid"] == 11 and out[1]["__asof_direction"] == "forward"
+    assert out[2]["nearest_rid"] == 20 and out[2]["__asof_direction"] == "backward"
+    assert out[3]["nearest_rid"] == 21 and out[3]["__asof_direction"] == "backward"
