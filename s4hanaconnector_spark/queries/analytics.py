@@ -2194,3 +2194,58 @@ def audit_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     ).drop("grp")
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON s3.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+SELECT 1 AS step, 'signup' AS name, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'view_after_signup', count(*) FROM s2
+UNION ALL SELECT 3, 'click_after_view', count(*) FROM s3
+UNION ALL SELECT 4, 'purchase_after_click', count(*) FROM s4
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users progressing
+    signup -> first view AFTER signup -> first click AFTER that view ->
+    first purchase AFTER that click. Each step is an aggregation-then-join
+    on the user key — the step tables shrink monotonically, every join's
+    right side is per-user one row, and the strictly-after predicate
+    (exact µs timestamps) makes step ordering unambiguous. The standard
+    product-analytics sequence query, expressed without any window
+    function."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.withColumnRenamed("t", "__prev_t"), on="user_id")
+            .filter(F.col("ts") > F.col("__prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    s2 = first_after(s1, "view")
+    s3 = first_after(s2, "click")
+    s4 = first_after(s3, "purchase")
+    steps = [(1, "signup", s1), (2, "view_after_signup", s2),
+             (3, "click_after_view", s3), (4, "purchase_after_click", s4)]
+    out = None
+    for step, name, df in steps:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
