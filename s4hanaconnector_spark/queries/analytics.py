@@ -2249,3 +2249,69 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "window_rolling_1h",
+    """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregation: each event's trailing-1-hour count
+    and value sum per user — the VALUE-based frame class (rows included by
+    timestamp distance, peers share frames), distinct from every ROWS
+    frame elsewhere in the suite. Ordering is epoch SECONDS as exact
+    integers on both engines (identical frame membership by construction);
+    the windowed sum runs in DECIMAL. One shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("v_1h"),
+    )
+
+
+@register(
+    "window_percent_of_total",
+    """
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(sum(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): per-priority revenue share via a
+    window aggregate OVER the aggregate — grand total computed once over
+    the |groups|-row aggregation output (5 rows through the unpartitioned
+    window, never the base table). Sums stay exact DECIMAL until the final
+    mirrored double division, rounded at 6."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"))
+    )
+    total = F.sum("__rev").over(W.partitionBy())
+    return rev.select(
+        "o_orderpriority",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(F.col("__rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
