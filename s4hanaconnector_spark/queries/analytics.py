@@ -2315,3 +2315,61 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__rev").cast("double").alias("revenue"),
         F.round(F.col("__rev").cast("double") / total.cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "user_event_type_profile",
+    """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS profile,
+       len(list_distinct(list(event_type))) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation made deterministic: each user's DISTINCT
+    event types as a SORTED comma-joined profile string — collect_set's
+    arbitrary order is canonicalized by array_sort before serialization,
+    the discipline any set-aggregate needs to survive cross-engine (or
+    even rerun-to-rerun) comparison."""
+    ev = t(spark, sf_dir, "events")
+    prof = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", prof).alias("profile"),
+        F.size(prof).alias("n_types"),
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+WITH a AS (SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k, event_id
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k, event_id
+      FROM events WHERE event_type = 'view')
+SELECT a.k, count(*) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose join
+    key is NULL match EACH OTHER instead of vanishing — the semantic
+    corner that silently drops data when an ingest maps unknowns to NULL
+    and a plain equi-join runs. A fifth of users' keys are nulled on both
+    sides; the null group must join as one bucket (and is also the skew
+    warning this operator carries: all NULLs land in one task). Spark
+    still plans a hash join on the null-safe comparator."""
+    ev = t(spark, sf_dir, "events")
+    key = F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    a = ev.filter(F.col("event_type") == "click").select(
+        key.alias("k"), "event_id"
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        key.alias("ka"), F.col("event_id").alias("eb")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["ka"]), "inner")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
