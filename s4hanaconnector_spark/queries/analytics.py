@@ -2373,3 +2373,101 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "cumulative_adopters",
+    """
+WITH firsts AS (
+    SELECT event_type, user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d
+    FROM events GROUP BY event_type, user_id
+),
+daily AS (SELECT event_type, d, count(*) AS new_users FROM firsts GROUP BY event_type, d)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, new_users,
+       sum(new_users) OVER (PARTITION BY event_type ORDER BY d) AS cum_adopters
+FROM daily
+""",
+)
+def cumulative_adopters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT counting (growth curves) without any running
+    set-membership state: a user's first day per event type reduces the
+    stream to at most |users|x|types| rows, daily new-adopter counts
+    aggregate those, and a running sum yields the cumulative adopter
+    curve — the standard rewrite that turns an intractable distinct-
+    over-window into two hash aggs + one tiny window."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("d")
+    )
+    daily = firsts.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_adopters"),
+    )
+
+
+@register(
+    "agg_latest_event_by_user",
+    """
+SELECT user_id,
+       arg_max(event_id, ts) AS latest_event_id,
+       arg_max(event_type, ts) AS latest_event_type,
+       max(ts) AS latest_ts
+FROM events GROUP BY user_id
+""",
+)
+def agg_latest_event_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max surface: each user's most recent event id and type
+    in ONE aggregation pass — no window, no self-join back to the max
+    timestamp (the two rewrites this aggregate replaces). Deterministic
+    because (user_id, ts) is unique in the fixture; with ties, pass a
+    composite ordering struct instead."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.max_by("event_type", "ts").alias("latest_event_type"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+@register(
+    "union_mixed_schemas",
+    """
+SELECT src, count(*) AS n, count(val) AS n_with_val, count(extra) AS n_with_extra
+FROM (
+    SELECT 'orders' AS src, o_orderkey AS id, o_totalprice AS val, CAST(NULL AS VARCHAR) AS extra FROM orders
+    UNION ALL BY NAME
+    SELECT 'events' AS src, event_id AS id, CAST(NULL AS DOUBLE) AS val, event_type AS extra FROM events
+)
+GROUP BY src
+""",
+)
+def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union (`unionByName(allowMissingColumns=True)`):
+    two sources with only partially overlapping columns stack into one
+    frame, absent columns null-filled per side — the multi-source ingest
+    shape (and the trap `UNION ALL` by position silently corrupts). The
+    per-source null counts prove which side carried which column."""
+    o = t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("val"),
+    )
+    e = t(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("extra"),
+    )
+    u = o.unionByName(e, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("val").alias("n_with_val"),
+        F.count("extra").alias("n_with_extra"),
+    )
