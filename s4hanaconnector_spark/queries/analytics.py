@@ -2471,3 +2471,90 @@ def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("val").alias("n_with_val"),
         F.count("extra").alias("n_with_extra"),
     )
+
+
+@register(
+    "timeseries_densify",
+    """
+WITH days AS (
+    SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY))::DATE AS d
+),
+pr AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+actual AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, o_orderpriority AS p, count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+    GROUP BY 1, 2
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day, pr.p AS priority, coalesce(actual.n, 0) AS n_orders
+FROM days CROSS JOIN pr
+LEFT JOIN actual ON actual.d = days.d AND actual.p = pr.p
+""",
+)
+def timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated day spine (sequence + explode —
+    no driver loop, no table needed) crossed with the priority dimension,
+    left-joined to actual daily counts so silent days appear as explicit
+    zeros — what every downstream time-series consumer (charting, anomaly
+    detection, forecasting) requires. The spine is |days|x|priorities|
+    rows; only the actuals aggregation touches the fact table."""
+    o = t(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    pr = o.select(F.col("o_orderpriority").alias("p")).distinct()
+    actual = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        days.crossJoin(pr)
+        .join(actual, on=["d", "p"], how="left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("p").alias("priority"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "map_priority_rank",
+    """
+SELECT CASE o_orderpriority
+            WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+            WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS rank,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def map_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: a literal map {priority -> numeric rank} built with
+    create_map and probed per row with element_at — the dictionary-decode
+    shape (code tables small enough to inline as map literals instead of
+    broadcast joins). The oracle replays the lookup as a CASE; the Spark
+    side exercises the actual MapType codepath."""
+    ranks = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    pairs = []
+    for k, v in ranks.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(F.element_at(m, F.col("o_orderpriority")).alias("rank"))
+        .groupBy("rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
