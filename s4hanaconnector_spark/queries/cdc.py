@@ -170,6 +170,22 @@ def cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_current_watermark",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()}
+SELECT coalesce(max(transactionid), 0) AS maxtxid FROM pklog
+""",
+)
+def cdc_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21: the RESTART watermark — highest committed transaction id with
+    no staleness window (S4HanaProducer.java:370-389), the resume point a
+    fresh producer reads before its first poll; empty log collapses to 0
+    via the coalesce."""
+    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
+    return C.current_watermark(pklog)
+
+
 _RET_NOW = "1998-01-01 00:00:00"
 
 
