@@ -33,6 +33,18 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """The fixtures' ``events.parquet`` carries TIMESTAMP(NANOS), which Spark
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on. The conf is
+    runtime-settable, so the loader sets it itself rather than assuming the
+    session was built by ``session.get_spark`` — any plain
+    ``SparkSession.builder`` session (e.g. an external driver's) works."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set read-only / unsupported build — the read will tell
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (E1). Parquet scan => columnar read, predicate
     pushdown and column pruning are handled by Catalyst downstream.
@@ -43,6 +55,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # -> TIMESTAMP_NTZ to match every other fixture timestamp (parquet
@@ -107,6 +121,8 @@ def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        _ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
     # the streaming file source wants a directory (or glob) to watch, not a

@@ -69,7 +69,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
         if args.cmd == "plan":
             print(df._jdf.queryExecution().executedPlan().toString(), file=out)
             return 0
-        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        # display path: bound the collect — an unbounded collect on a 100 TB
+        # result is a driver OOM. --limit 0 ("all") still goes through
+        # toLocalIterator so rows stream to the driver one partition at a time.
+        if args.limit:
+            rows = df.limit(args.limit).collect()
+        else:
+            rows = df.toLocalIterator()
         for r in rows:
             print(json.dumps(r.asDict(), default=str, sort_keys=True), file=out)
         return 0

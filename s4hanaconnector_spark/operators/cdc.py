@@ -277,10 +277,23 @@ def watermark(
     )
 
 
-def current_watermark(pklog: DataFrame) -> DataFrame:
-    """Restart point (O21, S4HanaProducer.java:370-389): ``coalesce(max
-    (transactionid), 0)`` with no staleness window."""
-    return pklog.agg(F.coalesce(F.max("transactionid"), F.lit(0)).alias("maxtxid"))
+def current_watermark(pklog: DataFrame, transactions: DataFrame) -> DataFrame:
+    """Restart point (O21, S4HanaProducer.java:371-389):
+    ``least( coalesce(max(log txid), 0),
+             coalesce(min(in-flight txid) - 1, MAX_LONG) )``
+    with NO staleness window — unlike the poll watermark (O20), the restart
+    point must never pass an uncommitted lower txid, or those changes are
+    permanently skipped once they commit. Empty log collapses to 0 via the
+    coalesce; no in-flight writers collapses the clamp to MAX_LONG (a no-op
+    under ``least``). Same 1×1 cross-join-of-partial-aggregates physical
+    shape as ``watermark`` — cost independent of log size."""
+    max_log = pklog.agg(F.coalesce(F.max("transactionid"), F.lit(0)).alias("max_log"))
+    inflight = transactions.filter(F.col("update_transaction_id") > 0).agg(
+        F.coalesce(F.min("update_transaction_id") - 1, F.lit(MAX_LONG)).alias("min_active")
+    )
+    return max_log.crossJoin(inflight).select(
+        F.least(F.col("max_log"), F.col("min_active")).alias("maxtxid")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -323,8 +336,22 @@ def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) ->
     anti-join out every changed PK, then union the surviving upserts —
     both legs shuffle on PK once; with a PK-bucketed snapshot the anti join
     is co-located and shuffle-free on the big side."""
-    w_latest = latest_by_key(batch, pk_names, "_transactionid")
-    latest = batch.join(w_latest, on=pk_names + ["_transactionid"], how="semi")
+    from pyspark.sql import Window
+
+    # Per-PK latest with DETERMINISTIC tie-breaking: a batch may carry two
+    # rows for one PK at the same txid (insert+update in one transaction,
+    # different transaction_seq) — max-txid-only would keep both and upsert
+    # the row twice. Order by every change-ordering column the batch has.
+    order_cols = [F.col("_transactionid").desc()]
+    for tie in ("transaction_seq", "_change_type"):
+        if tie in batch.columns:
+            order_cols.append(F.col(tie).desc())
+    w = Window.partitionBy(*pk_names).orderBy(*order_cols)
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     data_cols = [c for c in snapshot.columns]
     upserts = latest.filter(F.col("_change_type") != "D").select(data_cols)
     untouched = snapshot.join(latest.select(pk_names), on=pk_names, how="left_anti")

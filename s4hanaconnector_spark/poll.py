@@ -53,10 +53,13 @@ class RangeCommitSink:
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):
             return 0
-        n = df.count()
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, name, f"txid_hi={hi}")
-        )
+        path = os.path.join(self.out_dir, name, f"txid_hi={hi}")
+        # Write FIRST, then count what actually landed: counting the input
+        # df would execute the whole delta query twice (once for the count,
+        # once for the write) and record a number taken before durability.
+        # The read-back count is parquet row-group metadata — no data scan.
+        df.write.mode("overwrite").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
         tmp = self._marker(name, hi) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"name": name, "txid_hi": hi, "rows": n}, f)

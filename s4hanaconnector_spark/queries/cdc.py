@@ -173,17 +173,23 @@ def cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_current_watermark",
     f"""
-WITH {PKLOG_ORACLE_CTE.strip()}
-SELECT coalesce(max(transactionid), 0) AS maxtxid FROM pklog
+WITH {PKLOG_ORACLE_CTE.strip()},
+{TRANSACTIONS_ORACLE_CTE.strip().rstrip()},
+a AS (SELECT coalesce(max(transactionid), 0) AS max_log FROM pklog),
+b AS (SELECT coalesce(min(update_transaction_id) - 1, 9223372036854775807) AS min_active
+      FROM transactions WHERE update_transaction_id > 0)
+SELECT least(max_log, min_active) AS maxtxid FROM a, b
 """,
 )
 def cdc_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O21: the RESTART watermark — highest committed transaction id with
-    no staleness window (S4HanaProducer.java:370-389), the resume point a
-    fresh producer reads before its first poll; empty log collapses to 0
-    via the coalesce."""
-    pklog = synthetic_pklog(t(spark, sf_dir, "orders"))
-    return C.current_watermark(pklog)
+    """O21: the RESTART watermark — ``least(max committed in log, oldest
+    in-flight writer - 1)`` with NO staleness window
+    (S4HanaProducer.java:371-389), the resume point a fresh producer reads
+    before its first poll. The in-flight clamp matters: a restart point
+    captured past an uncommitted lower txid would permanently skip those
+    changes once they commit. Empty log collapses to 0 via the coalesce."""
+    orders = t(spark, sf_dir, "orders")
+    return C.current_watermark(synthetic_pklog(orders), synthetic_transactions(orders))
 
 
 _RET_NOW = "1998-01-01 00:00:00"

@@ -12,9 +12,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    from s4hanaconnector_spark.session import get_spark
+    # Deliberately a VANILLA session, NOT session.get_spark: the driver's
+    # correctness harness injects its own plain SparkSession, so every query
+    # must be self-sufficient (no reliance on get_spark confs like
+    # nanosAsLong / UTC / Arrow). Only infra knobs here — parallelism,
+    # memory, UI — none of which may affect results.
+    from pyspark.sql import SparkSession
 
-    s = get_spark("s4spark-tests", shuffle_partitions=8)
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("s4spark-tests-vanilla")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("WARN")
     yield s
 
 

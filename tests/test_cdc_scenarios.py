@@ -141,6 +141,24 @@ def test_watermark_excludes_inflight_and_sentinel_collapse(spark):
     assert wm3["maxtxid"] == 42
 
 
+def test_current_watermark_clamps_to_inflight(spark):
+    """O21 restart point (S4HanaProducer.java:371-389): clamped below the
+    oldest in-flight writer — NO staleness window, unlike O20 — so a
+    restart can never skip changes that commit later. Empty inputs
+    collapse to 0."""
+    log = _pklog(spark, [("U", 1, 50, 1), ("U", 2, 60, 1)])
+    txns = spark.createDataFrame(
+        # ancient start_time: O20 would ignore it, O21 must NOT
+        [Row(update_transaction_id=55, start_time=TS - datetime.timedelta(days=30))],
+        "update_transaction_id bigint, start_time timestamp",
+    )
+    assert C.current_watermark(log, txns).collect()[0]["maxtxid"] == 54
+
+    empty_txns = spark.createDataFrame([], "update_transaction_id bigint, start_time timestamp")
+    assert C.current_watermark(log, empty_txns).collect()[0]["maxtxid"] == 60
+    assert C.current_watermark(_pklog(spark, []), empty_txns).collect()[0]["maxtxid"] == 0
+
+
 def test_apply_changes_roundtrip(spark):
     """E13: applying a delta batch onto a snapshot yields the new snapshot:
     upserts replace, deletes remove, untouched rows survive."""
@@ -155,6 +173,39 @@ def test_apply_changes_roundtrip(spark):
     )
     out = {r["id"]: r["val"] for r in C.apply_changes(snap, batch, ["id"]).collect()}
     assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_changes_same_txid_tie_keeps_one_row(spark):
+    """One PK, two rows at the SAME txid (insert + update in one
+    transaction, distinct transaction_seq): exactly one upsert must
+    survive — the higher seq — never a duplicated row."""
+    snap = _source(spark, [(1, "a")])
+    batch = spark.createDataFrame(
+        [
+            Row(_change_type="I", _transactionid=10, transaction_seq=1, id=2, val="first"),
+            Row(_change_type="U", _transactionid=10, transaction_seq=2, id=2, val="second"),
+        ],
+        "_change_type string, _transactionid bigint, transaction_seq int, id bigint, val string",
+    )
+    rows = C.apply_changes(snap, batch, ["id"]).collect()
+    assert len(rows) == 2  # no duplicate for id=2
+    out = {r["id"]: r["val"] for r in rows}
+    assert out == {1: "a", 2: "second"}
+
+
+def test_apply_changes_delete_wins_tie_at_same_txid(spark):
+    """Update then delete at one txid: the later seq (the delete) wins and
+    the row is gone."""
+    snap = _source(spark, [(1, "a"), (2, "b")])
+    batch = spark.createDataFrame(
+        [
+            Row(_change_type="U", _transactionid=10, transaction_seq=1, id=2, val="b2"),
+            Row(_change_type="D", _transactionid=10, transaction_seq=2, id=2, val=None),
+        ],
+        "_change_type string, _transactionid bigint, transaction_seq int, id bigint, val string",
+    )
+    out = {r["id"]: r["val"] for r in C.apply_changes(snap, batch, ["id"]).collect()}
+    assert out == {1: "a"}
 
 
 def test_retention_keeps_recent_only(spark):
