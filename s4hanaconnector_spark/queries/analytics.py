@@ -232,15 +232,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", None)
+@register(
+    "agg_approx_count_distinct",
+    """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers_exact,
+       CAST(abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) * 10
+            <= count(DISTINCT o_custkey) AS INT) AS approx_within_10pct
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E23: HyperLogLog++ distinct — the 100 TB path where exact distinct
-    would shuffle every key. Sketches differ between engines, so the driver
-    records a rows-only check; tests assert <2% error vs exact."""
-    return grouped_agg(
+    would shuffle every key. Sketch VALUES differ between engines, so the
+    gate checks the HLL's contract instead: each engine's own approximation
+    must land within 10% of the exact distinct (default rsd is 5% on both,
+    so the flag is deterministically 1 — and flips the hash red if either
+    sketch ever drifts out of bound). Threshold stated division-free."""
+    base = grouped_agg(
         t(spark, sf_dir, "orders"),
         ["o_orderpriority"],
-        [("approx_count_distinct", "o_custkey", "n_customers_approx")],
+        [
+            ("count_distinct", "o_custkey", "n_customers_exact"),
+            ("approx_count_distinct", "o_custkey", "n_customers_approx"),
+        ],
+    )
+    return base.select(
+        "o_orderpriority",
+        "n_customers_exact",
+        (
+            F.abs(F.col("n_customers_approx") - F.col("n_customers_exact")) * 10
+            <= F.col("n_customers_exact")
+        )
+        .cast("int")
+        .alias("approx_within_10pct"),
     )
 
 
