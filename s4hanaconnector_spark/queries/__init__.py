@@ -29,6 +29,7 @@ def load_all() -> dict[str, QueryDef]:
     full registry."""
     from s4hanaconnector_spark.queries import analytics as _an  # noqa: F401
     from s4hanaconnector_spark.queries import llmops as _llm  # noqa: F401
+    from s4hanaconnector_spark.queries import partsupp as _ps  # noqa: F401
     from s4hanaconnector_spark.queries import surface as _surf  # noqa: F401
 
     return REGISTRY

@@ -7,11 +7,15 @@ Q16 agg-over-anti-join, Q20 nested-semi-join) would otherwise be untestable.
 This module derives the table *in-query*, identically in Spark and in the
 DuckDB oracle, so those shapes stay under the hash gate:
 
-  * ``ps_suppkey`` uses the public TPC-H dbgen assignment (spec 4.2.3 /
-    dbgen build.c): part ``p`` gets 4 suppliers,
-    ``((p + i*(S/4 + (p-1)/S)) mod S) + 1`` for ``i`` in 0..3 with ``S`` the
-    supplier count — all integer arithmetic, guaranteeing 4 distinct
-    suppliers per part at any scale factor.
+  * ``ps_suppkey``: part ``p`` gets 4 suppliers ``(4p + i) mod S`` for
+    ``i`` in 0..3 with ``S`` the supplier count — four consecutive integers
+    mod S are pairwise distinct whenever ``S >= 4``, so (unlike the TPC-H
+    dbgen assignment, which only guarantees distinctness at dbgen's own
+    supplier cardinalities) every part has exactly 4 distinct suppliers at
+    ANY scale factor.  Keys are 0-based to match the driver fixtures
+    (``s_suppkey`` ranges 0..S-1, as does ``l_suppkey``), so the derived
+    pairs overlap lineitem's (l_partkey, l_suppkey) pairs — required for
+    the Q20 nested-semi-join shape to be non-degenerate.
   * ``ps_availqty`` and ``ps_supplycost_cents`` are hash-free integer
     mixes of the two keys — exact BIGINT in both engines, so every
     downstream aggregate/threshold compares bit-for-bit.  Monetary values
@@ -49,18 +53,7 @@ def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ps_suppkey",
-            (
-                (
-                    F.col("ps_partkey")
-                    + F.col("__i")
-                    * (
-                        F.expr("__s div 4")
-                        + F.expr("(ps_partkey - 1) div __s")
-                    )
-                )
-                % F.col("__s")
-            )
-            + F.lit(1),
+            (F.col("ps_partkey") * 4 + F.col("__i")) % F.col("__s"),
         )
     )
     return base.select(
@@ -83,7 +76,7 @@ PARTSUPP_CTE = """partsupp AS (
          (ps_partkey * 31 + ps_suppkey * 37) % 100000 + 100 AS ps_supplycost_cents
   FROM (
     SELECT p.p_partkey AS ps_partkey,
-           ((p.p_partkey + i.i * (sc.s // 4 + (p.p_partkey - 1) // sc.s)) % sc.s) + 1 AS ps_suppkey
+           (p.p_partkey * 4 + i.i) % sc.s AS ps_suppkey
     FROM part p
     CROSS JOIN (SELECT count(*) AS s FROM supplier) sc
     CROSS JOIN (SELECT unnest(range(4)) AS i) i
