@@ -34,6 +34,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -297,6 +299,42 @@ def current_watermark(pklog: DataFrame, transactions: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O22 — open-transaction latency alerting
+# ---------------------------------------------------------------------------
+TXN_LATENCY_INFO_SECONDS = 5.0  # diff > 5000 ms (S4HanaProducer.java:353)
+TXN_LATENCY_WARN_SECONDS = 60.0  # diff > 60000 ms (S4HanaProducer.java:346)
+
+
+def classify_txn_latency(oldest_start_time, now) -> str:
+    """O22 (S4HanaProducer.java:339-358): classify the age of the oldest
+    in-flight write transaction — the thing that is holding the safe
+    watermark back and therefore adding replication latency.
+
+      * age > 60 s  -> ``'warn'``  (reference: operation log at WARN)
+      * age > 5 s   -> ``'info'``  (reference: plain operation-log line)
+      * otherwise   -> ``'ok'``    (an open txn for milliseconds is normal)
+
+    ``oldest_start_time`` is the second column of :func:`watermark`'s one-row
+    result (None when no writer is in flight — always ``'ok'``). ``now`` is
+    the same clock the watermark was computed against (datetime or ISO
+    string), so the classification is deterministic and testable instead of
+    reading the wall clock.
+    """
+    if oldest_start_time is None:
+        return "ok"
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now)
+    if isinstance(oldest_start_time, str):
+        oldest_start_time = datetime.datetime.fromisoformat(oldest_start_time)
+    age = (now - oldest_start_time).total_seconds()
+    if age > TXN_LATENCY_WARN_SECONDS:
+        return "warn"
+    if age > TXN_LATENCY_INFO_SECONDS:
+        return "info"
+    return "ok"
+
+
+# ---------------------------------------------------------------------------
 # O23 / E11 — impacted-table discovery
 # ---------------------------------------------------------------------------
 def impacted_tables(pklog: DataFrame, schema_name: str, lo: int, hi: int) -> DataFrame:
@@ -341,11 +379,22 @@ def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) ->
     # Per-PK latest with DETERMINISTIC tie-breaking: a batch may carry two
     # rows for one PK at the same txid (insert+update in one transaction,
     # different transaction_seq) — max-txid-only would keep both and upsert
-    # the row twice. Order by every change-ordering column the batch has.
+    # the row twice. transaction_seq is the true within-transaction order;
+    # when it is absent the last writer is unknowable, so the fallback is an
+    # explicit change-type rank (D=3 > U=2 > I=1 > A=0): a same-txid tie
+    # always resolves delete-wins, not by the letter of the change type
+    # (raw lexicographic DESC would let 'U' beat 'D' but 'D' beat 'A').
     order_cols = [F.col("_transactionid").desc()]
-    for tie in ("transaction_seq", "_change_type"):
-        if tie in batch.columns:
-            order_cols.append(F.col(tie).desc())
+    if "transaction_seq" in batch.columns:
+        order_cols.append(F.col("transaction_seq").desc())
+    if "_change_type" in batch.columns:
+        order_cols.append(
+            F.when(F.col("_change_type") == "D", 3)
+            .when(F.col("_change_type") == "U", 2)
+            .when(F.col("_change_type") == "I", 1)
+            .otherwise(0)
+            .desc()
+        )
     w = Window.partitionBy(*pk_names).orderBy(*order_cols)
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))

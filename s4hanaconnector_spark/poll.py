@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from s4hanaconnector_spark.mapping import TableMapping
 from s4hanaconnector_spark.operators.cdc import (
     cdc_delta,
+    classify_txn_latency,
     impacted_tables,
     watermark,
 )
@@ -38,7 +39,16 @@ from s4hanaconnector_spark.operators.cdc import (
 
 class RangeCommitSink:
     """Exactly-once-per-(schema, txid-range) parquet sink: data first, then
-    an atomically-renamed commit marker. Replays of committed ranges skip."""
+    an atomically-renamed commit marker. Replays of committed ranges skip.
+
+    Crash-window design: the only non-atomic window is AFTER the data write
+    and BEFORE the marker rename. A crash there leaves orphan parquet under
+    ``txid_hi=N`` with no marker — the range still reads as uncommitted, so
+    the replaying poll recomputes the delta and ``mode="overwrite"`` replaces
+    the orphan files wholesale before the marker lands. Readers that gate on
+    markers never see the orphans at all — the same guarantee the reference
+    gets from an aborted Kafka transaction (S4HanaProducer.java:458), proven
+    by ``test_crash_between_data_write_and_marker_is_replay_safe``."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
@@ -57,7 +67,9 @@ class RangeCommitSink:
         # Write FIRST, then count what actually landed: counting the input
         # df would execute the whole delta query twice (once for the count,
         # once for the write) and record a number taken before durability.
-        # The read-back count is parquet row-group metadata — no data scan.
+        # The read-back count is a cheap footer-only job (file listing +
+        # row-group metadata, no column data decoded) — not free, but never
+        # re-runs the delta query.
         df.write.mode("overwrite").parquet(path)
         n = df.sparkSession.read.parquet(path).count()
         tmp = self._marker(name, hi) + ".tmp"
@@ -78,10 +90,17 @@ def poll(
     now_ts: str,
     schema_name: str = "S4",
     staleness_seconds: int = 7200,
+    on_alert: Callable[[str, object], None] | None = None,
 ) -> int:
     """One poll: emit every impacted mapping's delta over (from_txid, hi]
     and return hi (the next resume point). ``from_txid`` unchanged means
-    nothing was safe to read."""
+    nothing was safe to read.
+
+    ``on_alert`` is the O22 hook (S4HanaProducer.java:339-358): called as
+    ``on_alert(level, oldest_start_time)`` when the oldest in-flight write
+    transaction has been open longer than the info (5 s) / warn (60 s)
+    thresholds — the engine-side equivalent of the reference's
+    ``addOperationLogLine`` notifications."""
     wm = watermark(
         pklog,
         transactions,
@@ -90,6 +109,9 @@ def poll(
         staleness_seconds=staleness_seconds,
     ).collect()[0]
     hi = wm["maxtxid"]
+    level = classify_txn_latency(wm["oldest_start_time"], now_ts)
+    if level != "ok" and on_alert is not None:
+        on_alert(level, wm["oldest_start_time"])
     if hi <= from_txid:
         return from_txid
 

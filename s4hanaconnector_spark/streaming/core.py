@@ -241,6 +241,52 @@ def stateful_latest_by_key(
     )
 
 
+# ---------------------------------------------------------------------------
+# O22 (streaming path) — open-transaction latency alerting
+# ---------------------------------------------------------------------------
+
+
+def make_txn_latency_listener(
+    oldest_start_time_fn: Callable[[], object],
+    now_fn: Callable[[], object],
+    on_alert: Callable[[str, object], None],
+):
+    """O22 on the always-on path: a ``StreamingQueryListener`` that, after
+    every micro-batch progress event, re-reads the open-transaction frontier
+    and classifies its age with the reference's 5 s / 60 s thresholds
+    (S4HanaProducer.java:339-358). Register with
+    ``spark.streams.addListener(...)``.
+
+    ``oldest_start_time_fn`` supplies the current oldest in-flight
+    ``start_time`` (None when no writer is open) — a cheap 1-row aggregate
+    against the transaction monitor, evaluated on the listener thread, never
+    inside the micro-batch. ``now_fn`` supplies the matching clock so tests
+    can pin both sides. Alerts fire as ``on_alert(level, oldest_start_time)``
+    for 'info'/'warn' only, mirroring the reference's operation-log lines.
+    """
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    from s4hanaconnector_spark.operators.cdc import classify_txn_latency
+
+    class TxnLatencyListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            oldest = oldest_start_time_fn()
+            level = classify_txn_latency(oldest, now_fn())
+            if level != "ok":
+                on_alert(level, oldest)
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+    return TxnLatencyListener()
+
+
 _SINK_SEQ = itertools.count()
 
 

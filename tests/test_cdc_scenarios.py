@@ -208,6 +208,25 @@ def test_apply_changes_delete_wins_tie_at_same_txid(spark):
     assert out == {1: "a"}
 
 
+def test_apply_changes_seqless_tie_is_delete_wins(spark):
+    """Same txid, NO transaction_seq: the survivor comes from the explicit
+    change-type rank (D > U > I > A), not lexicographic order — so a
+    delete beats an update AND an upsert consistently."""
+    schema = "_change_type string, _transactionid bigint, id bigint, val string"
+    snap = _source(spark, [(1, "a"), (2, "b")])
+    # U vs D at txid 10 on id=1; A vs D at txid 10 on id=2
+    batch = spark.createDataFrame(
+        [
+            Row(_change_type="U", _transactionid=10, id=1, val="u1"),
+            Row(_change_type="D", _transactionid=10, id=1, val=None),
+            Row(_change_type="D", _transactionid=10, id=2, val=None),
+            Row(_change_type="A", _transactionid=10, id=2, val="a2"),
+        ],
+        schema,
+    )
+    assert C.apply_changes(snap, batch, ["id"]).count() == 0  # both deleted
+
+
 def test_retention_keeps_recent_only(spark):
     log = _pklog(spark, [("U", 1, 10, 1)])
     kept = C.retention_filter(log, TS + datetime.timedelta(days=6), days=7)

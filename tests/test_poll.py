@@ -105,6 +105,82 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert {p: os.path.getmtime(p) for p in glob.glob(data_dir + "/*")} == mtimes
 
 
+def test_crash_between_data_write_and_marker_is_replay_safe(spark, tmp_path):
+    """Crash-window proof for RangeCommitSink: a crash AFTER ``df.write`` but
+    BEFORE the marker rename leaves orphan parquet under ``txid_hi=N`` with
+    no commit marker. On replay the range must read as uncommitted, the
+    orphan data must be overwritten (mode="overwrite"), and the final state
+    is exactly-once rows plus a marker whose count matches what landed —
+    the engine-side analogue of the reference's Kafka transaction abort
+    (S4HanaProducer.java:458: an uncommitted txn's messages vanish)."""
+    import json
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a"), (2, "b")])
+    log = _pklog(spark, [("U", 1, 10), ("U", 2, 10)])
+
+    # Simulate the crash: partial/garbage data landed for the range, marker
+    # never written.
+    orphan_dir = str(tmp_path / "out" / "t" / "txid_hi=10")
+    _src(spark, [(999, "orphan")]).write.parquet(orphan_dir)
+    assert not sink.committed("t", 10)
+
+    hi = poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert hi == 10
+    assert sink.committed("t", 10)
+    out = spark.read.parquet(orphan_dir)
+    assert {r["id"] for r in out.collect()} == {1, 2}  # orphan gone, no dupes
+    marker = json.load(open(str(tmp_path / "out" / "_commits" / "t.10.json")))
+    assert marker["rows"] == out.count()
+
+
+class TestTxnLatencyAlerting:
+    """O22 (S4HanaProducer.java:339-358): open-transaction age classification
+    with the reference's info>5 s / warn>60 s thresholds."""
+
+    def test_boundaries(self):
+        from s4hanaconnector_spark.operators.cdc import classify_txn_latency
+
+        now = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def at(age_s):
+            return now - datetime.timedelta(seconds=age_s)
+
+        assert classify_txn_latency(None, now) == "ok"
+        assert classify_txn_latency(at(4.9), now) == "ok"
+        assert classify_txn_latency(at(5.1), now) == "info"
+        assert classify_txn_latency(at(59.9), now) == "info"
+        assert classify_txn_latency(at(60.1), now) == "warn"
+        # ISO-string clock (the poll() call shape)
+        assert classify_txn_latency(at(61), "2026-01-01 12:00:00") == "warn"
+
+    def test_poll_emits_alert_for_old_inflight_txn(self, spark, tmp_path):
+        """A writer open since 30 min before NOW -> 'warn' surfaces through
+        the poll loop's on_alert hook, and the watermark still gates at the
+        writer's txid - 1."""
+        sink = RangeCommitSink(str(tmp_path / "out"))
+        src = _src(spark, [(1, "a"), (2, "b")])
+        log = _pklog(spark, [("U", 1, 10), ("U", 2, 12)])
+        alerts = []
+        hi = poll(
+            spark, [MAPPING], lambda n: src, log, _txns(spark, [12]), 0, sink,
+            NOW, on_alert=lambda level, since: alerts.append((level, since)),
+        )
+        assert hi == 11
+        assert alerts == [("warn", TS)]  # TS is 30 min before NOW
+
+    def test_poll_quiet_when_no_writer_in_flight(self, spark, tmp_path):
+        sink = RangeCommitSink(str(tmp_path / "out"))
+        src = _src(spark, [(1, "a")])
+        log = _pklog(spark, [("U", 1, 10)])
+        alerts = []
+        poll(
+            spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink,
+            NOW, on_alert=lambda level, since: alerts.append(level),
+        )
+        assert alerts == []
+
+
 def test_impacted_fanout_skips_unchanged_mappings(spark, tmp_path):
     """Only mappings whose mastertable changed in the range are executed
     (tabledirectory fan-out, S4HanaProducer.java:400-420)."""

@@ -322,3 +322,31 @@ def test_changes_stream_through_stateful_frontier(spark, tmp_path):
             (r["pk1"], r["transactionid"]) for r in spark.read.parquet(p).collect()
         }
     assert got_later == {("2", 130), ("3", 110)}  # stale pk1 suppressed
+
+
+def test_txn_latency_listener_alerts_per_batch(spark, tmp_path):
+    """O22 streaming path: a StreamingQueryListener re-evaluates the
+    open-transaction frontier after each micro-batch and classifies it with
+    the reference's 5 s / 60 s thresholds (S4HanaProducer.java:339-358)."""
+    import time
+
+    from s4hanaconnector_spark.streaming.core import make_txn_latency_listener
+
+    now = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    oldest = now - datetime.timedelta(seconds=90)  # open for 90 s -> warn
+    alerts = []
+    listener = make_txn_latency_listener(
+        lambda: oldest, lambda: now, lambda lvl, since: alerts.append((lvl, since))
+    )
+    spark.streams.addListener(listener)
+    try:
+        rows = [_event_row(1, now)]
+        out = _event_stream(spark, tmp_path, rows).groupBy("user_id").count()
+        _run_to_memory(spark, out, "txn_latency_probe", mode="complete")
+        # listener events are delivered asynchronously on a separate thread
+        deadline = time.time() + 30
+        while not alerts and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert alerts and alerts[0] == ("warn", oldest)
