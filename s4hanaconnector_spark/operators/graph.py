@@ -137,3 +137,52 @@ def pagerank(
             (teleport + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("r"),
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-iteration synchronous min-label propagation over an undirected
+    edge list — community seeding on the dedup ladder's similarity graph.
+
+    Where :func:`connected_components` runs to FIXPOINT (with pointer
+    jumping, for exact transitive closure), this is the bounded-round
+    variant: after N rounds every node carries the smallest label within N
+    hops, the standard label-propagation seeding for near-dup community
+    detection where the effective diameter is known-small. The fixed round
+    count makes the operation tree finite and replayable, so an external
+    oracle can unroll exactly the same N rounds (the same contract as
+    ``pagerank``); min-label updates are order-free, hence deterministic.
+
+    Per round: one join of the label table to the symmetrized edges + one
+    min-aggregate on node id — a single shuffle on the id, state |nodes|
+    rows, lineage cut per round with ``localCheckpoint`` (the iterative-
+    DataFrame discipline shared by the other graph loops). At 100 TB the
+    edge list is the LSH/fingerprint candidate output, already pruned
+    upstream; labels never leave the cluster.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if nodes is not None:
+        node_df = nodes.select(F.col(id_col).alias("id")).distinct()
+    else:
+        node_df = sym.select(F.col("a").alias("id")).distinct()
+    labels = node_df.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(iterations):
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            sym["a"].alias("id"), "label"
+        )
+        labels = (
+            nbr.unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -734,6 +734,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_propagation_oracle(iterations: int = 4) -> str:
+    ctes = [
+        DOCS_AUG_CTE.strip(),
+        _SHINGLES_CTE.strip(),
+        _JACCARD_EDGE_CTES.strip(),
+        "l0 AS (SELECT doc_id AS id, doc_id AS label FROM docs_aug)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+    SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
+    FROM l{i - 1} l
+    LEFT JOIN edges e ON e.a = l.id
+    LEFT JOIN l{i - 1} nl ON nl.id = e.b
+    GROUP BY l.id, l.label
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, label AS community FROM l{iterations}"
+    )
+
+
+@register("graph_label_propagation", _label_propagation_oracle(4))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19g: bounded-round min-label propagation (operators/graph.py
+    label_propagation) over the SAME similarity edges dedup_clusters feeds
+    to connected components (fingerprint edges UNION exact-Jaccard >= 0.5).
+    4 synchronous rounds — each doc ends with the smallest doc_id within 4
+    hops, the community seeding used when full transitive closure is more
+    than the pipeline needs. The oracle unrolls the identical 4 rounds as
+    chained CTEs (least of own label and min neighbor label per round);
+    min-label updates are order-free, so the fixed-round result is exactly
+    reproducible on both engines."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.graph import label_propagation
+    from s4hanaconnector_spark.operators.text import fingerprint
+
+    d = docs_aug(spark, sf_dir)
+    fpt = d.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    fpe = fpt.select(
+        F.col("doc_id").alias("src"),
+        F.min("doc_id").over(W.partitionBy("f")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    jpe = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, df_cap=128).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = label_propagation(
+        fpe.unionAll(jpe), iterations=4, nodes=d.select("doc_id"), id_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("community")
+    )
+
+
 @register(
     "sample_documents",
     f"""
