@@ -2,12 +2,19 @@
 opaque ``binary`` payloads plus a typed metadata struct; decode / feature
 extraction runs as Arrow-batched pandas functions over ``mapInPandas``.
 
-The media libraries (PIL/librosa/av) are NOT in this container, so the
-decode step is STUBBED: ``decode_stub=True`` computes deterministic fake
-features (byte length, md5 prefix) through the exact same mapInPandas
-plumbing — schema, partitioning, UDF signature and Arrow batch shape are
-real and tested; swapping in a real decoder changes only the body of
-``_featurize_batch``.
+Two decode paths share every piece of Spark plumbing (schema, partitioning,
+UDF signature, Arrow batch shape):
+
+  * ``decode_stub=True`` (default, the oracle gate): deterministic
+    digest-derived outputs an external SQL oracle can replay byte-for-byte.
+  * ``decode_stub=False`` (the REAL pixel path): payloads are decoded as a
+    synthetic RGB8 raster (``encode_rgb_grid``/``decode_rgb_grid`` — an
+    8-byte width/height header + raw H*W*3 bytes; headerless payloads wrap
+    deterministically into a square grid) and every operator runs genuine
+    numpy pixel work: nearest-neighbor resize by integer index maps,
+    horizontal-band frame extraction, channel-statistics embeddings. The
+    codec stands in for PIL/av (absent from this container) — swapping in a
+    real media library changes only encode/decode, not one line of Spark.
 
 Scale notes: payload columns should be read with
 ``spark.sql.parquet.columnarReaderBatchSize`` lowered if payloads are MBs
@@ -18,11 +25,54 @@ file-split parallelism of the scan — no shuffle at all.
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Synthetic RGB8 raster codec — the container-friendly stand-in for PIL/av
+# ---------------------------------------------------------------------------
+_RGB_MAGIC = b"RG8\x00"
+_HEADER = struct.Struct(">4sII")  # magic, width, height
+
+
+def encode_rgb_grid(arr: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as magic + width + height + raw
+    row-major RGB bytes."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"expected (H, W, 3), got {arr.shape}")
+    return _HEADER.pack(_RGB_MAGIC, w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_rgb_grid(payload: bytes) -> np.ndarray:
+    """Decode bytes to an (H, W, 3) uint8 raster. Payloads carrying a valid
+    header round-trip exactly; arbitrary bytes (e.g. UTF-8 text fixtures)
+    wrap deterministically into the smallest square grid that holds them,
+    zero-padded — so the real pixel path is total over any input."""
+    raw = bytes(payload)
+    if len(raw) >= _HEADER.size:
+        magic, w, h = _HEADER.unpack_from(raw)
+        if magic == _RGB_MAGIC and len(raw) == _HEADER.size + w * h * 3:
+            return np.frombuffer(raw, np.uint8, count=w * h * 3, offset=_HEADER.size).reshape(h, w, 3)
+    side = max(1, math.isqrt(max(len(raw) - 1, 0) // 3) + 1)
+    buf = np.zeros(side * side * 3, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    return buf.reshape(side, side, 3)
+
+
+def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps — the real algorithm,
+    vectorized (two gathers, no Python pixel loop)."""
+    h, w, _ = img.shape
+    ys = np.minimum((np.arange(height) * h // height), h - 1)
+    xs = np.minimum((np.arange(width) * w // width), w - 1)
+    return img[ys][:, xs]
 
 MEDIA_KINDS = {"image", "audio", "video", "text"}
 
@@ -48,9 +98,8 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str, kind: str = "text"
 
 
 def _featurize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction. STUB: real decode would go here
-    (PIL.Image.open / librosa.load on payload bytes); the deterministic
-    stand-in hashes the payload so outputs are verifiable."""
+    """Arrow-batched feature extraction over the RAW payload bytes —
+    deterministic digests the oracle can replay."""
     for pdf in batches:
         out = pd.DataFrame(
             {
@@ -64,16 +113,30 @@ def _featurize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def _featurize_batch_decoded(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real pixel path: decode every payload to an RGB raster and report
+    DECODED properties (pixel-buffer size, digest of the decoded pixels) —
+    the same schema, so downstream consumers don't care which path ran."""
+    for pdf in batches:
+        imgs = [decode_rgb_grid(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": [m["kind"] for m in pdf["media_meta"]],
+                "n_bytes": [img.nbytes for img in imgs],
+                "md5_prefix": [hashlib.md5(img.tobytes()).hexdigest()[:8] for img in imgs],
+                "feature_ok": True,
+            }
+        )
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Run feature extraction over the payload column via mapInPandas.
-    ``decode_stub=False`` is the hook for real decoders; it raises until a
-    media library is available."""
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/av — not present in this "
-            "container; use decode_stub=True (same plumbing, fake features)"
-        )
-    return df.mapInPandas(_featurize_batch, schema=FEATURE_SCHEMA)
+    ``decode_stub=False`` runs the real pixel path (decode to an RGB raster,
+    feature the decoded buffer); the default digests the raw payload so the
+    SQL oracle can replay it."""
+    fn = _featurize_batch if decode_stub else _featurize_batch_decoded
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -83,16 +146,16 @@ RESIZED_SCHEMA = (
 
 
 def image_resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
-    """Resize plumbing: payload -> decoded image -> resize -> re-encoded
-    payload with updated (width, height) metadata. STUB: the 'resized'
-    payload is a deterministic digest-derived byte string (real body:
-    PIL.Image.open(payload).resize((w, h)).tobytes()); schema, metadata
-    update and one-row-in/one-row-out batch shape are the real contract.
-    Pure projection — no shuffle, parallelism = input splits."""
-    if not decode_stub:
-        raise NotImplementedError("real image resize requires PIL")
+    """Resize: payload -> decoded image -> resize -> re-encoded payload with
+    updated (width, height) metadata; one row in / one row out, pure
+    projection — no shuffle, parallelism = input splits.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``decode_stub=False`` is the REAL path: decode to an (H, W, 3) raster,
+    nearest-neighbor resize via vectorized integer index maps, re-encode
+    with the codec header. The default keeps the digest-derived payload the
+    SQL oracle replays (md5 of payload + 'WxH')."""
+
+    def fn_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fake = [
                 hashlib.md5(bytes(p) + f"{width}x{height}".encode()).digest()
@@ -109,7 +172,24 @@ def image_resize(df: DataFrame, width: int, height: int, decode_stub: bool = Tru
                 }
             )
 
-    return df.mapInPandas(fn, schema=RESIZED_SCHEMA)
+    def fn_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                encode_rgb_grid(_nn_resize(decode_rgb_grid(p), width, height))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "media_meta": [
+                        {"kind": "image", "n_bytes": len(b), "width": width, "height": height}
+                        for b in resized
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fn_stub if decode_stub else fn_real, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_no int, ts_ms bigint, frame_payload binary"
@@ -123,15 +203,16 @@ def frame_sample(
 ) -> DataFrame:
     """Video/audio frame sampling: ONE payload row fans out to N frame rows
     — the mapInPandas contract where output row count differs from input
-    (the batch-shape detail real decoders need). STUB: frame count derives
-    deterministically from payload size (~1 frame/KB, capped), each frame
-    payload is a digest of (payload, ascii frame_no) — an ASCII suffix so an
-    external oracle can replay the hash over text; real body: av/ffmpeg
-    keyframe extraction at ``every_ms`` intervals."""
-    if not decode_stub:
-        raise NotImplementedError("real frame sampling requires av/ffmpeg")
+    (the batch-shape detail real decoders need).
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Stub path (default, oracle-replayable): frame count derives from
+    payload size (~1 frame/KB, capped), each frame payload is a digest of
+    (payload, ascii frame_no). Real path (``decode_stub=False``): decode
+    the raster and emit horizontal bands as frames — frame i is rows
+    [i*H/n, (i+1)*H/n) re-encoded with the codec, the synthetic analogue of
+    av/ffmpeg keyframe extraction at ``every_ms`` intervals."""
+
+    def fn_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -146,7 +227,22 @@ def frame_sample(
                     )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(fn, schema=FRAME_SCHEMA)
+    def fn_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_rgb_grid(payload)
+                h = img.shape[0]
+                n_frames = min(h, max_frames)
+                for i in range(n_frames):
+                    lo, hi = i * h // n_frames, (i + 1) * h // n_frames
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame_payload"].append(encode_rgb_grid(img[lo:hi]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn_stub if decode_stub else fn_real, schema=FRAME_SCHEMA)
 
 
 EMBED_DIM = 8
@@ -155,16 +251,18 @@ EMBED_SCHEMA = "doc_id bigint, embedding array<float>"
 
 def embed_payload(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Embedding plumbing: payload -> model -> array<float> column ready for
-    the similarity operators (operators/similarity.py). STUB: 8 floats
-    derived from the payload digest, L2-normalized — deterministic and
-    unit-length like real encoder output; real body: a batched model
-    forward pass (the mapInPandas Arrow batch IS the model batch)."""
-    if not decode_stub:
-        raise NotImplementedError("real embedding requires a model runtime")
+    the similarity operators (operators/similarity.py).
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+    Stub path (default, oracle-replayable): 8 floats from the payload
+    digest, L2-normalized — deterministic and unit-length like real encoder
+    output. Real path (``decode_stub=False``): decode the raster and embed
+    its PIXEL STATISTICS — per-channel mean and standard deviation plus
+    log-size and aspect ratio, L2-normalized — a genuine (if tiny) visual
+    descriptor computed with vectorized numpy; a learned encoder would
+    replace only this batch body (the mapInPandas Arrow batch IS the model
+    batch)."""
 
+    def fn_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
             for p in pdf["payload"]:
@@ -174,4 +272,21 @@ def embed_payload(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 embs.append([float(x) / norm for x in v])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
-    return df.mapInPandas(fn, schema=EMBED_SCHEMA)
+    def fn_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                img = decode_rgb_grid(p).astype(np.float32)
+                h, w, _ = img.shape
+                v = np.concatenate(
+                    [
+                        img.mean(axis=(0, 1)) / 255.0,          # 3: channel means
+                        img.std(axis=(0, 1)) / 255.0,           # 3: channel spreads
+                        [np.log1p(h * w) / 20.0, w / (h + w)],  # 2: size, aspect
+                    ]
+                )
+                norm = float(np.linalg.norm(v)) or 1.0
+                embs.append([float(x) / norm for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return df.mapInPandas(fn_stub if decode_stub else fn_real, schema=EMBED_SCHEMA)
