@@ -37,9 +37,59 @@ from s4hanaconnector_spark.operators.cdc import (
 )
 
 
+class Writer:
+    """The delivery seam of the transactional sinks (O26): durably publish
+    one range/batch of rows under a key and report how many rows landed.
+
+    The reference's delivery target is a Kafka topic inside a transaction
+    (S4HanaProducer.java:442,619-625); this engine ships a parquet
+    implementation, but the SINK protocol (write data, then commit a
+    marker; replays of committed keys skip; uncommitted data is invisible/
+    replaced) does not care what "durably publish" means — any
+    implementation with overwrite-on-replay semantics slots in. Implement
+    ``write(key, df) -> rows_landed`` where a re-``write`` of the same key
+    REPLACES any earlier, uncommitted delivery for that key (Kafka: abort
+    the old txn and republish; files: mode="overwrite").
+    """
+
+    def write(self, key: str, df: DataFrame) -> int:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ParquetWriter(Writer):
+    """Default delivery: one parquet directory per key under ``out_dir``.
+    The read-back count is a cheap footer-only job — see
+    RangeCommitSink.write for why counting happens after durability."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+
+    def write(self, key: str, df: DataFrame) -> int:
+        path = os.path.join(self.out_dir, key)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path).count()
+
+
+class MemoryTopicWriter(Writer):
+    """Kafka-SHAPED test double: each key is a "transaction" of messages on
+    an in-memory topic; a replayed write of the same key replaces the prior
+    (uncommitted) delivery, mirroring abort-and-republish. Driver-side
+    collect makes this strictly a test/demo implementation — it exists to
+    prove the sink protocol is portable off parquet (O26)."""
+
+    def __init__(self) -> None:
+        self.topics: dict[str, list] = {}
+
+    def write(self, key: str, df: DataFrame) -> int:
+        rows = [r.asDict() for r in df.collect()]
+        self.topics[key] = rows
+        return len(rows)
+
+
 class RangeCommitSink:
-    """Exactly-once-per-(schema, txid-range) parquet sink: data first, then
-    an atomically-renamed commit marker. Replays of committed ranges skip.
+    """Exactly-once-per-(schema, txid-range) sink: data first (via a
+    pluggable :class:`Writer`, parquet by default), then an
+    atomically-renamed commit marker. Replays of committed ranges skip.
 
     Crash-window design: the only non-atomic window is AFTER the data write
     and BEFORE the marker rename. A crash there leaves orphan parquet under
@@ -50,8 +100,9 @@ class RangeCommitSink:
     gets from an aborted Kafka transaction (S4HanaProducer.java:458), proven
     by ``test_crash_between_data_write_and_marker_is_replay_safe``."""
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, writer: Writer | None = None) -> None:
         self.out_dir = out_dir
+        self.writer = writer if writer is not None else ParquetWriter(out_dir)
         os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
 
     def _marker(self, name: str, hi: int) -> str:
@@ -63,15 +114,13 @@ class RangeCommitSink:
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):
             return 0
-        path = os.path.join(self.out_dir, name, f"txid_hi={hi}")
-        # Write FIRST, then count what actually landed: counting the input
-        # df would execute the whole delta query twice (once for the count,
-        # once for the write) and record a number taken before durability.
-        # The read-back count is a cheap footer-only job (file listing +
-        # row-group metadata, no column data decoded) — not free, but never
-        # re-runs the delta query.
-        df.write.mode("overwrite").parquet(path)
-        n = df.sparkSession.read.parquet(path).count()
+        # Deliver FIRST, then record what actually landed: counting the
+        # input df would execute the whole delta query twice (once for the
+        # count, once for the write) and record a number taken before
+        # durability. The parquet writer's read-back count is a cheap
+        # footer-only job (file listing + row-group metadata, no column
+        # data decoded) — not free, but never re-runs the delta query.
+        n = self.writer.write(os.path.join(name, f"txid_hi={hi}"), df)
         tmp = self._marker(name, hi) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"name": name, "txid_hi": hi, "rows": n}, f)

@@ -57,15 +57,25 @@ class transactional_sink:
     (beginDeltaTransaction(hi, ...), S4HanaProducer.java:424).
 
     Use as: ``stream.writeStream.foreachBatch(transactional_sink(out))``.
+
+    Delivery goes through the same pluggable :class:`~s4hanaconnector_spark.
+    poll.Writer` seam as the batch sink (parquet by default; a Kafka-shaped
+    writer slots in without touching the commit protocol) — the marker
+    log stays with the sink, exactly as the reference keeps its txid tags
+    on the Kafka transaction rather than in the payload.
     """
 
     def __init__(
         self,
         out_dir: str,
         transform: Callable[[DataFrame, int], DataFrame] | None = None,
+        writer=None,
     ) -> None:
+        from s4hanaconnector_spark.poll import ParquetWriter
+
         self.out_dir = out_dir
         self.transform = transform
+        self.writer = writer if writer is not None else ParquetWriter(out_dir)
         os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
 
     def _commit_path(self, batch_id: int) -> str:
@@ -78,10 +88,7 @@ class transactional_sink:
         if self.committed(batch_id):
             return  # replay of an already-committed transaction: no-op
         df = self.transform(batch_df, batch_id) if self.transform else batch_df
-        n = df.count()
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch_id={batch_id}")
-        )
+        n = self.writer.write(f"batch_id={batch_id}", df)
         tmp = self._commit_path(batch_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)

@@ -105,6 +105,32 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert {p: os.path.getmtime(p) for p in glob.glob(data_dir + "/*")} == mtimes
 
 
+def test_memory_topic_writer_same_replay_semantics(spark, tmp_path):
+    """O26 portability: the Kafka-shaped MemoryTopicWriter drops into
+    RangeCommitSink unchanged — committed ranges skip on replay, and a
+    crashed (marker-less) delivery is REPLACED by the replay, never
+    appended — the abort-and-republish contract of the Writer seam."""
+    from s4hanaconnector_spark.poll import MemoryTopicWriter
+
+    writer = MemoryTopicWriter()
+    sink = RangeCommitSink(str(tmp_path / "out"), writer=writer)
+    src = _src(spark, [(1, "a"), (2, "b")])
+    log = _pklog(spark, [("U", 1, 10), ("U", 2, 10)])
+
+    # crash window: delivery happened (uncommitted garbage on the topic),
+    # marker missing
+    writer.topics["t/txid_hi=10"] = [{"id": 999, "val": "orphan"}]
+    hi = poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert hi == 10 and sink.committed("t", 10)
+    delivered = writer.topics["t/txid_hi=10"]
+    assert {r["id"] for r in delivered} == {1, 2}  # orphan replaced, no dupes
+
+    # replay of the committed range: topic untouched
+    before = [list(v) for v in writer.topics.values()]
+    poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert [list(v) for v in writer.topics.values()] == before
+
+
 def test_crash_between_data_write_and_marker_is_replay_safe(spark, tmp_path):
     """Crash-window proof for RangeCommitSink: a crash AFTER ``df.write`` but
     BEFORE the marker rename leaves orphan parquet under ``txid_hi=N`` with

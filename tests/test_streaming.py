@@ -105,6 +105,23 @@ def test_transactional_sink_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "batch_id=0")).count() == 5
 
 
+def test_transactional_sink_portable_to_memory_topic_writer(spark, tmp_path):
+    """E16 over the Writer seam: the same foreachBatch sink protocol runs
+    against the Kafka-shaped memory writer — replay of a committed batch id
+    leaves the topic untouched."""
+    from s4hanaconnector_spark.poll import MemoryTopicWriter
+
+    writer = MemoryTopicWriter()
+    sink = transactional_sink(str(tmp_path / "out"), writer=writer)
+    sink(spark.range(5).withColumnRenamed("id", "v"), 0)
+    assert len(writer.topics["batch_id=0"]) == 5
+    first = json.load(open(str(tmp_path / "out" / "_commits" / "0.json")))
+    assert first["rows"] == 5
+    # replayed batch id with different data — must be ignored
+    sink(spark.range(50).withColumnRenamed("id", "v"), 0)
+    assert len(writer.topics["batch_id=0"]) == 5
+
+
 def _event_row(uid, ts, v=1.0):
     return Row(user_id=uid, ts=ts, value=v)
 
