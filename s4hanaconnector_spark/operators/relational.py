@@ -173,3 +173,23 @@ def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(a) for a, c in metrics.items()]), obs
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
+    """Size-aware broadcast hint — the overflow guard for derived-aggregate
+    joins (the TPC-H Q15/Q18 HAVING-set shape).
+
+    A hard ``F.broadcast`` on a DERIVED set (a HAVING-filtered aggregate, a
+    max-revenue frontier) is right in the normal regime but becomes an
+    executor-OOM at some scale factor: the set grows with the data, and a
+    broadcast hint overrides Spark's own size protection unconditionally.
+    This helper consults Catalyst's optimized-plan size estimate (driver-
+    side, no job): under ``max_bytes`` it applies the hint; over it, it
+    returns the plan UNhinted — at which point AQE decides at runtime from
+    the TRUE size, converting to broadcast when the actual output is small
+    and keeping sort-merge when it isn't. Estimate wrong in either
+    direction => AQE still lands the right physical join; the hint is only
+    ever an optimization, never a correctness or stability risk.
+    """
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return F.broadcast(df) if est <= max_bytes else df

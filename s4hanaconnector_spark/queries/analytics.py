@@ -790,8 +790,13 @@ LIMIT 20
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join-back —
-    the big-order key set is computed once (map-side partials), broadcast,
-    and only qualifying orders re-aggregate. Never a correlated subquery."""
+    the big-order key set is computed once (map-side partials), broadcast
+    via the size-guarded hint (broadcast_if_small: over the estimate
+    threshold the hint is dropped and AQE picks the join from true runtime
+    size), and only qualifying orders re-aggregate. Never a correlated
+    subquery."""
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     big = (
@@ -800,9 +805,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q") > F.lit(150).cast("decimal(18,2)"))
         .select(F.col("l_orderkey").alias("o_orderkey"))
     )
-    oj = o.join(F.broadcast(big), on="o_orderkey", how="inner")
+    oj = o.join(broadcast_if_small(big), on="o_orderkey", how="inner")
     j = l.join(
-        F.broadcast(oj.select("o_orderkey", "o_custkey", "o_orderdate")),
+        broadcast_if_small(oj.select("o_orderkey", "o_custkey", "o_orderdate")),
         l.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -1125,8 +1130,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier_no", "__rev"
     )
     s = t(spark, sf_dir, "supplier")
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+
     return (
-        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        s.join(broadcast_if_small(top), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
         )

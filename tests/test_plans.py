@@ -156,3 +156,49 @@ def test_snapshot_as_of_never_sorts_baseline(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cdc_snapshot_as_of")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_broadcast_if_small_guards_having_set_joins(spark, sf_dir):
+    """The Q18 HAVING-set join uses the size-guarded broadcast hint: under
+    the threshold the derived aggregate broadcasts; with the threshold
+    forced to zero the hint is dropped (no broadcast of the derived set —
+    AQE/SMJ territory) and the RESULT is unchanged either way."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+    from s4hanaconnector_spark.queries.registry import t
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+
+    hinted = o.join(broadcast_if_small(big), on="o_orderkey")
+    plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_hinted, plan_hinted
+
+    # Forced-low guard threshold = "the estimate says too big". With the
+    # hint dropped, the decision belongs to Spark: disable auto-broadcast
+    # too (the 100 TB regime, where the true size exceeds every threshold)
+    # and the join MUST degrade to a shuffle join instead of OOMing on a
+    # forced broadcast — which is precisely what the unguarded F.broadcast
+    # hint would have done.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = o.join(broadcast_if_small(big, max_bytes=0), on="o_orderkey")
+        plan_unhinted = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_unhinted, plan_unhinted
+        assert (
+            "SortMergeJoin" in plan_unhinted or "ShuffledHashJoin" in plan_unhinted
+        ), plan_unhinted
+        rows_u = sorted(map(tuple, unhinted.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    rows_h = sorted(map(tuple, hinted.collect()))
+    assert rows_h == rows_u
