@@ -789,12 +789,15 @@ LIMIT 20
     headline=True,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join-back —
-    the big-order key set is computed once (map-side partials), broadcast
-    via the size-guarded hint (broadcast_if_small: over the estimate
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join-back.
+    The per-order quantity sum is aggregated ONCE (map-side partials) and
+    reused both as the HAVING filter and as the output total — the literal
+    Q18 text aggregates lineitem a second time after joining orders, but
+    the second aggregate is the same sum, so one scan + one shuffle
+    replaces two of each. The surviving key set joins orders via the
+    size-guarded broadcast hint (broadcast_if_small: over the estimate
     threshold the hint is dropped and AQE picks the join from true runtime
-    size), and only qualifying orders re-aggregate. Never a correlated
-    subquery."""
+    size). Never a correlated subquery."""
     from s4hanaconnector_spark.operators.relational import broadcast_if_small
 
     l = t(spark, sf_dir, "lineitem")
@@ -803,21 +806,15 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("__q"))
         .filter(F.col("__q") > F.lit(150).cast("decimal(18,2)"))
-        .select(F.col("l_orderkey").alias("o_orderkey"))
-    )
-    oj = o.join(broadcast_if_small(big), on="o_orderkey", how="inner")
-    j = l.join(
-        broadcast_if_small(oj.select("o_orderkey", "o_custkey", "o_orderdate")),
-        l.l_orderkey == F.col("o_orderkey"),
+        .select(F.col("l_orderkey").alias("o_orderkey"), F.col("__q"))
     )
     return (
-        j.groupBy("o_orderkey", "o_custkey", "o_orderdate")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        o.join(broadcast_if_small(big), on="o_orderkey", how="inner")
         .select(
             "o_orderkey",
             "o_custkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "total_qty",
+            F.col("__q").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
