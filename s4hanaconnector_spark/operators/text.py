@@ -429,3 +429,84 @@ def pmi_collocations(
         "a", "b", "c_ab",
         F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
     )
+
+
+def rank_by_score(
+    df: DataFrame, score_col: str, id_col: str, rank_col: str = "rank"
+) -> DataFrame:
+    """Dense ranking of a scored result: row_number over (score DESC, id) —
+    the id tiebreak makes the frontier deterministic on any engine. Single
+    window over one (empty-key) partition is fine for RANKING OUTPUTS
+    (top-k lists, per-query candidates), which are bounded; never apply to
+    corpus-sized relations."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc(score_col), F.asc(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two rankings:
+    ``rrf = 1/(k + rank_a) + 1/(k + rank_b)``, missing membership
+    contributes 0 — the standard score-free combiner for lexical +
+    semantic retrieval (BM25 list fused with an embedding-cosine list).
+
+    The fusion is a WIDE full-outer join rather than union+groupBy-sum:
+    with the two addends in fixed expression order the float result is
+    bit-deterministic on any engine, whereas a grouped SUM over an
+    exploded union would depend on partition arrival order. Ranks are
+    exact ints; both rank lists are top-k-bounded, so the join is
+    broadcast-sized by construction."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    fused = a.join(b, on=id_col, how="full_outer")
+    term = lambda c: F.coalesce(
+        F.lit(1.0) / (F.lit(float(k)) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    return fused.select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(term("rank_a") + term("rank_b"), 9).alias("rrf_score"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    budget: int,
+    shard_col=None,
+) -> DataFrame:
+    """Greedy contiguous sequence packing — assign consecutive chunks to
+    fixed-token-budget training sequences (the packing step between
+    chunking and batch assembly in a pretraining pipeline).
+
+    ``seq_id = floor((running_sum - own_tokens) / budget)``: a chunk starts
+    a new sequence exactly when the tokens BEFORE it fill the current
+    budget, so sequences are ~``budget`` tokens with at most one chunk of
+    overflow at each boundary (the streaming-friendly greedy packing used
+    in practice; exact first-fit bin packing is inherently sequential).
+    Integer-only arithmetic — bit-identical on any engine.
+
+    Scale: the running sum is a window over ``shard_col`` — pass a shard
+    (source, date, id-bucket) so packing parallelizes and sequences never
+    cross shard boundaries; a None shard means ONE global window (single
+    partition — fine for bounded inputs, never for a corpus)."""
+    from pyspark.sql import Window as W
+
+    shard = F.col(shard_col) if isinstance(shard_col, str) else (
+        shard_col if shard_col is not None else F.lit(0)
+    )
+    w = W.partitionBy(shard).orderBy(*[F.col(c) for c in order_cols])
+    cum = F.sum(F.col(token_col)).over(w)
+    return chunks.withColumn(
+        "seq_id",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

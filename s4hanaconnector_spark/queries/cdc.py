@@ -784,3 +784,106 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__valid_to").alias("valid_to"),
         F.col("__is_current").alias("is_current"),
     )
+
+
+@register(
+    "cdc_consistent_cut",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+{TRANSACTIONS_ORACLE_CTE.strip()},
+li_log AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS pk1,
+           CAST(l_linenumber AS VARCHAR) AS pk2,
+           CAST(1000 + l_orderkey % 50 AS BIGINT) AS transactionid
+    FROM lineitem WHERE l_orderkey % 7 = 0
+),
+a AS (
+    SELECT coalesce(max(transactionid), 9223372036854775807) AS max_log
+    FROM (SELECT transactionid FROM pklog UNION ALL SELECT transactionid FROM li_log)
+),
+b AS (
+    SELECT coalesce(min(update_transaction_id) - 1, 9223372036854775807) AS min_active
+    FROM transactions
+    WHERE update_transaction_id > 0
+      AND start_time > TIMESTAMP '{_WM_NOW}' - INTERVAL {_WM_STALENESS} SECONDS
+),
+wm AS (
+    SELECT CASE WHEN least(max_log, min_active) = 9223372036854775807
+                THEN {LO} ELSE least(max_log, min_active) END AS maxtxid
+    FROM a, b
+),
+ch_o AS (
+    SELECT DISTINCT pk1 FROM pklog, wm
+    WHERE table_name = 'orders' AND transactionid > {LO} AND transactionid <= wm.maxtxid
+),
+ch_l AS (
+    SELECT DISTINCT pk1, pk2 FROM li_log, wm
+    WHERE transactionid > {LO} AND transactionid <= wm.maxtxid
+),
+orph AS (
+    SELECT count(*) AS n_orphan_parents FROM (
+        SELECT DISTINCT pk1 FROM ch_l
+        WHERE pk1 NOT IN (SELECT pk1 FROM ch_o)
+    )
+)
+SELECT wm.maxtxid,
+       (SELECT count(*) FROM ch_o) AS n_orders_changed,
+       (SELECT count(*) FROM ch_l) AS n_lineitem_changed,
+       orph.n_orphan_parents
+FROM wm, orph
+""",
+)
+def cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactionally-consistent cut: ONE safe watermark
+    computed over the UNION of both tables' change logs, then both deltas
+    read up to that same txid — the property the reference relies on when a
+    business object spans master + detail tables (one HANA transaction
+    writes both logs with one txid; cutting every table at the same safe
+    txid means no child change can surface before its parent's transaction,
+    S4HanaProducer.java:317-368 applied across the tabledirectory fan-out).
+    The audit column proves it: lineitem parent keys changed in the range
+    with no matching orders-log entry in the SAME range are zero, because a
+    shared transaction id lands on both sides of the cut or neither.
+    Physical shape: the union log reduces to two 1-row partial aggregates
+    (cost independent of log size), the watermark broadcasts into the range
+    filters, and the three counts are 1-row aggregates cross-joined — one
+    row out, nothing collected."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    log_o = synthetic_pklog(orders)
+    lk = F.col("l_orderkey")
+    log_l = li.filter(lk % 7 == 0).select(
+        F.col("l_shipdate").alias("change_ts"),
+        F.lit("S4").alias("schema_name"),
+        F.lit("U").alias("change_type"),
+        lk.cast("string").alias("pk1"),
+        F.col("l_linenumber").cast("string").alias("pk2"),
+        *[F.lit(None).cast("string").alias(f"pk{i}") for i in range(3, 7)],
+        (F.lit(1000) + lk % 50).cast("bigint").alias("transactionid"),
+        F.lit(1).cast("int").alias("transaction_seq"),
+        F.lit("lineitem").alias("table_name"),
+    )
+    union_log = log_o.unionByName(log_l)
+    wm = C.watermark(
+        union_log,
+        synthetic_transactions(orders),
+        _WM_NOW,
+        min_transactionid=LO,
+        staleness_seconds=_WM_STALENESS,
+    ).select("maxtxid")
+
+    def in_range(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(wm)).filter(
+            (F.col("transactionid") > LO)
+            & (F.col("transactionid") <= F.col("maxtxid"))
+        )
+
+    ch_o = in_range(log_o).select("pk1").distinct()
+    ch_l = in_range(log_l).select("pk1", "pk2").distinct()
+    orph = ch_l.select("pk1").distinct().join(ch_o, "pk1", "left_anti")
+    return (
+        wm.crossJoin(F.broadcast(ch_o.agg(F.count(F.lit(1)).alias("n_orders_changed"))))
+        .crossJoin(F.broadcast(ch_l.agg(F.count(F.lit(1)).alias("n_lineitem_changed"))))
+        .crossJoin(F.broadcast(orph.agg(F.count(F.lit(1)).alias("n_orphan_parents"))))
+        .select("maxtxid", "n_orders_changed", "n_lineitem_changed", "n_orphan_parents")
+    )

@@ -1392,6 +1392,207 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curriculum_order",
+    f"""
+WITH q AS (
+    SELECT doc_id,
+           round(0.4 * ({_DUCK_LEN_OK})
+               + 0.3 * (1 - least(({_DUCK_DIGIT}) * 5, 1.0))
+               + 0.3 * least(({_DUCK_SW_RATIO}) * 5, 1.0), 6) AS quality
+    FROM documents
+),
+tiles AS (
+    SELECT doc_id, quality,
+           CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS tile
+    FROM q
+)
+SELECT doc_id, quality, tile,
+       CAST(row_number() OVER (
+            PARTITION BY tile
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), doc_id
+       ) AS BIGINT) AS pos
+FROM tiles
+""",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: quality-quartile tiers (best tier first)
+    with a DETERMINISTIC shuffle inside each tier — ntile(4) over the
+    rounded quality score, then md5-hash position (seeded, engine- and
+    retry-stable like every sampling decision in operators/sampling.py),
+    so training order is reproducible bit-for-bit. Scale note: the global
+    ntile window is single-partition — fine for ranking bounded corpora;
+    at corpus scale replace the tier assignment with approx-percentile
+    cutoffs broadcast into a row-local CASE (same output contract), while
+    the within-tier hash ordering is already partition-parallel."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    digit = F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double") / F.greatest(
+        n, F.lit(1)
+    )
+    sw = X.stopword_ratio(c)
+    quality = F.round(
+        0.4 * len_ok
+        + 0.3 * (1 - F.least(digit * 5, F.lit(1.0)))
+        + 0.3 * F.least(sw * 5, F.lit(1.0)),
+        6,
+    )
+    q = d.select("doc_id", quality.alias("quality"))
+    from pyspark.sql import Window as W
+
+    tiled = q.withColumn(
+        "tile",
+        F.ntile(4).over(W.orderBy(F.desc("quality"), F.asc("doc_id"))).cast("long"),
+    )
+    shuffle_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\x1f"), F.lit("7"))
+    )
+    return tiled.withColumn(
+        "pos",
+        F.row_number()
+        .over(W.partitionBy("tile").orderBy(shuffle_key, F.asc("doc_id")))
+        .cast("long"),
+    )
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+WITH words AS (
+    SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+),
+ch AS (
+    SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id, w
+    FROM words WHERE len(w) > 0
+),
+chunks AS (
+    SELECT doc_id, chunk_id, doc_id % 8 AS shard,
+           len(w[chunk_id * 64 + 1 : chunk_id * 64 + 64]) AS n_chunk_tokens
+    FROM ch
+),
+packed AS (
+    SELECT shard, doc_id, chunk_id, n_chunk_tokens,
+           CAST(floor((sum(n_chunk_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_id
+                ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) / 256.0) AS BIGINT) AS seq_id
+    FROM chunks
+)
+SELECT shard, seq_id,
+       count(*) AS n_chunks,
+       sum(n_chunk_tokens) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM packed GROUP BY shard, seq_id
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/text.py pack_sequences): 64-token chunks
+    pack greedily into ~256-token training sequences within 8 id-bucket
+    shards — a new sequence starts exactly when the preceding chunks fill
+    the budget, so every sequence is budget-sized with at most one chunk of
+    boundary overflow. The window runs per shard (parallel, sequences never
+    cross shards — the scale discipline); output is the per-sequence
+    packing manifest (chunk/token/doc counts), integer-exact on both
+    engines."""
+    from s4hanaconnector_spark.operators.text import pack_sequences
+
+    chunks = X.chunk_by_tokens(
+        t(spark, sf_dir, "documents"), "text", "doc_id", chunk_size=64
+    ).withColumn("shard", (F.col("doc_id") % 8).cast("long"))
+    packed = pack_sequences(
+        chunks, "n_chunk_tokens", ["doc_id", "chunk_id"], budget=256,
+        shard_col="shard",
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "retrieval_rrf_fusion",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKS.replace('text', 'lower(text)')}) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT sum(dl) AS total_dl, count(*) AS n_docs FROM dl),
+hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'shuffle', 'broadcast')),
+idf AS (
+    SELECT tok,
+           ln((SELECT CAST(n_docs AS DOUBLE) FROM corpus) / count(DISTINCT doc_id)) AS idf
+    FROM hits GROUP BY tok
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
+lex AS (
+    SELECT tf.doc_id,
+           round(sum(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) * CAST(corpus.n_docs AS DOUBLE) / CAST(corpus.total_dl AS DOUBLE))))), 6) AS bm25
+    FROM tf
+    JOIN idf USING (tok)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN corpus
+    GROUP BY tf.doc_id
+),
+lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
+    FROM lex
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+    SELECT c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> 0
+),
+expl AS (SELECT c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (SELECT c_id, round({_COS_DOT}, 6) AS cosine FROM expl GROUP BY c_id),
+semr AS (
+    SELECT c_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, c_id) AS BIGINT) AS rank_b
+    FROM scored
+),
+fused AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_a, s.rank_b,
+           round(coalesce(1.0 / (60 + l.rank_a), 0) + coalesce(1.0 / (60 + s.rank_b), 0), 9) AS rrf_score
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with an embedding-cosine
+    ranking by reciprocal-rank fusion (operators/text.py rrf_fuse) — the
+    standard two-tower RAG first stage. The lexical list ranks bm25_search
+    output; the semantic list ranks exact cosine against query vector
+    vec_id=0 (the documents and embeddings fixtures share the 0-based id
+    domain). Fusion is a wide full-outer join with the two 1/(60+rank)
+    addends in fixed expression order, so the fused float is deterministic
+    on both engines; both rank lists are bounded, so every join here is
+    broadcast-sized."""
+    from s4hanaconnector_spark.operators.text import rank_by_score, rrf_fuse
+
+    d = t(spark, sf_dir, "documents")
+    lex = X.bm25_search(d, "text", "doc_id", ["spark", "shuffle", "broadcast"])
+    lexr = rank_by_score(lex, "bm25", "doc_id")
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.filter(F.col("vec_id") != 0).select(F.col("vec_id").alias("c_id"), "embedding")
+    sem = S.brute_force_topk(q, c, k=1 << 30).select(
+        F.col("c_id").alias("doc_id"), F.col("rn").cast("long").alias("rank")
+    )
+    fused = rrf_fuse(lexr, sem, "doc_id", k=60)
+    return (
+        fused.select("doc_id", "rank_a", "rank_b", "rrf_score")
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
     "feature_zscore",
     """
 WITH stats AS (

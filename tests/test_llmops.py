@@ -391,3 +391,37 @@ class TestRepetition:
         assert rows[2]["top_ngram_frac"] == round(1 / 3, 6)
         assert rows[2]["dup_ngram_frac"] == 0.0
         assert 3 not in rows  # < n tokens -> no n-grams
+
+
+def test_rrf_fusion_missing_membership_contributes_zero(spark):
+    """A doc in only one list scores exactly its single 1/(k+rank) term."""
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([Row(id=1, rank=1), Row(id=2, rank=2)], "id bigint, rank bigint")
+    b = spark.createDataFrame([Row(id=2, rank=1), Row(id=3, rank=2)], "id bigint, rank bigint")
+    out = {r["id"]: r for r in rrf_fuse(a, b, "id", k=60).collect()}
+    assert out[1]["rank_b"] is None
+    assert abs(out[1]["rrf_score"] - 1 / 61) < 1e-9
+    assert abs(out[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-9
+    assert out[3]["rank_a"] is None and abs(out[3]["rrf_score"] - 1 / 62) < 1e-9
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    """A new sequence starts exactly when preceding chunks fill the budget;
+    ordering and shards are respected."""
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.operators.text import pack_sequences
+
+    rows = [Row(shard=0, doc=1, chunk=i, tok=64) for i in range(5)] + [
+        Row(shard=1, doc=2, chunk=0, tok=100)
+    ]
+    df = spark.createDataFrame(rows, "shard int, doc bigint, chunk int, tok int")
+    out = pack_sequences(df, "tok", ["doc", "chunk"], budget=128, shard_col="shard")
+    got = {(r["shard"], r["doc"], r["chunk"]): r["seq_id"] for r in out.collect()}
+    # shard 0: chunks of 64 tokens -> two per 128-token sequence
+    assert [got[(0, 1, i)] for i in range(5)] == [0, 0, 1, 1, 2]
+    # shard 1 packs independently from seq 0
+    assert got[(1, 2, 0)] == 0
