@@ -550,3 +550,180 @@ def snapshot_as_of(
         "last_txid",
         F.coalesce(F.col("__ct"), F.lit("B")).alias("last_change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E13 extension — incremental maintenance of a grouped aggregate
+# ---------------------------------------------------------------------------
+def maintain_grouped_agg(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    pk_names: list[str],
+    group_cols: list[str],
+    measure_col: str,
+    measure_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Incrementally maintain ``SELECT group, count(*), sum(measure)`` under
+    a CDC batch — materialized-view maintenance from the change feed, the
+    consumer-side dual of ``apply_changes``: instead of merging the batch
+    into row storage and re-aggregating a 100 TB table, apply the batch's
+    ALGEBRAIC effect to the (tiny) aggregate state.
+
+    Classic delta algebra (self-maintainable for SUM/COUNT — Gupta &
+    Mumick's view-maintenance framework):
+
+      maintained = base_agg
+                 - contributions of snapshot rows whose PK is in the batch
+                 + contributions of the batch's surviving ('A'/'I'/'U') rows
+
+    A group a row moves OUT of gets the subtraction, the group it moves
+    INTO gets the addition; deletes only subtract; inserts only add; empty
+    groups drop out. Equality with full recomputation over the merged
+    table is exactly what the oracle asserts (``cdc_incremental_agg``).
+
+    Scale: the batch and the changed-PK set are delta-sized — the one scan
+    of the big snapshot is a broadcast-semi-join (PK-pruned columns), and
+    all three legs partial-aggregate map-side before a single |groups|-row
+    shuffle. The maintained state never exceeds |groups| x 3 rows in
+    flight."""
+    m = F.col(measure_col).cast(measure_type)
+    changed = batch.select(*pk_names).distinct()
+    base = snapshot.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(m).alias("__s")
+    )
+    minus = (
+        snapshot.join(F.broadcast(changed), on=pk_names, how="left_semi")
+        .groupBy(*group_cols)
+        .agg((-F.count(F.lit(1))).alias("__n"), (-F.sum(m)).alias("__s"))
+    )
+    plus = (
+        batch.filter(F.col("_change_type") != "D")
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(m).alias("__s"))
+    )
+    return (
+        base.unionByName(minus)
+        .unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(F.sum("__n").alias("n_rows"), F.sum("__s").cast(measure_type).alias("measure_sum"))
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 inverse — derive a CDC batch by diffing two snapshots
+# ---------------------------------------------------------------------------
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk_names: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive a CDC batch from two versions of a table — the INVERSE of
+    ``apply_changes`` and the bootstrap path when no change log exists yet
+    (the reference needs its triggers installed before any delta can flow,
+    O6-O8; a Spark deployment can instead diff yesterday's snapshot against
+    today's and feed the SAME downstream consumers):
+
+      * PK only in ``new``                       -> 'I' (new row)
+      * PK only in ``old``                       -> 'D' (PK carried, non-PK
+        NULL — the same delete shape cdc_delta emits, O13/O14)
+      * PK in both, any compared column differs  -> 'U' (new values)
+      * PK in both, all equal                    -> no output row
+
+    Column comparison is NULL-SAFE (``<=>``): NULL -> value and value ->
+    NULL both count as changes, NULL -> NULL does not. The invariant
+    ``apply_changes(old, snapshot_diff(old, new)) == new`` is asserted in
+    tests.
+
+    Scale: one full-outer join on PK — both sides shuffle once (bucket both
+    snapshots on PK for a shuffle-free diff); the comparison is row-local.
+    Output is delta-sized.
+    """
+    non_pk = [c for c in new.columns if c not in pk_names]
+    cmp_cols = compare_cols if compare_cols is not None else non_pk
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = [F.col(f"__o_{k}") == F.col(f"__n_{k}") for k in pk_names]
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    ctype = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        ctype.alias("_change_type"),
+        *[
+            F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+            for k in pk_names
+        ],
+        *[F.col(f"__n_{c}").alias(c) for c in non_pk],
+    ]
+    return j.select(*out_cols).filter(F.col("_change_type").isNotNull())
+
+
+def maintain_grouped_agg_from_images(
+    base_agg: DataFrame,
+    batch: DataFrame,
+    group_col: str,
+    measure_col: str,
+    measure_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Grouped-aggregate maintenance from BEFORE/AFTER images — the zero-
+    snapshot-touch variant of :func:`maintain_grouped_agg` for feeds that
+    carry both row versions (Debezium-style envelopes; the reference's
+    trigger could capture OLD.* alongside NEW.*, O6-O8):
+
+      batch columns: ``_change_type`` ('I'/'U'/'D'),
+      ``old_<group>``/``old_<measure>`` (NULL for I),
+      ``new_<group>``/``new_<measure>`` (NULL for D).
+
+      maintained = base_agg - old-image contributions + new-image ones
+
+    At 100 TB this is the whole point: the snapshot is NEVER read — the
+    update is |batch| rows folded into |groups| rows of aggregate state.
+    Contributions use one unpivoted pass (explode of the two signed
+    images) so each batch row is touched once; groups that empty out drop.
+    ``base_agg`` must carry ``(group_col, n_rows, measure_sum)`` as
+    produced by this function or ``maintain_grouped_agg``."""
+    mt = measure_type
+    signed = batch.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(f"old_{group_col}").alias("g"),
+                    F.col(f"old_{measure_col}").cast(mt).alias("m"),
+                    F.lit(-1).alias("sign"),
+                ),
+                F.struct(
+                    F.col(f"new_{group_col}").alias("g"),
+                    F.col(f"new_{measure_col}").cast(mt).alias("m"),
+                    F.lit(1).alias("sign"),
+                ),
+            )
+        ).alias("__img")
+    ).select("__img.g", "__img.m", "__img.sign").filter(F.col("g").isNotNull())
+    delta = signed.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum("sign").alias("__n"), F.sum(F.col("m") * F.col("sign")).alias("__s")
+    )
+    base = base_agg.select(
+        group_col, F.col("n_rows").alias("__n"), F.col("measure_sum").cast(mt).alias("__s")
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.sum("__s").cast(mt).alias("measure_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

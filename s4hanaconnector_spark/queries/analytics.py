@@ -2587,3 +2587,90 @@ def map_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rank")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "orders_price_histogram",
+    """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 11
+            ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
+FROM orders GROUP BY 1
+""",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket) over order value — the
+    binned-aggregation shape every profiling/data-quality dashboard runs.
+    Bucket assignment is row-local integer math pipelined into the scan;
+    the only shuffle is the 12-row group aggregate (10 buckets + the two
+    overflow buckets width_bucket reserves). Revenue per bucket goes
+    through exact decimal so both engines agree bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bucket_revenue"),
+        )
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+WITH g AS (
+    SELECT user_id, value, epoch_us(ts) AS us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+agg AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6)) * (nxt - us)) AS wsum,
+           max(us) - min(us) AS span_us
+    FROM g GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(CAST(wsum AS DOUBLE) / span_us, 8) AS twa_value
+FROM agg WHERE span_us > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — each reading weighted by how long it was the
+    CURRENT value (step-function integral / observation span), the correct
+    mean for irregularly sampled telemetry where the plain AVG over-weights
+    bursts. lead() supplies each reading's holding interval in exact
+    microseconds; value x duration products accumulate in DECIMAL so the
+    integral is bit-identical on both engines, with one double division at
+    the end. One shuffle on user_id shared by the window and the aggregate
+    (same key -> Catalyst reuses the exchange); users with a single reading
+    (zero span) drop out."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    # ts loads as TIMESTAMP_NTZ; the session zone is pinned UTC, so the
+    # cast to instant-typed TIMESTAMP is identity and unix_micros is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)") * (F.col("nxt") - F.col("us"))).alias("wsum"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("wsum").cast("double") / F.col("span_us"), 8).alias("twa_value"),
+    )

@@ -887,3 +887,225 @@ def cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(orph.agg(F.count(F.lit(1)).alias("n_orphan_parents"))))
         .select("maxtxid", "n_orders_changed", "n_lineitem_changed", "n_orphan_parents")
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    """
+WITH batch AS (
+    SELECT 'U' AS ct, o_orderkey AS k, o_totalprice + 10 AS price,
+           CASE WHEN o_orderkey % 14 = 0 THEN '1-URGENT' ELSE o_orderpriority END AS pri
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT 'D', o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'I', o_orderkey + 2000000, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+    SELECT o.o_totalprice AS price, o.o_orderpriority AS pri
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.k = o.o_orderkey)
+    UNION ALL
+    SELECT price, pri FROM batch WHERE ct <> 'D'
+)
+SELECT pri AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM merged GROUP BY pri
+""",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed
+    (operators/cdc.py maintain_grouped_agg): per-priority order count and
+    revenue maintained ALGEBRAICALLY under a merge batch of updates (price
+    bump, some rows moving priority group), real-key deletes and fresh
+    inserts — base aggregate minus displaced snapshot contributions plus
+    surviving batch contributions. The ORACLE is full recomputation over
+    the merged table, so the hash gate proves maintenance == recompute —
+    including group moves (row leaves '3-MEDIUM', arrives '1-URGENT') and
+    delete-only groups. The snapshot is touched once, by a broadcast
+    semi-join on the delta's PKs; everything else is delta- or
+    |groups|-sized."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        F.lit("U").alias("_change_type"),
+        k.alias("o_orderkey"),
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        F.when(k % 14 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    dels = o.filter(k % 11 == 0).select(
+        F.lit("D").alias("_change_type"),
+        k.alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    ins = o.filter(k % 13 == 0).select(
+        F.lit("I").alias("_change_type"),
+        (k + 2000000).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    batch = upd.unionByName(dels).unionByName(ins)
+    maintained = C.maintain_grouped_agg(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        batch,
+        pk_names=["o_orderkey"],
+        group_cols=["o_orderpriority"],
+        measure_col="o_totalprice",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.col("measure_sum").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+WITH newt AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10, o_orderdate,
+           CASE WHEN o_orderkey % 14 = 0 THEN '1-URGENT' ELSE o_orderpriority END
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT * FROM (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                  OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'U' END AS _change_type,
+           coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           n.o_custkey, n.o_orderstatus, n.o_totalprice,
+           strftime(n.o_orderdate, '%Y-%m-%d') AS o_orderdate_d,
+           n.o_orderpriority
+    FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+) WHERE _change_type IS NOT NULL
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed BOOTSTRAP (operators/cdc.py snapshot_diff): derive the
+    CDC batch by diffing two snapshot versions — the inverse of
+    apply_changes, for sources with no trigger/log infrastructure yet
+    (the reference cannot capture anything until its triggers exist,
+    O6-O8; diffing versions feeds the same consumers meanwhile). The
+    synthetic 'new' version applies the same update/delete/insert
+    arithmetic as cdc_incremental_agg; the diff classifies I/D/U with
+    null-safe column comparison, deletes carrying their PK with NULL
+    attributes exactly like cdc_delta's delete rows. One full-outer join
+    on PK (bucket both versions for shuffle-free); output is delta-sized.
+    ``apply_changes(old, diff) == new`` is asserted in
+    tests/test_cdc_scenarios.py."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    untouched = o.filter((k % 7 != 0) & (k % 11 != 0))
+    upd = (
+        o.filter((k % 7 == 0) & (k % 11 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 14 == 0, F.lit("1-URGENT")).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    ins = o.filter(k % 13 == 0).withColumn("o_orderkey", k + 2000000)
+    new = untouched.unionByName(upd).unionByName(ins)
+    diff = C.snapshot_diff(o, new, ["o_orderkey"])
+    return diff.select(
+        "_change_type",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_d"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "cdc_incremental_agg_images",
+    """
+WITH batch AS (
+    SELECT 'U' AS ct,
+           o_orderpriority AS old_pri, o_totalprice AS old_price,
+           CASE WHEN o_orderkey % 14 = 0 THEN '1-URGENT' ELSE o_orderpriority END AS new_pri,
+           o_totalprice + 10 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT 'D', o_orderpriority, o_totalprice, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'I', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+    SELECT o_totalprice AS price, o_orderpriority AS pri
+    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT new_price, new_pri FROM batch WHERE ct <> 'D'
+)
+SELECT pri AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM merged GROUP BY pri
+""",
+)
+def cdc_incremental_agg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance from BEFORE/AFTER row images
+    (operators/cdc.py maintain_grouped_agg_from_images): the same merge
+    batch as cdc_incremental_agg, but the feed carries old+new values, so
+    the 100 TB snapshot is NEVER touched — base aggregate minus old-image
+    contributions plus new-image contributions, one |batch|-row pass folded
+    into |groups| rows. Oracle = full recomputation over the merged table:
+    the hash gate proves image-based maintenance == recompute, including
+    priority-group moves, delete-only shrinkage and insert growth."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        F.lit("U").alias("_change_type"),
+        F.col("o_orderpriority").alias("old_o_orderpriority"),
+        F.col("o_totalprice").alias("old_o_totalprice"),
+        F.when(k % 14 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("new_o_orderpriority"),
+        (F.col("o_totalprice") + 10).alias("new_o_totalprice"),
+    )
+    dels = o.filter(k % 11 == 0).select(
+        F.lit("D").alias("_change_type"),
+        F.col("o_orderpriority").alias("old_o_orderpriority"),
+        F.col("o_totalprice").alias("old_o_totalprice"),
+        F.lit(None).cast("string").alias("new_o_orderpriority"),
+        F.lit(None).cast("double").alias("new_o_totalprice"),
+    )
+    ins = o.filter(k % 13 == 0).select(
+        F.lit("I").alias("_change_type"),
+        F.lit(None).cast("string").alias("old_o_orderpriority"),
+        F.lit(None).cast("double").alias("old_o_totalprice"),
+        F.col("o_orderpriority").alias("new_o_orderpriority"),
+        F.col("o_totalprice").alias("new_o_totalprice"),
+    )
+    batch = upd.unionByName(dels).unionByName(ins)
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("measure_sum"),
+    )
+    maintained = C.maintain_grouped_agg_from_images(
+        base, batch, group_col="o_orderpriority", measure_col="o_totalprice"
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.col("measure_sum").cast("double").alias("revenue"),
+    )

@@ -426,3 +426,44 @@ class TestSnapshotAsOf:
         )
         rows = snapshot_as_of(base, cv, ["k"], 20, ord_col="transactionid").collect()
         assert len(rows) == 1 and rows[0]["last_change_type"] == "U"
+
+
+def test_maintain_grouped_agg_drops_emptied_group(spark):
+    """Deleting every row of a group removes the group from the maintained
+    aggregate (and a group move subtracts from one group, adds to the
+    other)."""
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "id bigint, grp string, v double",
+    )
+    batch = spark.createDataFrame(
+        [("D", 3, None, None), ("U", 2, "c", 21.0)],
+        "_change_type string, id bigint, grp string, v double",
+    )
+    out = {
+        r["grp"]: (r["n_rows"], float(r["measure_sum"]))
+        for r in C.maintain_grouped_agg(
+            snap, batch, ["id"], ["grp"], "v"
+        ).collect()
+    }
+    assert out == {"a": (1, 10.0), "c": (1, 21.0)}  # b emptied, 2 moved a->c
+
+
+def test_snapshot_diff_roundtrips_through_apply_changes(spark):
+    """The bootstrap invariant: apply_changes(old, snapshot_diff(old, new))
+    reproduces new exactly — including NULL-safe U detection and D rows
+    carrying only their PK."""
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id bigint, val string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "D4", None), (5, "e", 5.0)],
+        "id bigint, val string, x double",
+    )
+    diff = C.snapshot_diff(old, new, ["id"])
+    kinds = {r["id"]: r["_change_type"] for r in diff.collect()}
+    # 1 unchanged -> absent; 2 NULL->value and 4 value->NULL are U; 3 gone; 5 new
+    assert kinds == {2: "U", 3: "D", 4: "U", 5: "I"}
+    applied = C.apply_changes(old, diff.withColumn("_transactionid", F.lit(1)), ["id"])
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
