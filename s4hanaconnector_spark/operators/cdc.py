@@ -368,12 +368,28 @@ def retention_filter(pklog: DataFrame, now_ts: Column | str, days: int = 7) -> D
 # ---------------------------------------------------------------------------
 # E13 — apply a CDC batch onto a snapshot (consumer side of O26)
 # ---------------------------------------------------------------------------
-def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) -> DataFrame:
+def apply_changes(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    pk_names: list[str],
+    evolve_schema: bool = False,
+) -> DataFrame:
     """Materialize a delta batch onto a snapshot: per-PK latest change wins;
     'D' removes the row, 'A'/'I' upserts it. MERGE INTO without Delta:
     anti-join out every changed PK, then union the surviving upserts —
     both legs shuffle on PK once; with a PK-bucketed snapshot the anti join
-    is co-located and shuffle-free on the big side."""
+    is co-located and shuffle-free on the big side.
+
+    ``evolve_schema=True`` handles the reference's mid-stream DDL case
+    (a source table gains a column; the connector rebuilds the mapping and
+    newer deltas carry the extra field, O28-O29): batch columns missing
+    from the snapshot are ADDED to the output schema, with untouched
+    snapshot rows reading NULL for them — additive evolution only, exactly
+    how a rebuilt Avro schema remains backward-compatible for the
+    reference's consumers. Dropped columns are NOT inferred (a batch
+    without a column means "unchanged", not "removed"). The default
+    projects the batch onto the snapshot's schema — unknown batch columns
+    are ignored, so widening the OUTPUT schema is an explicit opt-in."""
     from pyspark.sql import Window
 
     # Per-PK latest with DETERMINISTIC tie-breaking: a batch may carry two
@@ -402,9 +418,14 @@ def apply_changes(snapshot: DataFrame, batch: DataFrame, pk_names: list[str]) ->
         .drop("__rn")
     )
     data_cols = [c for c in snapshot.columns]
+    if evolve_schema:
+        meta = {"_change_type", "_transactionid", "transaction_seq"}
+        data_cols += [
+            c for c in batch.columns if c not in meta and c not in data_cols
+        ]
     upserts = latest.filter(F.col("_change_type") != "D").select(data_cols)
     untouched = snapshot.join(latest.select(pk_names), on=pk_names, how="left_anti")
-    return untouched.unionByName(upserts)
+    return untouched.unionByName(upserts, allowMissingColumns=evolve_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -2674,3 +2674,49 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("wsum").cast("double") / F.col("span_us"), 8).alias("twa_value"),
     )
+
+
+@register(
+    "skew_diagnostics",
+    """
+WITH per_key AS (
+    SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+),
+stats AS (
+    SELECT count(*) AS n_keys, sum(c) AS total, max(c) AS max_c FROM per_key
+)
+SELECT p.l_orderkey AS hot_key, p.c AS n_rows_key,
+       s.n_keys, s.total AS n_rows_total,
+       round(CAST(s.max_c AS DOUBLE) * s.n_keys / s.total, 6) AS skew_factor
+FROM per_key p CROSS JOIN stats s
+ORDER BY p.c DESC, p.l_orderkey LIMIT 5
+""",
+)
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the diagnostic run before choosing salting
+    (operators/skew.py) or AQE skew-join for a key: top-5 heaviest keys
+    plus the hot/mean ratio (max rows-per-key x distinct keys / total
+    rows). One map-side-combined count per key; the corpus-wide stats are
+    a 1-row aggregate broadcast back; top-k is TakeOrderedAndProject.
+    Integer inputs, one rounded double ratio — exact on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_c"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_orderkey").alias("hot_key"),
+            F.col("c").alias("n_rows_key"),
+            "n_keys",
+            F.col("total").alias("n_rows_total"),
+            F.round(
+                F.col("max_c").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows_key"), F.asc("hot_key"))
+        .limit(5)
+    )

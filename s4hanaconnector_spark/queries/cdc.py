@@ -1109,3 +1109,173 @@ def cdc_incremental_agg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         F.col("measure_sum").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "cdc_apply_changes_evolving",
+    _DELTA_ORACLE_BODY
+    + """
+, delta AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l._transactionid, l.o_orderkey, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+           CASE WHEN o.o_orderkey IS NULL THEN CAST(NULL AS VARCHAR)
+                WHEN o.o_orderkey % 3 = 0 THEN 'web' ELSE 'direct' END AS o_channel
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority, CAST(NULL AS VARCHAR) AS o_channel
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, o_channel
+FROM delta WHERE _change_type <> 'D'
+""",
+)
+def cdc_apply_changes_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 under additive schema evolution (the reference's mid-stream DDL
+    case, O28-O29: source gains a column, the rebuilt mapping's deltas
+    carry it): apply_changes(evolve_schema=True) merges a batch that has a
+    NEW ``o_channel`` column onto the old-schema snapshot — untouched rows
+    surface NULL for it (backward-compatible, exactly like a rebuilt Avro
+    schema with a nullable addition), upserts carry the value. Same single
+    PK shuffle per leg as plain apply_changes."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    batch = C.cdc_delta(orders, pklog, ORDERS_IDENTITY, LO, HI).withColumn(
+        "o_channel",
+        F.when(F.col("_change_type") == "D", F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("web"))
+        .otherwise(F.lit("direct")),
+    )
+    return C.apply_changes(orders, batch, ["o_orderkey"], evolve_schema=True)
+
+
+@register(
+    "streaming_incremental_agg",
+    """
+WITH batch AS (
+    SELECT 'U' AS ct,
+           o_orderpriority AS old_pri, o_totalprice AS old_price,
+           CASE WHEN o_orderkey % 14 = 0 THEN '1-URGENT' ELSE o_orderpriority END AS new_pri,
+           o_totalprice + 10 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT 'D', o_orderpriority, o_totalprice, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'I', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+    SELECT o_totalprice AS price, o_orderpriority AS pri
+    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT new_price, new_pri FROM batch WHERE ct <> 'D'
+)
+SELECT pri AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM merged GROUP BY pri
+""",
+)
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on materialized-view maintenance through the REAL streaming
+    engine: the before/after-image feed lands as three poll files, a file
+    stream drains them one micro-batch each (maxFilesPerTrigger=1), and
+    foreachBatch folds every batch into versioned aggregate state with
+    maintain_grouped_agg_from_images — the snapshot is read exactly once
+    (the base aggregate), then never again. Because image maintenance is
+    additive, ANY split of the feed across micro-batches converges to the
+    same state; the oracle recomputes over the fully-merged table, so the
+    hash gate proves the streaming fold == batch recompute. State versions
+    are written per batch id (replay-safe: a re-delivered batch overwrites
+    its own version, the successor always reads its predecessor)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        k.alias("o_orderkey"),
+        F.lit("U").alias("_change_type"),
+        F.col("o_orderpriority").alias("old_pri"),
+        F.col("o_totalprice").alias("old_price"),
+        F.when(k % 14 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("new_pri"),
+        (F.col("o_totalprice") + 10).alias("new_price"),
+    )
+    dels = o.filter(k % 11 == 0).select(
+        k.alias("o_orderkey"),
+        F.lit("D").alias("_change_type"),
+        F.col("o_orderpriority").alias("old_pri"),
+        F.col("o_totalprice").alias("old_price"),
+        F.lit(None).cast("string").alias("new_pri"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    ins = o.filter(k % 13 == 0).select(
+        k.alias("o_orderkey"),
+        F.lit("I").alias("_change_type"),
+        F.lit(None).cast("string").alias("old_pri"),
+        F.lit(None).cast("double").alias("old_price"),
+        F.col("o_orderpriority").alias("new_pri"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+
+    d = tempfile.mkdtemp(prefix="stream_inc_agg_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    # three "polls": the feed split by key bucket, one file each
+    for b in range(3):
+        feed.filter(k % 3 == b).drop("o_orderkey").coalesce(1).write.parquet(
+            os.path.join(feed_dir, f"poll={b}")
+        )
+
+    base = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("measure_sum"),
+    )
+    base.write.parquet(os.path.join(state_dir, "v_base"))
+
+    schema = (
+        "_change_type string, old_pri string, old_price double, "
+        "new_pri string, new_price double"
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        versions = sorted(_glob.glob(os.path.join(state_dir, "v_*")))
+        prev = [v for v in versions if v < os.path.join(state_dir, f"v_{batch_id:06d}")]
+        state = s.read.parquet(prev[-1] if prev else os.path.join(state_dir, "v_base"))
+        new_state = C.maintain_grouped_agg_from_images(
+            state, batch_df, group_col="pri", measure_col="price"
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:06d}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_incremental_agg did not drain")
+    final = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
+    return spark.read.parquet(final).select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n_rows").alias("n_orders"),
+        F.col("measure_sum").cast("double").alias("revenue"),
+    )

@@ -467,3 +467,18 @@ def test_snapshot_diff_roundtrips_through_apply_changes(spark):
     assert kinds == {2: "U", 3: "D", 4: "U", 5: "I"}
     applied = C.apply_changes(old, diff.withColumn("_transactionid", F.lit(1)), ["id"])
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changes_evolving_adds_column_with_nulls(spark):
+    """evolve_schema=True: a batch column unknown to the snapshot lands in
+    the output schema, NULL for untouched rows; the default stays strict."""
+    snap = _source(spark, [(1, "a"), (2, "b")])
+    batch = spark.createDataFrame(
+        [Row(_change_type="A", _transactionid=10, id=2, val="b2", extra="x")],
+        "_change_type string, _transactionid bigint, id bigint, val string, extra string",
+    )
+    out = {r["id"]: (r["val"], r["extra"]) for r in
+           C.apply_changes(snap, batch, ["id"], evolve_schema=True).collect()}
+    assert out == {1: ("a", None), 2: ("b2", "x")}
+    # default: batch projects onto the snapshot schema, extras ignored
+    assert C.apply_changes(snap, batch, ["id"]).columns == snap.columns
