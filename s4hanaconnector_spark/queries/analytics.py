@@ -2720,3 +2720,161 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows_key"), F.asc("hot_key"))
         .limit(5)
     )
+
+
+@register(
+    "agg_approx_quantiles",
+    """
+WITH exact AS (
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS p50_exact,
+           quantile_disc(o_totalprice, 0.95) AS p95_exact,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderpriority
+),
+approx AS (
+    SELECT o_orderpriority,
+           approx_quantile(o_totalprice, 0.5) AS p50_a,
+           approx_quantile(o_totalprice, 0.95) AS p95_a
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, e.p50_exact, e.p95_exact,
+       CAST(abs(a.p50_a - e.p50_exact) * 10 <= (e.hi - e.lo) AS INT) AS p50_within_10pct_range,
+       CAST(abs(a.p95_a - e.p95_exact) * 10 <= (e.hi - e.lo) AS INT) AS p95_within_10pct_range
+FROM exact e JOIN approx a USING (o_orderpriority)
+""",
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: sketch-based quantiles — the 100 TB path where an exact
+    quantile would globally sort each group (Spark: Greenwald-Khanna via
+    percentile_approx; DuckDB: its own approx_quantile). Sketch values
+    differ between engines, so — like agg_approx_count_distinct — the gate
+    hash-checks the CONTRACT, not the sketch: exact discrete p50/p95
+    (positional window, operators/relational.py quantile_disc_per_group)
+    match bit-for-bit, and each engine's own approximation must land
+    within 10% of the group's value RANGE (division-free compare). The
+    sketch side is one map-side-combined aggregation; the exact side
+    shares one window shuffle across both quantiles."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    exact = (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.col("__n") * 0.5).cast("long"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p50_exact"),
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.col("__n") * 0.95).cast("long"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p95_exact"),
+        )
+    )
+    sketch = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_approx(o_totalprice, 0.5)").alias("__p50a"),
+        F.expr("percentile_approx(o_totalprice, 0.95)").alias("__p95a"),
+        F.min("o_totalprice").alias("__lo"),
+        F.max("o_totalprice").alias("__hi"),
+    )
+    rng = F.col("__hi") - F.col("__lo")
+    return exact.join(F.broadcast(sketch), on="o_orderpriority").select(
+        "o_orderpriority",
+        "p50_exact",
+        "p95_exact",
+        ((F.abs(F.col("__p50a") - F.col("p50_exact")) * 10 <= rng).cast("int")).alias(
+            "p50_within_10pct_range"
+        ),
+        ((F.abs(F.col("__p95a") - F.col("p95_exact")) * 10 <= rng).cast("int")).alias(
+            "p95_within_10pct_range"
+        ),
+    )
+
+
+@register(
+    "dq_constraint_report",
+    """
+SELECT 'orders.o_orderkey NOT NULL' AS constraint,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations,
+       count(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'orders.o_orderkey UNIQUE', count(*) - count(DISTINCT o_orderkey), count(*)
+FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice >= 0', count(*) FILTER (WHERE o_totalprice < 0), count(*)
+FROM orders
+UNION ALL
+SELECT 'orders.o_orderpriority IN domain',
+       count(*) FILTER (WHERE o_orderpriority NOT IN
+           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')),
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_orderkey REFERENCES orders',
+       count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       count(*)
+FROM lineitem l
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the Deequ-style verification pass a
+    pipeline runs before publishing a snapshot): completeness (NOT NULL),
+    uniqueness, range, domain membership, and referential integrity, each
+    as (constraint, n_violations, n_checked). Every non-join check is one
+    map-side-combined aggregate over a single scan; the RI check is a
+    left-anti count on the join key — at 100 TB exactly the shuffle the
+    actual FK join would need, so the audit costs no more than the query
+    it protects. All counts are exact integers — bit-identical gate."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def check(df, name, bad):
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.when(bad, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    domain = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    uniq = o.agg(
+        F.lit("orders.o_orderkey UNIQUE").alias("constraint"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    ri_bad = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("__bad"))
+    ri = li.agg(F.count(F.lit(1)).alias("__all")).crossJoin(F.broadcast(ri_bad)).select(
+        F.lit("lineitem.l_orderkey REFERENCES orders").alias("constraint"),
+        F.col("__bad").alias("n_violations"),
+        F.col("__all").alias("n_checked"),
+    )
+    return (
+        check(o, "orders.o_orderkey NOT NULL", F.col("o_orderkey").isNull())
+        .unionByName(uniq)
+        .unionByName(check(o, "orders.o_totalprice >= 0", F.col("o_totalprice") < 0))
+        .unionByName(
+            check(
+                o,
+                "orders.o_orderpriority IN domain",
+                ~F.col("o_orderpriority").isin(domain),
+            )
+        )
+        .unionByName(ri)
+    )
