@@ -609,25 +609,46 @@ def maintain_grouped_agg(
     flight."""
     m = F.col(measure_col).cast(measure_type)
     changed = batch.select(*pk_names).distinct()
+    # The non-null counter (__nn) rides along so an all-NULL-measure group
+    # reports measure_sum = NULL exactly like a recompute would — plain
+    # signed sums alone cannot tell "sums to zero" from "no non-null
+    # values" once NULL measures enter and leave a group.
     base = snapshot.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__n"), F.sum(m).alias("__s")
+        F.count(F.lit(1)).alias("__n"), F.count(m).alias("__nn"), F.sum(m).alias("__s")
     )
     minus = (
         snapshot.join(F.broadcast(changed), on=pk_names, how="left_semi")
         .groupBy(*group_cols)
-        .agg((-F.count(F.lit(1))).alias("__n"), (-F.sum(m)).alias("__s"))
+        .agg(
+            (-F.count(F.lit(1))).alias("__n"),
+            (-F.count(m)).alias("__nn"),
+            (-F.sum(m)).alias("__s"),
+        )
     )
     plus = (
         batch.filter(F.col("_change_type") != "D")
         .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum(m).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(m).alias("__nn"),
+            F.sum(m).alias("__s"),
+        )
     )
     return (
         base.unionByName(minus)
         .unionByName(plus)
         .groupBy(*group_cols)
-        .agg(F.sum("__n").alias("n_rows"), F.sum("__s").cast(measure_type).alias("measure_sum"))
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.sum("__nn").alias("__nn"),
+            F.sum("__s").cast(measure_type).alias("__s"),
+        )
         .filter(F.col("n_rows") > 0)
+        .select(
+            *group_cols,
+            "n_rows",
+            F.when(F.col("__nn") > 0, F.col("__s")).alias("measure_sum"),
+        )
     )
 
 
@@ -715,7 +736,13 @@ def maintain_grouped_agg_from_images(
     Contributions use one unpivoted pass (explode of the two signed
     images) so each batch row is touched once; groups that empty out drop.
     ``base_agg`` must carry ``(group_col, n_rows, measure_sum)`` as
-    produced by this function or ``maintain_grouped_agg``."""
+    produced by this function or ``maintain_grouped_agg``.
+
+    Precondition: the measure column is NOT NULL in the table (the normal
+    envelope-feed case). Without reading the snapshot this fold cannot
+    track a per-group non-null count, so a group whose only residents hold
+    NULL measures would report 0 instead of NULL — use the snapshot
+    variant when NULL measures are data."""
     mt = measure_type
     signed = batch.select(
         F.explode(

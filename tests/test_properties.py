@@ -21,6 +21,7 @@ import datetime
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
 from s4hanaconnector_spark.operators import cdc as C
@@ -236,3 +237,65 @@ def test_hash_split_disjoint_exhaustive_stable(spark, ids, seed):
     assert a == b
     assert set(a) == set(ids)
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# E80/E82 — view maintenance and snapshot-diff invariants
+# ---------------------------------------------------------------------------
+
+_diff_tables = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),            # pk
+        st.integers(min_value=0, max_value=3),            # group variant
+        st.one_of(st.none(), st.integers(0, 99)),         # value (None = NULL)
+    ),
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_diff_tables, new=_diff_tables)
+def test_snapshot_diff_and_maintenance_agree_with_recompute(spark, old, new):
+    """Two random table versions: (1) snapshot_diff must round-trip through
+    apply_changes back to the new version; (2) maintain_grouped_agg under
+    that same diff must equal the aggregate recomputed from scratch on the
+    new version — the algebra holds for ANY old/new pair, including NULL
+    measures, group moves, pure inserts and pure deletes."""
+    schema = "id bigint, grp string, v double"
+    old_df = spark.createDataFrame(
+        [Row(id=pk, grp=f"g{g}", v=float(v) if v is not None else None) for pk, g, v in old],
+        schema,
+    )
+    new_df = spark.createDataFrame(
+        [Row(id=pk, grp=f"g{g}", v=float(v) if v is not None else None) for pk, g, v in new],
+        schema,
+    )
+    diff = C.snapshot_diff(old_df, new_df, ["id"])
+
+    # (1) round trip
+    applied = C.apply_changes(
+        old_df, diff.withColumn("_transactionid", F.lit(1)), ["id"]
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new_df.collect()))
+
+    # (2) incremental aggregate == recompute (counts include NULL-measure
+    # rows; sums skip them, exactly like the recompute)
+    maintained = {
+        r["grp"]: (r["n_rows"], r["measure_sum"])
+        for r in C.maintain_grouped_agg(old_df, diff, ["id"], ["grp"], "v").collect()
+    }
+    recomputed = {
+        r["grp"]: (r["n_rows"], r["measure_sum"])
+        for r in new_df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("measure_sum"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed
