@@ -1779,3 +1779,79 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) / F.col("__n_sources") / F.col("n_tokens"), 6
         ).alias("epochs_for_equal_share"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+{_JACCARD_EDGE_CTES.strip()},
+reach AS (
+    SELECT doc_id AS id, doc_id AS comp FROM docs_aug
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+q AS (
+    SELECT doc_id,
+           round(0.4 * ({_DUCK_LEN_OK})
+               + 0.3 * (1 - least(({_DUCK_DIGIT}) * 5, 1.0))
+               + 0.3 * least(({_DUCK_SW_RATIO}) * 5, 1.0), 6) AS quality
+    FROM docs_aug
+),
+ranked AS (
+    SELECT l.component, l.id, q.quality,
+           row_number() OVER (PARTITION BY l.component
+                              ORDER BY q.quality DESC, l.id) AS rn,
+           count(*) OVER (PARTITION BY l.component) AS cluster_size
+    FROM lab l JOIN q ON q.doc_id = l.id
+)
+SELECT component, cluster_size, id AS keep_doc_id, quality AS keep_quality
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 terminal rung, production flavor: per near-dup cluster keep the
+    HIGHEST-QUALITY document, not the smallest id — the policy real
+    pretraining dedup applies (near-dup groups keep the cleanest copy).
+    Clusters come from the same fingerprint + exact-Jaccard edges as
+    dedup_clusters (full transitive closure via distributed connected
+    components); the keeper is a per-cluster argmax over the rounded
+    quality score with an id tiebreak. One window over cluster ids —
+    cluster count is corpus-bounded and the per-cluster state is the
+    member list, already delta-sized by LSH pruning upstream."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.graph import connected_components
+    from s4hanaconnector_spark.operators.text import fingerprint, quality_score
+
+    d = docs_aug(spark, sf_dir)
+    fpt = d.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    fpe = fpt.select(
+        F.col("doc_id").alias("src"),
+        F.min("doc_id").over(W.partitionBy("f")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    jpe = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, df_cap=128).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(
+        fpe.unionAll(jpe), nodes=d.select("doc_id"), id_col="doc_id"
+    )
+    q = d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+    j = labels.join(q, labels["id"] == q["doc_id"]).select(
+        "component", "id", "quality"
+    )
+    w = W.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    wc = W.partitionBy("component")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "cluster_size",
+            F.col("id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )
