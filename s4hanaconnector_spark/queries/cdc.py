@@ -1279,3 +1279,90 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         F.col("measure_sum").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "streaming_apply_changes",
+    _DELTA_ORACLE_BODY
+    + """
+, delta AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l._transactionid, l.o_orderkey, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+)
+SELECT o.* FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM delta WHERE _change_type <> 'D'
+""",
+)
+def streaming_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL consumer loop through the real streaming
+    engine: the PKLOG change feed lands as two poll files (split by txid),
+    a file stream drains them one micro-batch each, and every foreachBatch
+    runs the whole delta pipeline — per-PK latest dedup of the batch's
+    keys, stream-static join against the source for current values, delete
+    classification — then MERGEs the result onto a versioned parquet
+    snapshot with apply_changes. The final materialized table must equal
+    the one-shot batch merge over the same (LO, HI] range (the
+    cdc_apply_changes oracle): per-PK latest-wins composes across
+    micro-batches because later polls carry strictly higher txids, the
+    same argument the reference relies on for its poll loop. State
+    versions are per batch id (replay overwrites its own version)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders).filter(
+        (F.col("transactionid") > LO) & (F.col("transactionid") <= HI)
+    )
+    d = tempfile.mkdtemp(prefix="stream_apply_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    mid = (LO + HI) // 2
+    pklog.filter(F.col("transactionid") <= mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    pklog.filter(F.col("transactionid") > mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+    orders.write.parquet(os.path.join(state_dir, "v_base"))
+
+    from s4hanaconnector_spark.streaming.core import PKLOG_DDL
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        versions = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))
+        prev = [v for v in versions if v < os.path.join(state_dir, f"v_{batch_id:06d}")]
+        state = s.read.parquet(prev[-1] if prev else os.path.join(state_dir, "v_base"))
+        # the delta pipeline against the STATIC source, scoped to this
+        # micro-batch's keys (O10-O14 inside foreachBatch)
+        batch = C.cdc_delta(
+            orders, batch_df, ORDERS_IDENTITY,
+            LO, HI, strategy="broadcast",
+        )
+        new_state = C.apply_changes(state, batch, ["o_orderkey"])
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:06d}")
+        )
+
+    stream = (
+        spark.readStream.schema(PKLOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_apply_changes did not drain")
+    final = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
+    return spark.read.parquet(final)
