@@ -1366,3 +1366,109 @@ def streaming_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("streaming_apply_changes did not drain")
     final = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
     return spark.read.parquet(final)
+
+
+@register(
+    "source_csv_roundtrip",
+    """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderkey % 4 = 0
+GROUP BY o_orderpriority
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source surface (sources/files.py): a deterministic orders subset
+    is exported to CSV in-query and read back with an EXPLICIT schema
+    (never inferSchema — it scans twice and types drift), then aggregated.
+    The oracle computes the same aggregate straight from the parquet
+    fixture, so the gate proves the CSV round trip is value-exact through
+    the text format — including decimal-sensitive money via the string
+    representation. Projection pruning applies to the CSV scan like any
+    source; this is the extract-file ingestion path a Spark deployment of
+    the reference uses when JDBC isn't reachable."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.sources.files import read_csv
+
+    sub = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    d = tempfile.mkdtemp(prefix="csv_src_")
+    path = os.path.join(d, "orders_csv")
+    sub.write.option("header", "true").csv(path)
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_totalprice double, o_orderpriority string",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    """
+SELECT o_orderkey,
+       o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderkey % 5 AS tag_count
+FROM orders WHERE o_orderkey % 9 = 0
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON source surface with NESTED types: each exported
+    record carries a struct (meta.custkey/orderdate-as-string) and an array
+    of tags; the explicit read schema types them natively (struct access +
+    size(), no string parsing). The oracle rebuilds the same flat view from
+    the fixture, proving nested JSON round-trips typed end-to-end. Explicit
+    schema keeps the scan single-pass; a malformed line would land in
+    _corrupt_record instead of failing the job (tests/test_sources_files)."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.sources.files import read_json
+
+    sub = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_custkey").alias("custkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            ).alias("meta"),
+            # sequence(1, 0) DESCENDS in Spark (same pitfall chunk_by_tokens
+            # guards) — empty tag lists need an explicit empty array
+            F.when(
+                F.col("o_orderkey") % 5 >= 1,
+                F.expr("sequence(1, CAST(o_orderkey % 5 AS INT))"),
+            )
+            .otherwise(F.array().cast("array<int>"))
+            .alias("tags"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="json_src_")
+    path = os.path.join(d, "orders_json")
+    sub.write.json(path)
+    back = read_json(
+        spark,
+        path,
+        schema=(
+            "o_orderkey bigint, "
+            "meta struct<custkey: bigint, orderdate: string>, "
+            "tags array<int>"
+        ),
+    )
+    return back.select(
+        "o_orderkey",
+        F.col("meta.custkey").alias("o_custkey"),
+        F.col("meta.orderdate").alias("orderdate"),
+        F.coalesce(F.size("tags"), F.lit(0)).cast("bigint").alias("tag_count"),
+    )

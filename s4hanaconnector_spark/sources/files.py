@@ -1,0 +1,90 @@
+"""File-format sources beyond parquet: CSV and JSON (line-delimited) with
+the discipline a 100 TB deployment needs.
+
+The reference ingests exclusively over JDBC (S4HanaProducer.java) — these
+loaders exist because a Spark-native deployment of the same engine receives
+extracts and event feeds as files. Rules encoded here:
+
+  * EXPLICIT schema always. ``inferSchema`` reads the data twice and types
+    drift run-to-run; at scale the second pass alone is the cost of the
+    whole job. Schemas come from the mapping layer (mapping.py) or a DDL
+    string — never from sampling.
+  * PERMISSIVE + ``_corrupt_record`` by default: a bad line lands in the
+    corrupt column instead of killing the 10-hour job (FAILFAST is the
+    opt-in for pipelines that prefer loud death). ``corrupt_rows`` splits
+    them out for quarantine sinks.
+  * Both loaders return plain DataFrames — filters and projections push
+    into the scan exactly as with parquet (CSV/JSON get column pruning and
+    partition pruning; predicate pushdown is format-limited, which is one
+    more reason the engine's canonical storage stays parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: str) -> str:
+    return f"{schema}, {CORRUPT_COL} string"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+    keep_corrupt_col: bool = False,
+) -> DataFrame:
+    """CSV with explicit schema. ``mode``: PERMISSIVE (default; malformed
+    lines land in ``_corrupt_record``), DROPMALFORMED, or FAILFAST."""
+    full = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    if mode == "PERMISSIVE" and not keep_corrupt_col:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    keep_corrupt_col: bool = False,
+) -> DataFrame:
+    """Line-delimited JSON with explicit schema (nested structs/arrays come
+    through typed, not as strings)."""
+    full = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
+    df = (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if mode == "PERMISSIVE" and not keep_corrupt_col:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
+
+
+def corrupt_rows(df: DataFrame) -> DataFrame:
+    """The quarantine side of a PERMISSIVE read (requires
+    ``keep_corrupt_col=True``): full rows whose raw line failed the schema
+    (parsed columns NULL, the offending text in ``_corrupt_record``), ready
+    for a dead-letter sink. Returns every column, and CACHES the parsed
+    scan first — Spark refuses plans that reference ONLY the internal
+    corrupt column on a raw file scan (a count() over the quarantine
+    prunes down to exactly that), and its documented remedy is caching the
+    parsed result. Quarantine volume is malformed-lines-sized, so the
+    cache is cheap; the full row is what a dead-letter sink wants anyway."""
+    return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
