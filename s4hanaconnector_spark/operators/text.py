@@ -510,3 +510,69 @@ def pack_sequences(
         "seq_id",
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document bigram language-model score — the KenLM-style fluency
+    filter (CCNet and most pretraining pipelines gate documents on LM
+    perplexity; this is the engine-native n-gram version): train add-one-
+    smoothed bigram statistics ON the corpus itself, then score each
+    document by its mean log-probability. Gibberish and boilerplate score
+    low; fluent prose scores high.
+
+      lp(w1, w2) = ln( (c(w1,w2) + 1) / (c(w1) + V) )
+      score(doc) = sum(lp over the doc's bigrams) / n_bigrams
+
+    Cross-engine determinism: each bigram's log-prob is rounded to 6
+    digits FIRST (libm ln() may differ in the last ulp between engines)
+    and then summed as exact DECIMAL — term-level rounding + decimal
+    addition makes the 100-term per-doc sum order-free, where a raw
+    float SUM would depend on partition arrival order.
+
+    Shapes: one posexplode produces the token stream; bigrams come from a
+    per-doc lag window (one shuffle on doc id); the count tables aggregate
+    map-side and join back on the bigram key; V and the 1-row corpus stats
+    broadcast. Documents with < 2 tokens emit no row."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        id_col,
+        F.lag("w").over(w).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("__v"))
+    lp = (
+        c12.join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("__v"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        big.join(lp, on=["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("__s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )

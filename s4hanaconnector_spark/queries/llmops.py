@@ -1855,3 +1855,46 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("keep_quality"),
         )
     )
+
+
+@register(
+    "lm_fluency_scores",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest({_DUCK_TOKS.replace('text', 'lower(text)')}) AS w,
+           generate_subscripts({_DUCK_TOKS.replace('text', 'lower(text)')}, 1) AS pos
+    FROM documents
+),
+big AS (
+    SELECT doc_id,
+           lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           w AS w2
+    FROM toks
+    QUALIFY w1 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM toks),
+lp AS (
+    SELECT c12.w1, c12.w2,
+           CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS lp
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(sum(lp.lp) AS DOUBLE) / count(*), 6) AS avg_logp
+FROM big b JOIN lp ON lp.w1 = b.w1 AND lp.w2 = b.w2
+GROUP BY b.doc_id
+""",
+)
+def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based fluency filter (operators/text.py bigram_lm_scores): the
+    engine-native version of the KenLM perplexity gate pretraining
+    pipelines (CCNet-style) run on every document — an add-one-smoothed
+    bigram model trained on the corpus itself scores each doc's mean
+    log-probability. Determinism comes from rounding each bigram's libm
+    log BEFORE the sum and accumulating in exact DECIMAL, so the per-doc
+    sum is partition-order-free; the oracle replays the identical model
+    and fold."""
+    return X.bigram_lm_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
