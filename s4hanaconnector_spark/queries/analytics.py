@@ -2878,3 +2878,156 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(ri)
     )
+
+
+@register(
+    "orders_pareto_customers",
+    """
+WITH per_cust AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT sum(rev) AS total FROM per_cust),
+ranked AS (
+    SELECT o_custkey, rev,
+           sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rnk
+    FROM per_cust
+)
+SELECT r.rnk, r.o_custkey,
+       CAST(r.rev AS DOUBLE) AS revenue,
+       CAST(r.cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(r.cum_rev * 5 <= t.total * 4 AS INT) AS in_top80pct
+FROM ranked r CROSS JOIN tot t
+ORDER BY r.rnk LIMIT 50
+""",
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by revenue with the running
+    cumulative and an exact 80%-frontier flag (cum*5 <= total*4 — the
+    decimal cross-multiplication keeps the threshold division-free). The
+    running sum over DECIMAL is order-deterministic because the rank order
+    is total (revenue DESC, custkey tiebreak). One aggregate shuffle per
+    customer, one global-ordered window over the (customer-bounded)
+    aggregate, 1-row total broadcast back."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    tot = per_cust.agg(F.sum("rev").alias("__total"))
+    w = W.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_rev"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "o_custkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            (F.col("cum_rev") * 5 <= F.col("__total") * 4).cast("int").alias("in_top80pct"),
+        )
+        .orderBy("rnk")
+        .limit(50)
+    )
+
+
+@register(
+    "basket_part_pairs",
+    """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS support
+FROM pairs GROUP BY part_a, part_b
+HAVING count(*) >= 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 50
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the same
+    order, with a minimum-support floor. The self-join runs on the
+    DISTINCT (order, part) item set — per-basket fan-out is items², safe
+    because baskets are naturally small (TPC-H caps 7 line items; for
+    long-tail baskets the same hot-key cap as the LSH bucket join
+    applies). Support counts are exact ints; ORDER + LIMIT carries the
+    full (support, a, b) tiebreak so the frontier is set-deterministic."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH rfm AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartile scores per
+    customer, aggregated to segment sizes (the classic CRM cube). Each
+    ntile carries a customer-id tiebreak so quartile boundaries are
+    engine-deterministic; monetary goes through DECIMAL. The three global
+    windows run over the per-customer AGGREGATE (bounded), not raw orders
+    — at corpus scale swap ntile for broadcast approx-percentile cutoffs,
+    the same note as curriculum_order."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey"))).cast("long").alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey"))).cast("long").alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey"))).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
