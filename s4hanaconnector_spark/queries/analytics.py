@@ -3031,3 +3031,113 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS out_n FROM trans GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       round(CAST(t.n AS DOUBLE) / o.out_n, 6) AS p
+FROM trans t JOIN tot o USING (from_type)
+ORDER BY t.n DESC, t.from_type, t.to_type
+LIMIT 50
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the path-analysis primitive behind next-action prediction and funnel
+    discovery. One lag window per user (single shuffle on user_id),
+    transition counts aggregate map-side, and each row's probability
+    normalizes by the from-state's out-degree (|event types|² table,
+    broadcast-sized). Exact counts; one rounded division; fully tiebroken
+    frontier."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("out_n"))
+    return (
+        trans.join(F.broadcast(tot), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("out_n"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), F.asc("from_type"), F.asc("to_type"))
+        .limit(50)
+    )
+
+
+@register(
+    "cohort_retention_matrix",
+    """
+WITH firsts AS (
+    SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT) AS week_offset
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       count(*) AS active_users
+FROM activity
+WHERE week_offset <= 8
+GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — users bucketed by first-seen week,
+    counted per subsequent week offset (the activation dashboard every
+    growth team runs). The first-seen reduction is one aggregate; the
+    cohort label joins back broadcast (|users| rows after reduction); the
+    distinct (user, offset) pass makes a user count once per active week.
+    All calendar math in exact day arithmetic; week labels emitted as ISO
+    strings so both engines agree on the bucket key."""
+    e = t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.select("user_id", wk.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort_week")
+    )
+    activity = (
+        e.select("user_id", wk.alias("w"))
+        .join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
