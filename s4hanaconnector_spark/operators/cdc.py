@@ -368,6 +368,44 @@ def retention_filter(pklog: DataFrame, now_ts: Column | str, days: int = 7) -> D
 # ---------------------------------------------------------------------------
 # E13 — apply a CDC batch onto a snapshot (consumer side of O26)
 # ---------------------------------------------------------------------------
+def latest_per_pk(batch: DataFrame, pk_names: list[str]) -> DataFrame:
+    """Reduce a CDC batch to ONE row per PK — the last writer — with
+    DETERMINISTIC tie-breaking: a batch may carry two rows for one PK at the
+    same txid (insert+update in one transaction, different transaction_seq) —
+    max-txid-only would keep both. transaction_seq is the true
+    within-transaction order; when it is absent the last writer is
+    unknowable, so the fallback is an explicit change-type rank
+    (D=3 > U=2 > I=1 > A=0): a same-txid tie always resolves delete-wins,
+    not by the letter of the change type (raw lexicographic DESC would let
+    'U' beat 'D' but 'D' beat 'A'). Shared by ``apply_changes`` and every
+    maintenance operator that applies a batch's algebraic effect — both
+    MUST agree on which row per PK survives or the maintained state
+    diverges from a recompute."""
+    from pyspark.sql import Window
+
+    order_cols = []
+    if "_transactionid" in batch.columns:
+        order_cols.append(F.col("_transactionid").desc())
+    if "transaction_seq" in batch.columns:
+        order_cols.append(F.col("transaction_seq").desc())
+    if "_change_type" in batch.columns:
+        order_cols.append(
+            F.when(F.col("_change_type") == "D", 3)
+            .when(F.col("_change_type") == "U", 2)
+            .when(F.col("_change_type") == "I", 1)
+            .otherwise(0)
+            .desc()
+        )
+    if not order_cols:  # not a CDC-shaped batch; arbitrary-but-total order
+        order_cols = [F.lit(1)]
+    w = Window.partitionBy(*pk_names).orderBy(*order_cols)
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_changes(
     snapshot: DataFrame,
     batch: DataFrame,
@@ -390,33 +428,7 @@ def apply_changes(
     without a column means "unchanged", not "removed"). The default
     projects the batch onto the snapshot's schema — unknown batch columns
     are ignored, so widening the OUTPUT schema is an explicit opt-in."""
-    from pyspark.sql import Window
-
-    # Per-PK latest with DETERMINISTIC tie-breaking: a batch may carry two
-    # rows for one PK at the same txid (insert+update in one transaction,
-    # different transaction_seq) — max-txid-only would keep both and upsert
-    # the row twice. transaction_seq is the true within-transaction order;
-    # when it is absent the last writer is unknowable, so the fallback is an
-    # explicit change-type rank (D=3 > U=2 > I=1 > A=0): a same-txid tie
-    # always resolves delete-wins, not by the letter of the change type
-    # (raw lexicographic DESC would let 'U' beat 'D' but 'D' beat 'A').
-    order_cols = [F.col("_transactionid").desc()]
-    if "transaction_seq" in batch.columns:
-        order_cols.append(F.col("transaction_seq").desc())
-    if "_change_type" in batch.columns:
-        order_cols.append(
-            F.when(F.col("_change_type") == "D", 3)
-            .when(F.col("_change_type") == "U", 2)
-            .when(F.col("_change_type") == "I", 1)
-            .otherwise(0)
-            .desc()
-        )
-    w = Window.partitionBy(*pk_names).orderBy(*order_cols)
-    latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = latest_per_pk(batch, pk_names)
     data_cols = [c for c in snapshot.columns]
     if evolve_schema:
         meta = {"_change_type", "_transactionid", "transaction_seq"}
@@ -625,8 +637,15 @@ def maintain_grouped_agg(
             (-F.sum(m)).alias("__s"),
         )
     )
+    # The plus leg MUST see exactly one row per PK — the same last-writer
+    # row apply_changes would materialize. A batch carrying insert+update
+    # for one PK in one transaction (the exact case apply_changes's window
+    # dedup exists for) would otherwise double-count that PK here while the
+    # minus leg subtracts its snapshot row only once, silently diverging
+    # the maintained aggregate from apply_changes + recompute.
     plus = (
-        batch.filter(F.col("_change_type") != "D")
+        latest_per_pk(batch, pk_names)
+        .filter(F.col("_change_type") != "D")
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("__n"),

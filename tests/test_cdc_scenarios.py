@@ -449,6 +449,45 @@ def test_maintain_grouped_agg_drops_emptied_group(spark):
     assert out == {"a": (1, 10.0), "c": (1, 21.0)}  # b emptied, 2 moved a->c
 
 
+def test_maintain_grouped_agg_two_changes_one_pk(spark):
+    """A batch carrying insert+update for ONE PK in one transaction (the
+    exact case apply_changes's window dedup exists for) must contribute the
+    LATEST row once, not both rows — the maintained aggregate has to equal
+    apply_changes + recompute."""
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0)], "id bigint, grp string, v double"
+    )
+    batch = spark.createDataFrame(
+        # id=2: I(v=100) then U(v=7) at the same txid, seq orders them;
+        # id=1: U then D — the delete must win, so group a keeps only... nothing new
+        [
+            ("I", 2, "a", 100.0, 5, 1),
+            ("U", 2, "a", 7.0, 5, 2),
+            ("U", 1, "a", 99.0, 5, 1),
+            ("D", 1, None, None, 5, 2),
+        ],
+        "_change_type string, id bigint, grp string, v double,"
+        " _transactionid bigint, transaction_seq int",
+    )
+    maintained = {
+        r["grp"]: (r["n_rows"], float(r["measure_sum"]))
+        for r in C.maintain_grouped_agg(snap, batch, ["id"], ["grp"], "v").collect()
+    }
+    assert maintained == {"a": (1, 7.0)}
+    # cross-check against the ground truth: merge then recompute
+    merged = C.apply_changes(snap, batch, ["id"])
+    recomputed = {
+        r["grp"]: (r["n_rows"], float(r["measure_sum"]))
+        for r in merged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("measure_sum"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed
+
+
 def test_snapshot_diff_roundtrips_through_apply_changes(spark):
     """The bootstrap invariant: apply_changes(old, snapshot_diff(old, new))
     reproduces new exactly — including NULL-safe U detection and D rows
