@@ -64,9 +64,14 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     CPU-bound, so spread it across all cores when the source has fewer input
     splits than the cluster has slots (a handful of parquet footers at small
     SF; at 100 TB the file splits already exceed core count and the
-    repartition is skipped)."""
+    repartition is skipped). The split-count probe is ``inputFiles()``
+    (file-listing metadata, no plan conversion — ``rdd.getNumPartitions()``
+    would force an RDD translation of the whole plan on the driver per
+    call); non-file-backed inputs (in-memory test frames) skip the
+    repartition, which is exactly right for them."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
         df = df.repartition(parallelism)
     toksed = df.select(
         F.col(id_col).alias("doc"),

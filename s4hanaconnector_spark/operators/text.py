@@ -434,8 +434,11 @@ def pmi_collocations(
 def rank_by_score(
     df: DataFrame, score_col: str, id_col: str, rank_col: str = "rank"
 ) -> DataFrame:
-    """Dense ranking of a scored result: row_number over (score DESC, id) —
-    the id tiebreak makes the frontier deterministic on any engine. Single
+    """row_number ranking (ties broken by id) of a scored result — NOT
+    dense_rank, deliberately: RRF's 1/(k+rank) needs every row to hold a
+    distinct rank, and duplicate ranks under score ties would change
+    rrf_fuse results. The id tiebreak makes the frontier deterministic on
+    any engine. Single
     window over one (empty-key) partition is fine for RANKING OUTPUTS
     (top-k lists, per-query candidates), which are bounded; never apply to
     corpus-sized relations."""

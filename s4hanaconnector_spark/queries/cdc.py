@@ -1309,8 +1309,14 @@ def streaming_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot batch merge over the same (LO, HI] range (the
     cdc_apply_changes oracle): per-PK latest-wins composes across
     micro-batches because later polls carry strictly higher txids, the
-    same argument the reference relies on for its poll loop. State
-    versions are per batch id (replay overwrites its own version)."""
+    same argument the reference relies on for its poll loop. That
+    ordering invariant is ENFORCED, not assumed: each state version
+    records the max txid it absorbed in a sidecar, and merge_batch
+    asserts the incoming batch's min txid is strictly above it — an
+    out-of-order delivery (older values clobbering newer state) fails
+    loudly instead of silently corrupting the snapshot. State versions
+    are per batch id (replay overwrites its own version, and the replayed
+    batch compares against the PRIOR version's frontier, so replays pass)."""
     import glob as _glob
     import os
     import tempfile
@@ -1339,6 +1345,27 @@ def streaming_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         versions = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))
         prev = [v for v in versions if v < os.path.join(state_dir, f"v_{batch_id:06d}")]
         state = s.read.parquet(prev[-1] if prev else os.path.join(state_dir, "v_base"))
+        # Enforce monotone delivery: apply_changes blindly upserts, so an
+        # out-of-order micro-batch (txids at or below the already-applied
+        # frontier) would let stale values overwrite newer state. Spark's
+        # FileStreamSource delivers in mod-time-then-path order, which
+        # makes this hold — but the invariant is checked, not trusted.
+        frontier = LO
+        if prev:
+            fp = os.path.join(
+                state_dir, "tx_" + os.path.basename(prev[-1])[2:] + ".txt"
+            )
+            if os.path.exists(fp):
+                with open(fp) as fh:
+                    frontier = int(fh.read())
+        span = batch_df.agg(
+            F.min("transactionid").alias("lo"), F.max("transactionid").alias("hi")
+        ).collect()[0]
+        if span["lo"] is not None and span["lo"] <= frontier:
+            raise AssertionError(
+                f"out-of-order micro-batch: min txid {span['lo']} <= "
+                f"applied frontier {frontier}"
+            )
         # the delta pipeline against the STATIC source, scoped to this
         # micro-batch's keys (O10-O14 inside foreachBatch)
         batch = C.cdc_delta(
@@ -1349,6 +1376,8 @@ def streaming_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v_{batch_id:06d}")
         )
+        with open(os.path.join(state_dir, f"tx_{batch_id:06d}.txt"), "w") as fh:
+            fh.write(str(span["hi"] if span["hi"] is not None else frontier))
 
     stream = (
         spark.readStream.schema(PKLOG_DDL)

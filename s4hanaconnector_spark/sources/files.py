@@ -31,6 +31,28 @@ def _with_corrupt(schema: str) -> str:
     return f"{schema}, {CORRUPT_COL} string"
 
 
+def _clean(df: DataFrame) -> DataFrame:
+    """Drop quarantined rows from a PERMISSIVE scan, keeping column-free
+    downstream queries legal. Filtering ``_corrupt_record IS NULL`` alone
+    breaks ``read_csv(...).count()``: the count prunes every data column,
+    Spark sees a raw-file plan referencing ONLY the internal corrupt
+    column and rejects it (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN). Its documented remedy — cache the parsed scan — is
+    unacceptable as a default on a 100 TB read, and DROPMALFORMED is
+    worse: with no referenced columns Spark skips parsing entirely and
+    silently COUNTS malformed lines (verified on 4.1.2). Instead the
+    filter carries a non-foldable tautology on the first data column
+    (``c IS NULL OR c IS NOT NULL``), so every plan references at least
+    one real column: correctness unchanged, cost one extra scan column in
+    the (rare) column-free plans only. Pinned by tests so a future
+    Catalyst that constant-folds the tautology fails loudly here."""
+    first = df.columns[0]
+    keep = F.col(CORRUPT_COL).isNull() & (
+        F.col(first).isNull() | F.col(first).isNotNull()
+    )
+    return df.filter(keep).drop(CORRUPT_COL)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -41,7 +63,11 @@ def read_csv(
     keep_corrupt_col: bool = False,
 ) -> DataFrame:
     """CSV with explicit schema. ``mode``: PERMISSIVE (default; malformed
-    lines land in ``_corrupt_record``), DROPMALFORMED, or FAILFAST."""
+    lines land in ``_corrupt_record``), DROPMALFORMED, or FAILFAST.
+
+    The default clean path supports column-free downstream queries
+    (``read_csv(...).count()``) without caching — see ``_clean`` for the
+    mechanism and why DROPMALFORMED/cache were rejected."""
     full = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
     df = (
         spark.read.schema(full)
@@ -52,7 +78,7 @@ def read_csv(
         .csv(path)
     )
     if mode == "PERMISSIVE" and not keep_corrupt_col:
-        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        df = _clean(df)
     return df
 
 
@@ -64,7 +90,8 @@ def read_json(
     keep_corrupt_col: bool = False,
 ) -> DataFrame:
     """Line-delimited JSON with explicit schema (nested structs/arrays come
-    through typed, not as strings)."""
+    through typed, not as strings). The clean path supports column-free
+    queries like ``read_csv`` does (see ``_clean``)."""
     full = _with_corrupt(schema) if mode == "PERMISSIVE" else schema
     df = (
         spark.read.schema(full)
@@ -73,7 +100,7 @@ def read_json(
         .json(path)
     )
     if mode == "PERMISSIVE" and not keep_corrupt_col:
-        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        df = _clean(df)
     return df
 
 

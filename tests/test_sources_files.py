@@ -26,6 +26,11 @@ def test_csv_permissive_quarantines_bad_lines(spark, tmp_path):
     _write(p, ["id,val", "1,a", "not-a-number,b", "3,c"])
     clean = read_csv(spark, str(tmp_path / "d"), "id bigint, val string")
     assert {(r["id"], r["val"]) for r in clean.collect()} == {(1, "a"), (3, "c")}
+    # Column-free query on the clean path must be BOTH legal and correct:
+    # a bare corrupt-column filter raises AnalysisException here, and
+    # DROPMALFORMED would return a silently wrong 3 (unparsed count).
+    # Pins the _clean tautology against future constant-folding.
+    assert clean.count() == 2
 
     kept = read_csv(
         spark, str(tmp_path / "d"), "id bigint, val string", keep_corrupt_col=True
@@ -58,5 +63,6 @@ def test_json_nested_schema_and_quarantine(spark, tmp_path):
     clean = read_json(spark, str(tmp_path / "j"), schema)
     got = {(r["id"], r["meta"]["k"], len(r["tags"])) for r in clean.collect()}
     assert got == {(1, 10, 2), (2, 20, 0)}
+    assert clean.count() == 2  # column-free query legal + correct
     kept = read_json(spark, str(tmp_path / "j"), schema, keep_corrupt_col=True)
     assert corrupt_rows(kept).count() == 1
