@@ -1,0 +1,202 @@
+"""Avro schema rendering of a :class:`TableMapping` — the schema document
+the reference publishes to its schema registry.
+
+Reference parity: ``createSchema`` (S4HanaTableMapping.java:577-597) walks
+``columnmappings`` and adds one NULLABLE Avro field per column
+(``valueschema.add(columnname, getDataType(hanadatatypestring), null,
+true)``), flags primary-key fields (``AvroField.setPrimaryKey``, :583-585),
+and builds the record through ``ValueSchema`` (:391-397); field names pass
+through ``AvroNameEncoder.encodeName`` (S4HanaProducer.java:220 — the
+``_xHHHH`` scheme in ``mapping.encode_name``). The HANA-type switch rendered
+here is ``getDataType`` (S4HanaTableMapping.java:603-677) line for line.
+
+Rendering choices (the reference uses the public rtdi KafkaAvro datatype
+wrappers; this module emits PLAIN Avro any registry/consumer can read):
+
+  * standard logical types where Avro defines them — ``decimal`` (bytes,
+    precision/scale), ``date``, ``time-millis``, ``timestamp-micros``
+    (TIMESTAMP), ``timestamp-millis`` (SECONDDATE — second precision stored
+    in millis, matching the reference's AvroTimestamp choice);
+  * bounded strings (CHAR/VARCHAR/NCHAR/NVARCHAR/ALPHANUM) carry their HANA
+    length as a ``maxLength`` attribute (extra schema attributes are legal
+    Avro and preserved by parsers — the same mechanism the rtdi wrappers
+    use for their custom logical types);
+  * every field is the nullable union ``["null", T]`` with ``default:
+    null`` (the reference passes ``nullable=true`` for every column);
+  * PK fields carry ``primarykey: true`` and 1-based ``pkposition`` field
+    attributes (AvroField.setPrimaryKey); the original HANA declaration
+    rides in a ``hanadatatype`` field attribute so the document round-trips
+    the mapping's type information exactly;
+  * unknown HANA types raise ``ValueError`` with the reference's wording
+    (:674-676).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+# the reference's parse regex, S4HanaTableMapping.java:604
+_DECL_RE = re.compile(r"(\w*)\s*\(?\s*(\d*)\s*,?\s*(\d*)\s*\)?.*")
+
+_AVRO_NAME_OK = re.compile(r"[A-Za-z0-9_]")
+
+
+def avro_encode_name(name: str) -> str:
+    """Avro-STRICT ``_xHHHH`` encoding (AvroNameEncoder.encodeName,
+    S4HanaProducer.java:220): Avro names must match
+    ``[A-Za-z_][A-Za-z0-9_]*``, so unlike the filesystem encoder
+    (``mapping.encode_name``, which keeps ``.``) this one also encodes
+    dots and a leading digit — the reference needs two encoders for the
+    same reason."""
+    out: list[str] = []
+    for i, ch in enumerate(name):
+        ok = _AVRO_NAME_OK.match(ch) and not (i == 0 and ch.isdigit())
+        if ok and not (ch == "_" and name[i + 1 : i + 2] == "x"):
+            out.append(ch)
+        else:
+            out.append(f"_x{ord(ch):04x}")
+    return "".join(out)
+
+_PLAIN: dict[str, str | dict] = {
+    # integers (AvroShort/AvroInt/AvroLong, :619-626). Avro has no 16-bit
+    # type, so SHORT widens to int; HANA TINYINT is UNSIGNED 0..255 (:619)
+    # and therefore must not narrow to a signed byte.
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "long",
+    # floats (:629-632)
+    "REAL": "float",
+    "DOUBLE": "double",
+    # binary (:638-641,651,663)
+    "BINARY": "bytes",
+    "VARBINARY": "bytes",
+    "BLOB": "bytes",
+    "BINTEXT": "bytes",
+    # temporal (:643-647,667)
+    "DATE": {"type": "int", "logicalType": "date"},
+    "TIME": {"type": "int", "logicalType": "time-millis"},
+    "TIMESTAMP": {"type": "long", "logicalType": "timestamp-micros"},
+    "SECONDDATE": {"type": "long", "logicalType": "timestamp-millis"},
+    # unbounded text (AvroCLOB/AvroNCLOB, :649,659-665)
+    "CLOB": "string",
+    "NCLOB": "string",
+    "TEXT": "string",
+    "SHORTTEXT": "string",
+    # geometry as WKT strings (documented deviation from the reference's
+    # AvroSTPoint/AvroSTGeometry wrappers; types.py makes the same choice)
+    "ST_POINT": "string",
+    "ST_GEOMETRY": "string",
+    "BOOLEAN": "boolean",
+}
+
+_BOUNDED_STRING = {"CHAR", "VARCHAR", "NCHAR", "NVARCHAR", "ALPHANUM"}
+
+
+def hana_to_avro(decl: str) -> str | dict:
+    """Avro type (JSON shape) for one HANA type declaration —
+    ``getDataType`` (S4HanaTableMapping.java:603-677)."""
+    m = _DECL_RE.match(decl or "")
+    base = (m.group(1) if m else "").upper()
+    length = int(m.group(2)) if m and m.group(2) else 0
+    scale = int(m.group(3)) if m and m.group(3) else 0
+    if base in _PLAIN:
+        t = _PLAIN[base]
+        return dict(t) if isinstance(t, dict) else t
+    if base in _BOUNDED_STRING:
+        out: dict = {"type": "string"}
+        if length:
+            out["maxLength"] = length
+        return out
+    if base == "DECIMAL":
+        # bare DECIMAL: float-ish decimal, max precision (types.py choice)
+        p = length if length else 38
+        s = scale if length else 10
+        return {"type": "bytes", "logicalType": "decimal", "precision": p, "scale": s}
+    if base == "SMALLDECIMAL":
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": length if length else 16,
+            "scale": scale,
+        }
+    raise ValueError(
+        f"Table contains a data type which is not known: {decl!r} "
+        "(S4HanaTableMapping.java:674-676)"
+    )
+
+
+def field_to_avro(cm: ColumnMapping, pkcolumns: list[str]) -> dict:
+    """One nullable Avro field (createSchema, S4HanaTableMapping.java:580-586)."""
+    avro_t = hana_to_avro(cm.hanadatatype) if cm.hanadatatype else "string"
+    f: dict = {
+        "name": avro_encode_name(cm.alias),
+        "type": ["null", avro_t],
+        "default": None,
+    }
+    if cm.hanadatatype:
+        f["hanadatatype"] = cm.hanadatatype
+    src = cm.source_column or cm.alias
+    if src in pkcolumns:
+        f["primarykey"] = True
+        f["pkposition"] = pkcolumns.index(src) + 1
+    return f
+
+
+def mapping_to_avro(mapping: TableMapping, namespace: str | None = None) -> dict:
+    """The full Avro record document for one mapping — what the reference
+    registers per topic (getAvroSchema, S4HanaTableMapping.java:391-397).
+
+    Raises the reference's "schema definition file does not contain any
+    columns" error (:589-590) on an empty mapping."""
+    if not mapping.columnmappings:
+        raise ValueError(
+            "The schema definition file does not contain any columns! "
+            "(S4HanaTableMapping.java:589-590)"
+        )
+    rec: dict = {
+        "type": "record",
+        "name": avro_encode_name(mapping.name),
+        "fields": [field_to_avro(cm, mapping.pkcolumns) for cm in mapping.columnmappings],
+    }
+    if namespace:
+        rec["namespace"] = namespace
+    return rec
+
+
+def mapping_to_avro_json(mapping: TableMapping, namespace: str | None = None) -> str:
+    """Canonical (sorted-keys, 2-space) JSON text of the schema document —
+    the byte-stable form for registry upload and golden tests."""
+    return json.dumps(mapping_to_avro(mapping, namespace), indent=2, sort_keys=True)
+
+
+def schema_rows(mapping: TableMapping) -> list[tuple]:
+    """Schema-as-rows: one tuple per field, the declared-query surface.
+
+    Columns: (field_pos, field_name, avro_type, logical_type, precision,
+    scale, max_length, is_pk, pk_position, hanadatatype) — every attribute
+    the reference's registry document carries, flattened for the oracle
+    hash gate."""
+    rows = []
+    for i, f in enumerate(mapping_to_avro(mapping)["fields"], start=1):
+        t = f["type"][1]  # the non-null branch of the union
+        base = t if isinstance(t, str) else t["type"]
+        logical = t.get("logicalType") if isinstance(t, dict) else None
+        rows.append(
+            (
+                i,
+                f["name"],
+                base,
+                logical,
+                t.get("precision") if isinstance(t, dict) else None,
+                t.get("scale") if isinstance(t, dict) else None,
+                t.get("maxLength") if isinstance(t, dict) else None,
+                bool(f.get("primarykey", False)),
+                f.get("pkposition"),
+                f.get("hanadatatype"),
+            )
+        )
+    return rows

@@ -1,5 +1,6 @@
 """Declared queries: reference scalar-function surface (E29), SAP type
-conversions (E15), and business-object nesting (E14)."""
+conversions (E15), business-object nesting (E14), and the Avro schema
+export (O28/O29 registry document)."""
 
 from __future__ import annotations
 
@@ -7,8 +8,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s4hanaconnector_spark import functions as H
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
 from s4hanaconnector_spark.operators.nesting import nest
 from s4hanaconnector_spark.queries.registry import register, t
+
+# One column per branch of the reference's HANA->Avro switch
+# (getDataType, S4HanaTableMapping.java:603-677), plus a ``::``-bearing
+# PK name to exercise AvroNameEncoder encoding (S4HanaProducer.java:220).
+_TYPE_GALLERY = TableMapping(
+    name="typegallery",
+    mastertable="typegallery",
+    columnmappings=[
+        ColumnMapping(a, f'"L1"."{a}"', d)
+        for a, d in [
+            ("ID", "BIGINT"), ("HEAD::KEY", "NVARCHAR(10)"),
+            ("C_TINY", "TINYINT"), ("C_SMALL", "SMALLINT"),
+            ("C_INT", "INTEGER"), ("C_DEC", "DECIMAL(15, 2)"),
+            ("C_DECBARE", "DECIMAL"), ("C_SDEC", "SMALLDECIMAL"),
+            ("C_REAL", "REAL"), ("C_DOUBLE", "DOUBLE"),
+            ("C_CHAR", "CHAR(5)"), ("C_VARCHAR", "VARCHAR(100)"),
+            ("C_NCHAR", "NCHAR(5)"), ("C_NVARCHAR", "NVARCHAR(200)"),
+            ("C_ALPHANUM", "ALPHANUM(12)"), ("C_BINARY", "BINARY(16)"),
+            ("C_VARBINARY", "VARBINARY(2000)"), ("C_BLOB", "BLOB"),
+            ("C_BINTEXT", "BINTEXT"), ("C_DATE", "DATE"),
+            ("C_TIME", "TIME"), ("C_TS", "TIMESTAMP"),
+            ("C_SECDATE", "SECONDDATE"), ("C_CLOB", "CLOB"),
+            ("C_NCLOB", "NCLOB"), ("C_TEXT", "TEXT"),
+            ("C_SHORTTEXT", "SHORTTEXT(300)"), ("C_STPOINT", "ST_POINT"),
+            ("C_STGEOM", "ST_GEOMETRY"), ("C_BOOL", "BOOLEAN"),
+        ]
+    ],
+    pkcolumns=["ID", "HEAD::KEY"],
+)
 
 
 @register(
@@ -116,6 +147,130 @@ def nest_orders_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), "
             "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("qty_sum"),
+    )
+
+
+@register(
+    "sap_type_edges",
+    """
+SELECT o_orderkey,
+       CAST(o_orderkey % 256 AS SMALLINT) AS tiny,
+       lpad(CAST((o_orderkey % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(((o_orderkey % 86400) % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST((o_orderkey % 86400) % 60 AS VARCHAR), 2, '0') AS time_s,
+       strftime(date_trunc('second',
+            make_timestamp(epoch_us(o_orderdate) + (o_orderkey % 86400) * 1000000
+                           + (o_orderkey % 997) * 1003)),
+            '%Y-%m-%d %H:%M:%S') AS seconddate_s,
+       CAST(CAST(o_totalprice AS DECIMAL(38,10)) AS VARCHAR) AS dec38_s,
+       CAST(CAST(o_totalprice AS DECIMAL(27,10))
+            + CAST('0.0000000001' AS DECIMAL(27,10)) AS VARCHAR) AS dec_eps_s
+FROM orders
+""",
+)
+def sap_type_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #7 — the HANA type-map EDGES as oracle-gated values, not
+    just unit-tested declarations (S4HanaTableMapping.java:619-667):
+
+      * TINYINT is UNSIGNED 0..255 (:619): mapped to SMALLINT/short, the
+        0 and 255 boundaries round-trip as themselves (a signed-byte
+        mapping would wrap 255 to -1 and fail the hash);
+      * TIME -> 'HH:mm:ss' string encoding (types.py documented choice —
+        Spark has no TimeType);
+      * SECONDDATE truncates to SECOND precision (AvroTimestamp, :667):
+        a synthetic timestamp with a live microsecond component must drop
+        exactly the sub-second part on both engines;
+      * DECIMAL(38,10) round-trips through the string form with full
+        scale, and epsilon ARITHMETIC at the last decimal place survives
+        at DECIMAL(27,10) (38,10 addition would force Spark's
+        overflow-scale-reduction to (38,9) and silently drop the epsilon —
+        the declared surface pins the widest scale-preserving width)."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = k % 86400
+    return o.select(
+        "o_orderkey",
+        (k % 256).cast("short").alias("tiny"),
+        F.concat(
+            F.lpad(F.floor(s / 3600).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(F.floor((s % 3600) / 60).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad((s % 60).cast("string"), 2, "0"),
+        ).alias("time_s"),
+        F.date_format(
+            F.date_trunc(
+                "second",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    + s * 1000000 + (k % 997) * 1003
+                ),
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("seconddate_s"),
+        F.col("o_totalprice").cast("decimal(38,10)").cast("string").alias("dec38_s"),
+        (
+            F.col("o_totalprice").cast("decimal(27,10)")
+            + F.lit("0.0000000001").cast("decimal(27,10)")
+        ).cast("string").alias("dec_eps_s"),
+    )
+
+
+@register(
+    "avro_schema_export",
+    """
+SELECT * FROM (VALUES
+ (CAST(1 AS BIGINT), 'ID', 'long', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true, CAST(1 AS BIGINT), 'BIGINT'),
+ (2, 'HEAD_x003a_x003aKEY', 'string', NULL, NULL, NULL, 10, true, 2, 'NVARCHAR(10)'),
+ (3, 'C_TINY', 'int', NULL, NULL, NULL, NULL, false, NULL, 'TINYINT'),
+ (4, 'C_SMALL', 'int', NULL, NULL, NULL, NULL, false, NULL, 'SMALLINT'),
+ (5, 'C_INT', 'int', NULL, NULL, NULL, NULL, false, NULL, 'INTEGER'),
+ (6, 'C_DEC', 'bytes', 'decimal', 15, 2, NULL, false, NULL, 'DECIMAL(15, 2)'),
+ (7, 'C_DECBARE', 'bytes', 'decimal', 38, 10, NULL, false, NULL, 'DECIMAL'),
+ (8, 'C_SDEC', 'bytes', 'decimal', 16, 0, NULL, false, NULL, 'SMALLDECIMAL'),
+ (9, 'C_REAL', 'float', NULL, NULL, NULL, NULL, false, NULL, 'REAL'),
+ (10, 'C_DOUBLE', 'double', NULL, NULL, NULL, NULL, false, NULL, 'DOUBLE'),
+ (11, 'C_CHAR', 'string', NULL, NULL, NULL, 5, false, NULL, 'CHAR(5)'),
+ (12, 'C_VARCHAR', 'string', NULL, NULL, NULL, 100, false, NULL, 'VARCHAR(100)'),
+ (13, 'C_NCHAR', 'string', NULL, NULL, NULL, 5, false, NULL, 'NCHAR(5)'),
+ (14, 'C_NVARCHAR', 'string', NULL, NULL, NULL, 200, false, NULL, 'NVARCHAR(200)'),
+ (15, 'C_ALPHANUM', 'string', NULL, NULL, NULL, 12, false, NULL, 'ALPHANUM(12)'),
+ (16, 'C_BINARY', 'bytes', NULL, NULL, NULL, NULL, false, NULL, 'BINARY(16)'),
+ (17, 'C_VARBINARY', 'bytes', NULL, NULL, NULL, NULL, false, NULL, 'VARBINARY(2000)'),
+ (18, 'C_BLOB', 'bytes', NULL, NULL, NULL, NULL, false, NULL, 'BLOB'),
+ (19, 'C_BINTEXT', 'bytes', NULL, NULL, NULL, NULL, false, NULL, 'BINTEXT'),
+ (20, 'C_DATE', 'int', 'date', NULL, NULL, NULL, false, NULL, 'DATE'),
+ (21, 'C_TIME', 'int', 'time-millis', NULL, NULL, NULL, false, NULL, 'TIME'),
+ (22, 'C_TS', 'long', 'timestamp-micros', NULL, NULL, NULL, false, NULL, 'TIMESTAMP'),
+ (23, 'C_SECDATE', 'long', 'timestamp-millis', NULL, NULL, NULL, false, NULL, 'SECONDDATE'),
+ (24, 'C_CLOB', 'string', NULL, NULL, NULL, NULL, false, NULL, 'CLOB'),
+ (25, 'C_NCLOB', 'string', NULL, NULL, NULL, NULL, false, NULL, 'NCLOB'),
+ (26, 'C_TEXT', 'string', NULL, NULL, NULL, NULL, false, NULL, 'TEXT'),
+ (27, 'C_SHORTTEXT', 'string', NULL, NULL, NULL, NULL, false, NULL, 'SHORTTEXT(300)'),
+ (28, 'C_STPOINT', 'string', NULL, NULL, NULL, NULL, false, NULL, 'ST_POINT'),
+ (29, 'C_STGEOM', 'string', NULL, NULL, NULL, NULL, false, NULL, 'ST_GEOMETRY'),
+ (30, 'C_BOOL', 'boolean', NULL, NULL, NULL, NULL, false, NULL, 'BOOLEAN')
+) AS t(field_pos, field_name, avro_type, logical_type, "precision", scale, max_length, is_pk, pk_position, hanadatatype)
+""",
+)
+def avro_schema_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28/O29 registry document: the Avro schema the engine would publish
+    for a mapping covering EVERY branch of the reference's HANA->Avro type
+    switch (getDataType, S4HanaTableMapping.java:603-677), flattened to one
+    row per field. The oracle is the hand-derived expectation transcribed
+    from the reference source, so the gate is a line-by-line parity check
+    of nullable-union types, decimal/date/time/timestamp logical types,
+    bounded-string lengths, PK flags+positions (setPrimaryKey, :583-585)
+    and ``_xHHHH`` name encoding. The full JSON document (nullable unions
+    and all) is golden-tested in tests/test_avro_schema.py."""
+    from s4hanaconnector_spark.avro_schema import schema_rows
+
+    return spark.createDataFrame(
+        schema_rows(_TYPE_GALLERY),
+        schema=(
+            "field_pos bigint, field_name string, avro_type string,"
+            " logical_type string, precision bigint, scale bigint,"
+            " max_length bigint, is_pk boolean, pk_position bigint,"
+            " hanadatatype string"
+        ),
     )
 
 

@@ -1,0 +1,127 @@
+"""Avro schema export (O28/O29 registry document): golden-file test against
+the committed .avsc, type-switch edges, strict-name encoding, and the
+reference's error cases. Counterpart of the driver-gated
+``avro_schema_export`` query (queries/surface.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from s4hanaconnector_spark.avro_schema import (
+    avro_encode_name,
+    field_to_avro,
+    hana_to_avro,
+    mapping_to_avro,
+    mapping_to_avro_json,
+)
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+MAPPING_GOLDEN = os.path.join(GOLDEN_DIR, "demo.orders_x003a_x003aSO.Header.json")
+AVSC_GOLDEN = os.path.join(GOLDEN_DIR, "demo.orders_x003a_x003aSO.Header.avsc")
+
+
+def load_golden() -> TableMapping:
+    with open(MAPPING_GOLDEN) as f:
+        return TableMapping.from_json(json.load(f))
+
+
+def test_golden_avsc_byte_stable():
+    """The rendered registry document for the reference-shaped sample
+    mapping equals the committed golden byte for byte."""
+    got = mapping_to_avro_json(load_golden(), namespace="s4hanaconnector_spark")
+    with open(AVSC_GOLDEN) as f:
+        assert got + "\n" == f.read()
+
+
+def test_golden_avsc_shape():
+    doc = mapping_to_avro(load_golden())
+    assert doc["type"] == "record"
+    # record name is Avro-strict: dots AND '::' encoded
+    assert doc["name"] == "demo_x002eorders_x003a_x003aSO_x002eHeader"
+    fields = {f["name"]: f for f in doc["fields"]}
+    # every field nullable union with null default (createSchema passes
+    # nullable=true for every column, S4HanaTableMapping.java:582)
+    for f in doc["fields"]:
+        assert f["type"][0] == "null" and f["default"] is None
+    # PK flag + position (setPrimaryKey, :583-585)
+    assert fields["o_orderkey"]["primarykey"] is True
+    assert fields["o_orderkey"]["pkposition"] == 1
+    assert "primarykey" not in fields["o_custkey"]
+    # decimal logical type with precision/scale
+    dec = fields["o_totalprice"]["type"][1]
+    assert dec == {
+        "type": "bytes", "logicalType": "decimal", "precision": 15, "scale": 2,
+    }
+    # bounded string carries its HANA length
+    assert fields["status_u"]["type"][1] == {"type": "string", "maxLength": 1}
+
+
+@pytest.mark.parametrize(
+    "decl,expected",
+    [
+        # one assertion per switch branch family (getDataType, :603-677)
+        ("TINYINT", "int"),          # unsigned 0..255 -> must not be a byte
+        ("SMALLINT", "int"),
+        ("INTEGER", "int"),
+        ("BIGINT", "long"),
+        ("REAL", "float"),
+        ("DOUBLE", "double"),
+        ("BLOB", "bytes"),
+        ("BINTEXT", "bytes"),
+        ("DATE", {"type": "int", "logicalType": "date"}),
+        ("TIME", {"type": "int", "logicalType": "time-millis"}),
+        ("TIMESTAMP", {"type": "long", "logicalType": "timestamp-micros"}),
+        ("SECONDDATE", {"type": "long", "logicalType": "timestamp-millis"}),
+        ("CLOB", "string"),
+        ("TEXT", "string"),
+        ("BOOLEAN", "boolean"),
+        # parameterized, with the reference's whitespace tolerance (:604)
+        (
+            "DECIMAL( 15 , 2 )",
+            {"type": "bytes", "logicalType": "decimal", "precision": 15, "scale": 2},
+        ),
+        (
+            "SMALLDECIMAL",
+            {"type": "bytes", "logicalType": "decimal", "precision": 16, "scale": 0},
+        ),
+        ("NVARCHAR(10)", {"type": "string", "maxLength": 10}),
+        ("ALPHANUM(12)", {"type": "string", "maxLength": 12}),
+    ],
+)
+def test_type_switch(decl, expected):
+    assert hana_to_avro(decl) == expected
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError, match="not known"):
+        hana_to_avro("HYPERLOGLOG")
+
+
+def test_empty_mapping_raises():
+    m = TableMapping(name="e", mastertable="e", pkcolumns=["k"])
+    with pytest.raises(ValueError, match="does not contain any columns"):
+        mapping_to_avro(m)
+
+
+def test_avro_names_strict():
+    """Avro names must match [A-Za-z_][A-Za-z0-9_]* — dots, colons, and
+    leading digits all encode; plain identifiers pass through; the
+    underscore-before-x ambiguity is escaped so decode is unambiguous."""
+    assert avro_encode_name("SALESORDERID") == "SALESORDERID"
+    assert avro_encode_name("HISTORY.CREATEDAT") == "HISTORY_x002eCREATEDAT"
+    assert avro_encode_name("A::B") == "A_x003a_x003aB"
+    assert avro_encode_name("1COL") == "_x0031COL"
+    assert avro_encode_name("a_xb") == "a_x005fxb"
+    import re
+
+    for raw in ["HISTORY.CREATEDBY.EMPLOYEEID", "9lives", "A::B", "ok_name"]:
+        assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", avro_encode_name(raw))
+
+
+def test_computed_column_without_decl_defaults_to_string():
+    f = field_to_avro(ColumnMapping("c", 'upper("L1"."x")', None), [])
+    assert f["type"] == ["null", "string"] and "hanadatatype" not in f
