@@ -62,6 +62,86 @@ def nest(
     )
 
 
+def maintain_nested_docs(
+    nested_snapshot: DataFrame,
+    master: DataFrame,
+    detail: DataFrame,
+    master_batch: DataFrame,
+    detail_batch: DataFrame,
+    master_pk: list[str],
+    joincondition: list[dict],
+    schemafield: str,
+    detail_cols: list[str] | None = None,
+    sort_detail_by: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a materialized nested-document table under
+    master+detail CDC batches: re-nest ONLY the documents whose master row
+    changed or whose detail set changed, keep every other document as-is.
+
+    This is the composition the reference implies but never ships: its
+    latent BO model (tmp JSON:76-160, EditBusinessObject.view:72-105)
+    defines the nested document, its delta loop (S4HanaProducer.java)
+    ships row-level changes — "detail row changed => re-emit the affected
+    nested document" is what a consumer of both must do.
+
+    Inputs: ``master``/``detail`` are the POST-merge (current) tables;
+    ``master_batch``/``detail_batch`` are the CDC batches that produced
+    them (``_change_type`` + at least the key columns; delete rows carry
+    their PK, the cdc_delta output shape). The maintained output equals
+    ``nest(master, detail, ...)`` recomputed from scratch — that equality
+    is the oracle (``cdc_nested_bo_maintenance``).
+
+    Scale: the affected-key sets are delta-sized and BROADCAST; the big
+    sides are touched exactly once each — snapshot anti-join (removes
+    stale docs), master semi-join, detail semi-join (both prune to
+    delta-sized subsets before the nest's shuffle). Nothing re-nests the
+    100 TB document table; the nest runs on |affected| masters only."""
+    left_keys = [jc["left"] for jc in joincondition]
+    right_keys = [jc["right"] for jc in joincondition]
+
+    # Masters to recompute: (a) every PK in the master batch (U/I rebuild,
+    # D drops below), (b) every master whose join key appears in the
+    # detail batch. Delete rows carry PKs, so both arrive key-complete.
+    from_master = master_batch.select(*master_pk).distinct()
+    changed_keys = detail_batch.select(
+        *[F.col(r).alias(l) for l, r in zip(left_keys, right_keys)]
+    ).distinct()
+    via_detail = master.join(
+        F.broadcast(changed_keys), on=left_keys, how="left_semi"
+    ).select(*master_pk)
+    affected = from_master.unionByName(via_detail).distinct()
+
+    # Re-nest the affected documents from the current tables: ALL detail
+    # rows of an affected master, not only the changed ones.
+    re_master = master.join(F.broadcast(affected), on=master_pk, how="left_semi")
+    affected_left = re_master.select(*left_keys).distinct()
+    re_detail = detail.join(
+        F.broadcast(
+            affected_left.select(
+                *[F.col(l).alias(r) for l, r in zip(left_keys, right_keys)]
+            )
+        ),
+        on=right_keys,
+        how="left_semi",
+    )
+    rebuilt = nest(
+        re_master,
+        re_detail,
+        joincondition=joincondition,
+        schemafield=schemafield,
+        detail_cols=detail_cols,
+        sort_detail_by=sort_detail_by,
+    )
+
+    # Deleted masters are in `affected` (their PK was in the batch) but not
+    # in `re_master` (gone from the merged table) — the anti-join removes
+    # their stale doc and nothing re-adds it.
+    untouched = nested_snapshot.join(
+        F.broadcast(affected), on=master_pk, how="left_anti"
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def materialize_business_object(mapping, load_table, keep_keys: tuple = ()):
     """Walk a TableMapping's ``relations`` tree RECURSIVELY (the reference's
     latent model allows relations inside detail mappings, tmp JSON:148) and

@@ -449,6 +449,22 @@ def test_maintain_grouped_agg_drops_emptied_group(spark):
     assert out == {"a": (1, 10.0), "c": (1, 21.0)}  # b emptied, 2 moved a->c
 
 
+def test_seven_pk_columns_rejected():
+    """The reference hard-caps mappings at 6 PK columns
+    (S4HanaTableMapping.java:137-139) — a 7-PK mapping must be rejected at
+    construction, before any PKLOG column could silently drop."""
+    from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+    pks = [f"k{i}" for i in range(1, 8)]
+    with pytest.raises(ValueError, match="6 primary key columns"):
+        TableMapping(
+            name="too_many",
+            mastertable="too_many",
+            columnmappings=[ColumnMapping(c, f'"L1"."{c}"') for c in pks],
+            pkcolumns=pks,
+        )
+
+
 def test_maintain_grouped_agg_two_changes_one_pk(spark):
     """A batch carrying insert+update for ONE PK in one transaction (the
     exact case apply_changes's window dedup exists for) must contribute the

@@ -202,3 +202,18 @@ def test_broadcast_if_small_guards_having_set_joins(spark, sf_dir):
 
     rows_h = sorted(map(tuple, hinted.collect()))
     assert rows_h == rows_u
+
+
+def test_nested_bo_maintenance_renest_is_delta_sized(spark, sf_dir):
+    """VERDICT r3 #2 plan contract: the incremental BO maintenance must
+    re-nest only delta-sized subsets — every join the rebuild leg performs
+    against the big master/detail tables is a BROADCAST semi/anti join on
+    the (delta-sized) affected-key sets, and nothing in the plan re-nests
+    the full document table via a sort-merge join."""
+    plan = plan_of(spark, sf_dir, "cdc_nested_bo_maintenance")
+    # affected-key pruning joins: all broadcast, delta side on the build side
+    assert "BroadcastHashJoin" in plan, plan
+    semi_joins = len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan))
+    assert semi_joins >= 3, f"expected >=3 broadcast semi joins (master prune, detail prune, via-detail affected), got {semi_joins}\n{plan}"
+    # the stale-doc removal is a broadcast anti join, not a shuffle
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
