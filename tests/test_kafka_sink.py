@@ -1,0 +1,146 @@
+"""Kafka-framed Writer (VERDICT r3 #4): frame-byte assertions for the
+reference's wire format (key = PK record, value = full record, headers =
+change-type/txid/schema, one topic per mapping —
+S4HanaProducer.java:442,619-625) and the sink protocol composed with the
+framed writer (exactly-once ranges, replace-on-replay)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from s4hanaconnector_spark.kafka_sink import KafkaFramedWriter, frame, topic_name
+from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+from tests.test_poll import MAPPING, NOW, _pklog, _src, _txns
+
+BO_MAPPING = TableMapping(
+    name="demo::SO.Header",
+    mastertable="t",
+    columnmappings=[
+        ColumnMapping("id", '"L1"."id"'),
+        ColumnMapping("val", '"L1"."val"'),
+    ],
+    pkcolumns=["id"],
+)
+
+
+def _delta(spark):
+    return spark.createDataFrame(
+        [
+            Row(_change_type="A", _transactionid=10, id=1, val="a"),
+            Row(_change_type="D", _transactionid=11, id=2, val=None),
+        ],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+
+
+def test_frame_bytes(spark):
+    """The exact frame: key JSON holds ONLY the PK fields; value JSON the
+    record; headers carry change-type/txid/schema as bytes; topic is the
+    Avro-encoded mapping name."""
+    rows = {r["key"]: r for r in frame(_delta(spark), BO_MAPPING).collect()}
+    assert set(rows) == {'{"id":1}', '{"id":2}'}
+
+    up = rows['{"id":1}']
+    assert up["topic"] == "demo_x003a_x003aSO.Header".replace(".", "_x002e")
+    assert up["topic"] == topic_name(BO_MAPPING)
+    assert json.loads(up["value"]) == {"id": 1, "val": "a"}
+    headers = {h["key"]: bytes(h["value"]) for h in up["headers"]}
+    assert headers["change-type"] == b"A"
+    assert headers["txid"] == b"10"
+    assert headers["schema"] == topic_name(BO_MAPPING).encode()
+
+    # delete: PK-only payload (to_json drops the NULL field), 'D' header
+    dl = rows['{"id":2}']
+    assert json.loads(dl["value"]) == {"id": 2}
+    dheaders = {h["key"]: bytes(h["value"]) for h in dl["headers"]}
+    assert dheaders["change-type"] == b"D" and dheaders["txid"] == b"11"
+
+
+def test_frame_is_pure_projection(spark):
+    """Framing must add no shuffle to the delta plan (it runs inside the
+    delivery of every poll)."""
+    plan = (
+        frame(_delta(spark), BO_MAPPING)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_kafka_writer_through_sink_protocol(spark, tmp_path):
+    """RangeCommitSink + KafkaFramedWriter: the crash-window proof of
+    test_poll, now with framed delivery — a marker-less (crashed) delivery
+    is REPLACED by the replay (abort-and-republish), a committed range
+    skips, and the topic holds the framed rows."""
+    writer = KafkaFramedWriter({"t": MAPPING})
+    sink = RangeCommitSink(str(tmp_path / "out"), writer=writer)
+    src = _src(spark, [(1, "a"), (2, "b")])
+    log = _pklog(spark, [("U", 1, 10), ("U", 2, 10)])
+    topic = topic_name(MAPPING)
+
+    # crash window: uncommitted garbage frames on the topic, no marker
+    writer.topics[topic] = {"t/txid_hi=10": [{"key": "orphan"}]}
+    hi = poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    assert hi == 10 and sink.committed("t", 10)
+    delivered = writer.topics[topic]["t/txid_hi=10"]
+    assert {r["key"] for r in delivered} == {'{"id":1}', '{"id":2}'}  # replaced
+    for r in delivered:
+        hdr = {h["key"]: bytes(h["value"]) for h in r["headers"]}
+        assert hdr["change-type"] == b"A" and hdr["schema"] == topic.encode()
+
+    # replay of the committed range: topic untouched
+    before = json.dumps(
+        {t: {k: [r["key"] for r in v] for k, v in d.items()}
+         for t, d in writer.topics.items()},
+        sort_keys=True,
+    )
+    poll(spark, [MAPPING], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
+    after = json.dumps(
+        {t: {k: [r["key"] for r in v] for k, v in d.items()}
+         for t, d in writer.topics.items()},
+        sort_keys=True,
+    )
+    assert before == after
+
+
+def test_writer_requires_known_mapping(spark):
+    writer = KafkaFramedWriter({"t": MAPPING})
+    with pytest.raises(KeyError):
+        writer.write("unknown/txid_hi=1", _delta(spark))
+
+
+def test_frame_unframe_apply_changes_roundtrip(spark):
+    """The consumer loop the reference stubs (S4HanaConsumerProperties):
+    frame -> (topic) -> unframe reproduces the typed delta batch, and
+    apply_changes over the unframed batch equals applying the original —
+    the full producer->Kafka->consumer path is value-exact."""
+    from s4hanaconnector_spark.kafka_sink import unframe
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+
+    typed = TableMapping(
+        name="t",
+        mastertable="t",
+        columnmappings=[
+            ColumnMapping("id", '"L1"."id"', "BIGINT"),
+            ColumnMapping("val", '"L1"."val"', "NVARCHAR(10)"),
+        ],
+        pkcolumns=["id"],
+    )
+    batch = _delta(spark)
+    back = unframe(frame(batch, typed), typed)
+    assert back.schema.simpleString() == (
+        "struct<_change_type:string,_transactionid:bigint,id:bigint,val:string>"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+    snap = spark.createDataFrame(
+        [Row(id=1, val="old"), Row(id=2, val="gone"), Row(id=3, val="keep")],
+        "id bigint, val string",
+    )
+    direct = sorted(map(tuple, apply_changes(snap, batch, ["id"]).collect()))
+    via_kafka = sorted(map(tuple, apply_changes(snap, back, ["id"]).collect()))
+    assert direct == via_kafka == [(1, "a"), (3, "keep")]
