@@ -330,6 +330,100 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(q, c, k=10, n_centroids=16, n_probe=4)
 
 
+@register(
+    "similarity_ivf_recall",
+    """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+bfp AS (
+    SELECT q.q_id, c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+),
+bfx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bfp),
+bfs AS (
+    SELECT q_id, c_id, round({cos}, 6) AS cosine FROM bfx GROUP BY q_id, c_id
+),
+bf AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM bfs
+    ) WHERE rn <= 10
+),
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+),
+ax AS (
+    SELECT e.vec_id, e.embedding AS qv, c.cent_id, c.cv,
+           unnest(range(1, len(e.embedding) + 1)) AS i
+    FROM embeddings e CROSS JOIN cent c
+),
+aff AS (
+    SELECT vec_id, cent_id, round({cos}, 6) AS aff FROM ax GROUP BY vec_id, cent_id
+),
+rankedc AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
+    FROM aff
+),
+cells AS (SELECT vec_id AS c_id, cent_id AS cell FROM rankedc WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM rankedc WHERE rn <= 4 AND vec_id < 5),
+cand AS (
+    SELECT p.q_id, c.c_id, qe.embedding AS qv, ce.embedding AS cv
+    FROM probes p
+    JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id
+    JOIN embeddings qe ON qe.vec_id = p.q_id
+    JOIN embeddings ce ON ce.vec_id = c.c_id
+),
+cx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM cand),
+ivs AS (
+    SELECT q_id, c_id, round({cos}, 6) AS cosine FROM cx GROUP BY q_id, c_id
+),
+iv AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM ivs
+    ) WHERE rn <= 10
+)
+SELECT bf.q_id, count(*) AS n_exact, count(iv.c_id) AS n_hit
+FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.c_id = iv.c_id
+GROUP BY bf.q_id
+""".format(cos=_COS_DOT),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #5: recall@10 of the IVF rung vs the EXACT brute-force
+    rung as an oracle-checked contract — per query, how many of the true
+    top-10 the 4-of-16-cell probe recovered, as exact integer counts (no
+    float recall in the hash gate). The query function additionally
+    ASSERTS the aggregate recall floor (>= 60%), so a quantizer or probe
+    regression fails the gate loudly rather than shipping a silently
+    worse index; the measured number also motivates the production sizing
+    path (kmeans_centroids: sampled KMeans, ~sqrt(N) cells)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    bf = S.brute_force_topk(q, c, k=10).select("q_id", "c_id")
+    iv = S.ivf_topk(q, c, k=10, n_centroids=16, n_probe=4).select(
+        F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
+    )
+    out = (
+        bf.join(
+            iv, (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")), "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.col("ic")).alias("n_hit"),
+        )
+    )
+    totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
+    # integer cross-multiplication, no float division (determinism rules)
+    assert totals["h"] * 100 >= totals["e"] * 60, (
+        f"IVF recall regression: {totals['h']}/{totals['e']} below 60%"
+    )
+    return out
+
+
 _EMB_AUG_CTE = """
 e_aug AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
