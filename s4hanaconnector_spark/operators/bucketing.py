@@ -92,6 +92,49 @@ def compact_partitions(
     shutil.move(tmp, path)
 
 
+def zorder_value(cols: list, bits: int = 16):
+    """Morton/Z-order key: bit-interleave of N non-negative integer columns
+    into one LONG (col j contributes bit b to output position ``b*N + j``).
+
+    Sorting/range-partitioning by this key clusters rows that are close in
+    EVERY dimension into the same parquet row groups, so min/max statistics
+    prune multi-dimension predicates — the layout trick Delta's OPTIMIZE
+    ZORDER and Iceberg's sort orders use, available here as a plain column
+    expression (pure shifts/ands, whole-stage-codegen'd, no UDF).
+
+    ``bits`` bounds each dimension at 2^bits; map wider domains down first
+    (e.g. ``pmod(key, 1 << bits)`` or day-number offsets). Row-local and
+    exact in any engine with integer shifts."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            col = (F.col(c) if isinstance(c, str) else c).cast("long")
+            bit = F.shiftrightunsigned(col, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * n + j)
+    return z
+
+
+def cluster_zorder(df: DataFrame, cols: list, bits: int = 16, n_files: int | None = None) -> DataFrame:
+    """Lay ``df`` out in Z-order on ``cols``: range-partition on the Morton
+    key (sampled boundaries, fully parallel — NOT a global sort) and sort
+    within each partition, so every output file covers a tight hyper-rectangle
+    of the key space. Write the result with ``write_partitioned`` /
+    plain parquet; multi-dim point and range scans then skip most files and
+    row groups on min/max alone."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(cols, bits).alias("__z")
+    out = df.withColumn("__z", z)
+    if n_files:
+        out = out.repartitionByRange(n_files, F.col("__z"))
+    else:
+        out = out.repartitionByRange(F.col("__z"))
+    return out.sortWithinPartitions("__z").drop("__z")
+
+
 def cluster_within_partitions(df: DataFrame, cols: list[str]) -> DataFrame:
     """Sort rows WITHIN each partition by ``cols`` without any shuffle
     (``sortWithinPartitions``) — parquet then writes tight min/max row-group

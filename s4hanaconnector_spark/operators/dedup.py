@@ -83,6 +83,41 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def ngram_coverage(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, min_df: int = 2
+) -> DataFrame:
+    """Per-document cross-corpus repeated n-gram coverage: the fraction of a
+    document's distinct word n-grams that occur in >= ``min_df`` documents.
+
+    This is the sub-string-level dedup signal (suffix-array duplication rate
+    in the Lee et al. '22 "Deduplicating Training Data" sense, re-expressed
+    over word shingles): a document whose shingles are mostly corpus-repeats
+    is boilerplate or a near-copy even when no SINGLE partner document
+    crosses a pairwise Jaccard threshold — exactly the case the pairwise
+    ladder rungs cannot see.
+
+    Scale shape: shingle explode -> groupBy(shingle) document-frequency (one
+    shuffle on short string keys, map-side partial counts) -> join back on
+    shingle -> groupBy(doc). Never pairwise; cost is linear in total
+    shingles. Returns (doc, total_shingles, dup_shingles, coverage)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    return (
+        sh.join(counts, on="shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(F.when(F.col("df_count") >= min_df, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_shingles"),
+        )
+        .withColumn(
+            "coverage",
+            F.col("dup_shingles").cast("double") / F.col("total_shingles"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,

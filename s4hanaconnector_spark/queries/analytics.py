@@ -822,6 +822,55 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    """
+WITH sel AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+), stats AS (
+    SELECT l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS cnt
+    FROM sel GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(s.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       count(*) AS n
+FROM sel s JOIN stats t ON s.l_partkey = t.l_partkey
+WHERE CAST(s.l_quantity AS DECIMAL(18,2)) * 5 * t.cnt < t.sum_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average as a window-free
+    agg-and-join-back. The literal text runs `l_quantity < 0.2 * avg(...)`
+    as a correlated scalar subquery per lineitem; here the part filter is
+    broadcast into lineitem FIRST (the per-part average only ever needs the
+    lineitems of the selected parts), then ONE per-partkey aggregate feeds
+    both the threshold and the final sum — one lineitem scan, one shuffle.
+    The 0.2x threshold is exact integer-cross-multiplied
+    (5 * qty * cnt < sum_qty), never a float division, so Spark and the
+    oracle agree bit-for-bit."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    sel = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = sel.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    j = sel.join(F.broadcast(stats), on="l_partkey").filter(
+        _dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "supplier_nation_stats",
     """
 SELECT n.n_name,
@@ -2561,6 +2610,98 @@ def timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_interpolate",
+    """
+WITH obs AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+           round(max(value), 6) AS v
+    FROM events
+    WHERE user_id % 50 = 0
+    GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(d) AS mn, max(d) AS mx FROM obs GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+    FROM bounds
+),
+joined AS (
+    SELECT s.user_id, s.d, o.v FROM spine s LEFT JOIN obs o USING (user_id, d)
+),
+ctx AS (
+    SELECT user_id, d, v,
+           last_value(v IGNORE NULLS) OVER w_prev AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER w_prev AS pd,
+           first_value(v IGNORE NULLS) OVER w_next AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER w_next AS nd
+    FROM joined
+    WINDOW w_prev AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * datediff('day', pd, d) / datediff('day', pd, nd)
+        END, 6) AS value,
+       CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+FROM ctx
+""",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E110: linear-interpolation gap fill (TimescaleDB ``interpolate`` /
+    pandas ``interpolate('time')`` for telemetry): per entity, a generated
+    day spine between its first and last reading is filled by interpolating
+    between the previous and next observations — prev/next located with
+    IGNORE-NULLS window frames, NOT a self-join, so the whole fill is two
+    frames over ONE user_id shuffle that the spine explode, the join and
+    the windows all share. Readings are rounded before interpolating and
+    the lerp is one fixed-order IEEE expression, so both engines emit
+    identical bits."""
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.round(F.max("value"), 6).alias("v"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+    )
+    j = spine.join(obs, on=["user_id", "d"], how="left")
+    w_prev = W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("user_id").orderBy("d").rowsBetween(0, W.unboundedFollowing)
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    ctx = j.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("d"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return ctx.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp), 6).alias(
+            "value"
+        ),
+        F.when(F.col("v").isNotNull(), F.lit("obs")).otherwise(F.lit("interp")).alias(
+            "src"
+        ),
+    )
+
+
+@register(
     "map_priority_rank",
     """
 SELECT CASE o_orderpriority
@@ -2719,6 +2860,69 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows_key"), F.asc("hot_key"))
         .limit(5)
+    )
+
+
+_Z_TERMS = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(10)
+)
+
+
+@register(
+    "layout_zorder_spans",
+    f"""
+WITH d AS (
+    SELECT o_orderkey,
+           o_custkey % 1024 AS x,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+    FROM orders
+),
+z AS (
+    SELECT o_orderkey, x, y, {_Z_TERMS} AS zval FROM d
+),
+b AS (
+    SELECT x, y, ntile(16) OVER (ORDER BY zval, o_orderkey) AS bucket FROM z
+)
+SELECT bucket, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       (max(x) - min(x)) + (max(y) - min(y)) AS span
+FROM b GROUP BY bucket
+""",
+)
+def layout_zorder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E109: Z-order layout effectiveness report — orders keyed by
+    (customer, order-day) are Morton-interleaved (operators.bucketing.
+    zorder_value: pure shifts/ands, codegen'd) and cut into 16 contiguous
+    z-ranges; per range the report shows the min/max hyper-rectangle both
+    dimensions stay inside, i.e. exactly the parquet min/max stats a
+    multi-dim predicate would prune on. The deterministic ntile stand-in
+    here mirrors what ``cluster_zorder``'s repartitionByRange does with
+    sampled boundaries at scale (sampling is not oracle-reproducible; the
+    file-skipping effect is identical). All-integer arithmetic end-to-end."""
+    from s4hanaconnector_spark.operators.bucketing import zorder_value
+
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            % 1024
+        ).alias("y"),
+    )
+    z = d.withColumn("zval", zorder_value(["x", "y"], bits=10))
+    b = z.select(
+        "x", "y", F.ntile(16).over(W.orderBy("zval", "o_orderkey")).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        ((F.max("x") - F.min("x")) + (F.max("y") - F.min("y"))).alias("span"),
     )
 
 

@@ -168,6 +168,39 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_coverage",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+dfreq AS (
+    SELECT shingle, count(*) AS df_count FROM shingles GROUP BY shingle
+),
+cov AS (
+    SELECT doc,
+           count(*) AS total_shingles,
+           CAST(sum(CASE WHEN df_count >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles
+    FROM shingles JOIN dfreq USING (shingle)
+    GROUP BY doc
+)
+SELECT doc, total_shingles, dup_shingles,
+       CAST(dup_shingles AS DOUBLE) / total_shingles AS coverage
+FROM cov
+WHERE CAST(dup_shingles AS DOUBLE) / total_shingles >= 0.5
+""",
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E106: sub-document duplication rate — fraction of each document's
+    distinct 3-gram shingles occurring in >= 2 documents. Flags boilerplate
+    and diffuse near-copies that no single pairwise comparison crosses a
+    threshold on (the suffix-array-duplication signal of Lee et al. '22,
+    re-expressed as corpus-frequency joins: linear in shingles, never
+    pairwise). Coverage is one exact-integer division, so the frontier
+    cannot float-flip."""
+    cov = D.ngram_coverage(docs_aug(spark, sf_dir), "text", "doc_id")
+    return cov.filter(F.col("coverage") >= 0.5)
+
+
 _SIMHASH_BITS = ",\n       ".join(
     f"CASE WHEN avg(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1.0 ELSE 0.0 END) >= 0.5 "
     f"THEN '1' ELSE '0' END AS b{i}"
@@ -422,6 +455,47 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"IVF recall regression: {totals['h']}/{totals['e']} below 60%"
     )
     return out
+
+
+@register(
+    "embedding_label_centroids",
+    """
+SELECT label, i AS dim,
+       CAST(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1e10, 0) AS BIGINT)) AS DOUBLE) / count(*) / 1e10 AS DOUBLE) AS centroid,
+       count(*) AS n
+FROM (
+    SELECT label,
+           unnest(embedding) AS v,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+)
+GROUP BY label, i
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E108: per-group vector centroid (the class-prototype / IVF-training
+    aggregate) without any vector library: posexplode to (label, dim, value)
+    and ONE groupBy(label, dim) with map-side partial sums — the idiomatic
+    distributed vector mean. Cross-engine determinism: each element is
+    quantized to an exact BIGINT at 1e-10 (both engines round doubles
+    half-away-from-zero; dyadic float32 inputs CAN tie at the 10th decimal,
+    where decimal(20,10) casts diverge half-up vs half-even — integer
+    quantization sidesteps that), summed exactly, one double division at
+    the end."""
+    e = t(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * F.lit(1e10), 0).cast("bigint").alias("qv"),
+    )
+    return expl.groupBy("label", "dim").agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e10))
+        .cast("double")
+        .alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 _EMB_AUG_CTE = """

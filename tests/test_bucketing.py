@@ -118,3 +118,48 @@ class TestPartitionPruning:
         )
         assert "Exchange" not in plan, plan
         assert "Sort" in plan, plan
+
+
+class TestZOrder:
+    def test_zorder_value_interleaves_bits(self, spark):
+        from pyspark.sql import functions as F
+
+        from s4hanaconnector_spark.operators.bucketing import zorder_value
+
+        df = spark.createDataFrame([(3, 5)], "x int, y int")
+        # x=0b011 contributes bits 0,2,4 -> 1 + 4; y=0b101 contributes bits
+        # 1,3,5 -> 2 + 32: z = 0b100111 = 39
+        got = df.select(zorder_value(["x", "y"], bits=3).alias("z")).first()["z"]
+        assert got == 0b100111 == 39
+        # identity on a single column
+        one = df.select(zorder_value(["x"], bits=8).alias("z")).first()["z"]
+        assert one == 3
+
+    def test_cluster_zorder_tightens_hyperrectangles(self, spark):
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from s4hanaconnector_spark.operators.bucketing import cluster_zorder
+
+        # 64x64 grid; z-clustering into 16 files must bound BOTH dims per
+        # file near sqrt(4096/16)=16, while a 1-col sort leaves y unbounded.
+        rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+        df = spark.createDataFrame(rows, "x int, y int")
+        zed = cluster_zorder(df, ["x", "y"], bits=6, n_files=16)
+        spans = (
+            zed.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        assert len(spans) == 16
+        worst = max(r["sx"] + r["sy"] for r in spans)
+        # x-sorted control: every 16-file slab spans the full y range (63)
+        assert worst <= 46 < 63 + 0, spans
+        # no exchange beyond the single range partition, sort is in-partition
+        plan = zed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan

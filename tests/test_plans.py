@@ -217,3 +217,49 @@ def test_nested_bo_maintenance_renest_is_delta_sized(spark, sf_dir):
     assert semi_joins >= 3, f"expected >=3 broadcast semi joins (master prune, detail prune, via-detail affected), got {semi_joins}\n{plan}"
     # the stale-doc removal is a broadcast anti join, not a shuffle
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Scale contract: when a join is too big to broadcast (the 100 TB
+    big x big case), Spark's runtime bloom filter must inject a
+    might_contain row-prune on the probe side, built from the selective
+    creation side — rows that cannot match die at the scan instead of
+    riding the full shuffle. Local fixture sizes are below the default
+    application-side threshold, so the test forces it to 0; on a cluster
+    the defaults (10 GB creation cap) engage exactly on the joins that
+    matter."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.catalog import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filter is semantically free: same rows as the plain join
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        plain = l.join(o, l.l_orderkey == o.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
