@@ -2365,6 +2365,50 @@ def window_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rolling_distinct",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+contrib AS (
+    SELECT ud.user_id, unnest(generate_series(ud.d, least(ud.d + INTERVAL 6 DAY, b.mx::TIMESTAMP), INTERVAL 1 DAY))::DATE AS wd
+    FROM ud CROSS JOIN bounds b
+)
+SELECT strftime(wd, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_active_7d
+FROM contrib GROUP BY wd
+""",
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E111: trailing-7-day distinct actives per day — the sliding-window
+    COUNT DISTINCT no window frame can express (distinct doesn't decompose
+    over frames). Scale-correct rewrite: reduce to distinct user-days
+    FIRST (the only big shuffle, map-side partial), then each user-day
+    contributes itself to the <=7 window-end days it's visible from (a
+    row-local sequence explode, bounded fan-out), then one distinct-agg by
+    day. Cost is linear in user-days x 7 — never a per-day self-join over
+    the raw events, never a quadratic range join. Exact integers."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    mx = ud.agg(F.max("d").alias("mx"))
+    contrib = ud.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.least(F.date_add(F.col("d"), 6), F.col("mx")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wd"),
+    )
+    return contrib.groupBy("wd").agg(
+        F.count_distinct("user_id").alias("n_active_7d")
+    ).select(F.date_format("wd", "yyyy-MM-dd").alias("day"), "n_active_7d")
+
+
+@register(
     "window_percent_of_total",
     """
 SELECT o_orderpriority,

@@ -1823,3 +1823,74 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.orderdate").alias("orderdate"),
         F.coalesce(F.size("tags"), F.lit(0)).cast("bigint").alias("tag_count"),
     )
+
+
+@register(
+    "cdc_forget_cascade",
+    """
+WITH forget AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+o_del AS (
+    SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)
+),
+l_del AS (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM o_del)
+)
+SELECT 'customer' AS table_name, CAST(c_custkey AS VARCHAR) AS pk1,
+       CAST(NULL AS VARCHAR) AS pk2, 'D' AS change_type
+FROM forget
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR), CAST(NULL AS VARCHAR), 'D' FROM o_del
+UNION ALL
+SELECT 'lineitem', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), 'D'
+FROM l_del
+""",
+)
+def cdc_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E112: right-to-be-forgotten cascade — a seed set of entities to erase
+    is expanded along the FK topology (customer -> orders -> lineitem) and
+    emitted as PKLOG-shaped DELETE capture rows (stringified PK1/PK2 exactly
+    as the reference's trigger log stores them, S4HanaTableMapping.java
+    PK1..PK6), ready for ``apply_changes``/retention downstream.
+
+    Scale shape: the forget set is delta-sized, so every expansion is a
+    BROADCAST semi-join against the big table — customer, orders and
+    lineitem are each scanned once, never shuffled; output size is the
+    cascade itself."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 97 == 0)
+    keys = cust.select("c_custkey")
+    orders = t(spark, sf_dir, "orders")
+    o_del = orders.join(
+        F.broadcast(keys), orders.o_custkey == keys.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem")
+    l_del = li.join(
+        F.broadcast(o_del), li.l_orderkey == o_del.o_orderkey, "leftsemi"
+    ).select("l_orderkey", "l_linenumber")
+    nul = F.lit(None).cast("string")
+    return (
+        keys.select(
+            F.lit("customer").alias("table_name"),
+            F.col("c_custkey").cast("string").alias("pk1"),
+            nul.alias("pk2"),
+            F.lit("D").alias("change_type"),
+        )
+        .unionAll(
+            o_del.select(
+                F.lit("orders"),
+                F.col("o_orderkey").cast("string"),
+                nul,
+                F.lit("D"),
+            )
+        )
+        .unionAll(
+            l_del.select(
+                F.lit("lineitem"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.lit("D"),
+            )
+        )
+    )

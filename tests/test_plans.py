@@ -263,3 +263,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_forget_cascade_broadcasts_the_delta(spark, sf_dir):
+    """E112 plan contract: the right-to-be-forgotten cascade must expand
+    via BROADCAST semi joins (the forget set is delta-sized) — the big
+    tables are scanned once each and never shuffled."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["cdc_forget_cascade"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
