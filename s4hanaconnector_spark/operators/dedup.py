@@ -33,6 +33,7 @@ from s4hanaconnector_spark.operators.text import (
     normalize_text,
     shingles_from_tokens,
     tokens,
+    word_tokens,
 )
 
 
@@ -75,7 +76,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         df = df.repartition(parallelism)
     toksed = df.select(
         F.col(id_col).alias("doc"),
-        tokens(normalize_text(F.col(text_col))).alias("toks"),
+        word_tokens(F.col(text_col)).alias("toks"),
     )
     return toksed.select(
         "doc",
@@ -144,17 +145,43 @@ def minhash_lsh_candidates(
     Genuine duplicate families are small, so the cap costs no recall on
     them — it sheds only boilerplate collisions that carry no dedup signal.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    hashed = sh.select(
-        "doc",
-        F.md5(F.col("shingle")).alias("h"),
-    ).select(
-        "doc",
-        # band by leading hex nibble: 16 deterministic bands
-        F.substring("h", 1, 1).alias("band"),
-        "h",
+    # Band signatures are computed ROW-LOCALLY with array functions instead
+    # of exploding the shingle table: per doc, md5 every shingle once into a
+    # materialized array column, then each band's signature is
+    # array_min(filter(hashes, leading nibble == band)). The old
+    # explode + groupBy(doc, band) pushed |total shingles| rows through a
+    # shuffle just to take 16 mins per doc; this shape shuffles NOTHING for
+    # signatures — only the 16-rows-per-doc sig table ever hits an exchange
+    # (the bucket self-join below), which at 100 TB is the difference
+    # between shuffling the corpus and shuffling a fingerprint of it.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
+        df = df.repartition(parallelism)
+    toksed = df.select(
+        F.col(id_col).alias("doc"),
+        word_tokens(F.col(text_col)).alias("toks"),
     )
-    sigs = hashed.groupBy("doc", "band").agg(F.min("h").alias("sig"))
+    hashed = toksed.select(
+        "doc",
+        F.transform(shingles_from_tokens(F.col("toks"), n), F.md5).alias("hs"),
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(bh).alias("band"),
+                F.array_min(
+                    F.filter(F.col("hs"), lambda h: F.substring(h, 1, 1) == bh)
+                ).alias("sig"),
+            )
+            for bh in "0123456789abcdef"
+        ]
+    )
+    sigs = (
+        hashed.select("doc", F.explode(band_sigs).alias("bs"))
+        .select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
     if max_bucket is not None:
         from pyspark.sql import Window as W
 

