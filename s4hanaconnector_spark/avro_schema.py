@@ -200,3 +200,88 @@ def schema_rows(mapping: TableMapping) -> list[tuple]:
             )
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Registry-style compatibility checking
+# ---------------------------------------------------------------------------
+
+# Avro schema-resolution promotions (reader type <- writer types it accepts).
+_PROMOTABLE = {
+    "long": {"int"},
+    "float": {"int", "long"},
+    "double": {"int", "long", "float"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _branch(field: dict):
+    """The non-null branch of a field's ["null", T] union."""
+    t = field["type"]
+    return t[1] if isinstance(t, list) else t
+
+
+def _type_key(t) -> tuple:
+    if isinstance(t, str):
+        return (t, None, None, None)
+    return (t["type"], t.get("logicalType"), t.get("precision"), t.get("scale"))
+
+
+def compatibility(old: dict, new: dict, mode: str = "backward") -> list[str]:
+    """Schema-registry compatibility check between two rendered mapping
+    schemas (the gate a registry runs before accepting the re-imported
+    mapping the reference publishes after a DDL change — O28/O29's schema
+    rebuild, S4HanaTableMapping.java:577-597).
+
+    ``backward``: a consumer on ``new`` can read data written with ``old``
+    (the registry default — safe rolling upgrade of consumers).
+    ``forward``: a consumer on ``old`` can read data written with ``new``.
+    ``full``: both. Returns a list of human-readable issues; empty means
+    compatible.
+
+    Checks, in CDC-severity order:
+      * primary-key identity — PK set/order changes break MERGE semantics
+        downstream even when Avro itself resolves, so they are always
+        reported;
+      * common fields must keep their type, logical type and
+        precision/scale, modulo Avro's numeric/string promotions in the
+        direction data flows;
+      * fields present on the read side only must carry a default (every
+        field this renderer emits is a nullable union with default null,
+        so hand-edited schemas are the only way to trip this)."""
+    if mode == "full":
+        return compatibility(old, new, "backward") + [
+            i for i in compatibility(old, new, "forward") if "primary key" not in i
+        ]
+    if mode not in ("backward", "forward"):
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    issues: list[str] = []
+
+    old_pk = [(f["name"], f.get("pkposition")) for f in old["fields"] if f.get("primarykey")]
+    new_pk = [(f["name"], f.get("pkposition")) for f in new["fields"] if f.get("primarykey")]
+    if old_pk != new_pk:
+        issues.append(f"primary key changed: {old_pk} -> {new_pk}")
+
+    # data is written with the WRITER schema and read with the READER schema
+    writer, reader = (old, new) if mode == "backward" else (new, old)
+    wfields = {f["name"]: f for f in writer["fields"]}
+    rfields = {f["name"]: f for f in reader["fields"]}
+
+    for name in sorted(wfields.keys() & rfields.keys()):
+        wt, rt = _branch(wfields[name]), _branch(rfields[name])
+        wk, rk = _type_key(wt), _type_key(rt)
+        if wk == rk:
+            continue
+        # plain-type promotion only applies when neither side is logical
+        if wk[1] is None and rk[1] is None and wk[0] in _PROMOTABLE.get(rk[0], set()):
+            continue
+        issues.append(f"field '{name}': reader type {rk} cannot resolve writer type {wk}")
+
+    for name in sorted(rfields.keys() - wfields.keys()):
+        f = rfields[name]
+        if "default" not in f:
+            issues.append(
+                f"field '{name}' exists only in the reader schema and has no default"
+            )
+    return issues

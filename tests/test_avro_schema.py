@@ -125,3 +125,49 @@ def test_avro_names_strict():
 def test_computed_column_without_decl_defaults_to_string():
     f = field_to_avro(ColumnMapping("c", 'upper("L1"."x")', None), [])
     assert f["type"] == ["null", "string"] and "hanadatatype" not in f
+
+
+class TestCompatibility:
+    def _m(self, cols, pks):
+        from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+        return TableMapping(
+            name="t",
+            mastertable="t",
+            columnmappings=[ColumnMapping(c, f'"L1"."{c}"', d) for c, d in cols],
+            pkcolumns=pks,
+        )
+
+    def test_added_nullable_column_is_fully_compatible(self):
+        from s4hanaconnector_spark.avro_schema import compatibility, mapping_to_avro
+
+        old = mapping_to_avro(self._m([("k", "BIGINT"), ("a", "NVARCHAR(10)")], ["k"]))
+        new = mapping_to_avro(
+            self._m([("k", "BIGINT"), ("a", "NVARCHAR(10)"), ("b", "DOUBLE")], ["k"])
+        )
+        assert compatibility(old, new, "full") == []
+
+    def test_widened_int_is_backward_only(self):
+        from s4hanaconnector_spark.avro_schema import compatibility, mapping_to_avro
+
+        old = mapping_to_avro(self._m([("k", "BIGINT"), ("n", "INTEGER")], ["k"]))
+        new = mapping_to_avro(self._m([("k", "BIGINT"), ("n", "BIGINT")], ["k"]))
+        # new long reader resolves old int data...
+        assert compatibility(old, new, "backward") == []
+        # ...but an old int reader cannot take long data
+        assert any("cannot resolve" in i for i in compatibility(old, new, "forward"))
+
+    def test_decimal_scale_change_flagged(self):
+        from s4hanaconnector_spark.avro_schema import compatibility, mapping_to_avro
+
+        old = mapping_to_avro(self._m([("k", "BIGINT"), ("v", "DECIMAL(18,2)")], ["k"]))
+        new = mapping_to_avro(self._m([("k", "BIGINT"), ("v", "DECIMAL(18,4)")], ["k"]))
+        assert any("cannot resolve" in i for i in compatibility(old, new, "backward"))
+
+    def test_pk_change_always_reported(self):
+        from s4hanaconnector_spark.avro_schema import compatibility, mapping_to_avro
+
+        old = mapping_to_avro(self._m([("k", "BIGINT"), ("a", "BIGINT")], ["k"]))
+        new = mapping_to_avro(self._m([("k", "BIGINT"), ("a", "BIGINT")], ["k", "a"]))
+        for mode in ("backward", "forward", "full"):
+            assert any("primary key" in i for i in compatibility(old, new, mode)), mode
