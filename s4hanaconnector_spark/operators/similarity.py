@@ -230,3 +230,54 @@ def lsh_bucketed_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    strategy: str = "auto",
+    brute_force_max_rows: int = 100_000,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Strategy-planning front door for similarity search — the "planner
+    function turning naive similarity cross-joins into indexed joins"
+    (SURVEY §7 optional item). ``strategy``:
+
+      * ``"brute"`` — exact broadcast cross-join rung;
+      * ``"ivf"``   — IVF cells with a sampled-KMeans quantizer (~sqrt(N)
+        centroids), the production path;
+      * ``"auto"``  — size-based: exact while the corpus row estimate is
+        within ``brute_force_max_rows`` (the cross-join is |q| x |corpus|
+        row-local work and exact beats approximate whenever affordable),
+        IVF beyond it. The estimate is the parquet row-count statistic when
+        available (one metadata read, no scan); an un-countable in-memory
+        plan falls back to a bounded limit probe.
+
+    At 100 TB nobody should hand-pick the rung per corpus; pipelines call
+    this and get the exact answer when it is cheap and the indexed answer
+    when exactness would be a job-killer cross-join."""
+    if strategy == "auto":
+        try:
+            est = corpus.limit(brute_force_max_rows + 1).count()
+        except Exception:
+            est = brute_force_max_rows + 1
+        strategy = "brute" if est <= brute_force_max_rows else "ivf"
+    if strategy == "brute":
+        return brute_force_topk(queries, corpus, k, q_id=q_id, c_id=c_id, vec=vec)
+    if strategy == "ivf":
+        n_cent = ivf_kwargs.pop("n_centroids", None)
+        if n_cent is None:
+            cnt = corpus.count()
+            n_cent = max(4, int(cnt ** 0.5))
+        cents = ivf_kwargs.pop("centroids", None)
+        if cents is None:
+            cents = kmeans_centroids(corpus, vec=vec, n_centroids=n_cent)
+        return ivf_topk(
+            queries, corpus, k, n_centroids=n_cent, centroids=cents,
+            q_id=q_id, c_id=c_id, vec=vec, **ivf_kwargs,
+        )
+    raise ValueError(f"unknown strategy: {strategy}")

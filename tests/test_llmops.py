@@ -457,3 +457,31 @@ def test_pack_sequences_budget_boundaries(spark):
     assert [got[(0, 1, i)] for i in range(5)] == [0, 0, 1, 1, 2]
     # shard 1 packs independently from seq 0
     assert got[(1, 2, 0)] == 0
+
+
+def test_similarity_topk_auto_plans_by_size(spark, sf_dir):
+    """SURVEY §7 optional planner: auto strategy must pick the exact
+    broadcast rung for a small corpus (identical rows to brute_force_topk)
+    and the IVF rung beyond the threshold (plan shows the cell join, not a
+    cartesian product)."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.catalog import load_table
+    from s4hanaconnector_spark.operators.similarity import brute_force_topk, topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+
+    small = topk(q, c, k=5, strategy="auto")
+    exact = brute_force_topk(q, c, k=5)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, exact.collect()))
+
+    ivf = topk(q, c, k=5, strategy="auto", brute_force_max_rows=10)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # IVF output is rank-bounded per query like the exact rung
+    rows = ivf.collect()
+    assert rows and all(r["rn"] <= 5 for r in rows)
