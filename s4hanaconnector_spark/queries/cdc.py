@@ -15,6 +15,7 @@ from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
 from s4hanaconnector_spark.operators import cdc as C
 from s4hanaconnector_spark.queries.registry import register, t
 from s4hanaconnector_spark.sources.pklog import (
+    CUSTOMER_PKLOG_ORACLE_CTE,
     PKLOG_ORACLE_CTE,
     TRANSACTIONS_ORACLE_CTE,
     synthetic_pklog,
@@ -1894,3 +1895,180 @@ def cdc_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+CUSTOMER_IDENTITY = TableMapping(
+    name="customer_id",
+    mastertable="customer",
+    columnmappings=[
+        ColumnMapping(c, f'"L1"."{c}"')
+        for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ],
+    pkcolumns=["c_custkey"],
+)
+
+
+@register(
+    "streaming_multi_table_merge",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip().rstrip()},
+{{CUST_CTE}}
+base_o AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+base_c AS (SELECT * FROM customer WHERE c_custkey % 4 <> 0),
+l_o AS (
+    SELECT max(transactionid) AS _tx, CAST(pk1 AS BIGINT) AS o_orderkey
+    FROM pklog WHERE table_name = 'orders'
+      AND transactionid > {LO} AND transactionid <= {HI}
+    GROUP BY pk1
+),
+delta_o AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS ct,
+           l_o.o_orderkey AS k, o.*
+    FROM l_o LEFT OUTER JOIN orders o ON l_o.o_orderkey = o.o_orderkey
+),
+merged_o AS (
+    SELECT b.* FROM base_o b
+    WHERE NOT EXISTS (SELECT 1 FROM delta_o d WHERE d.k = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM delta_o WHERE ct <> 'D'
+),
+l_c AS (
+    SELECT max(transactionid) AS _tx, CAST(pk1 AS BIGINT) AS c_custkey
+    FROM pklog_c WHERE transactionid > {LO} AND transactionid <= {HI}
+    GROUP BY pk1
+),
+delta_c AS (
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'D' ELSE 'A' END AS ct,
+           l_c.c_custkey AS k, c.*
+    FROM l_c LEFT OUTER JOIN customer c ON l_c.c_custkey = c.c_custkey
+),
+merged_c AS (
+    SELECT b.* FROM base_c b
+    WHERE NOT EXISTS (SELECT 1 FROM delta_c d WHERE d.k = b.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM delta_c WHERE ct <> 'D'
+)
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS measure_sum
+FROM merged_o
+UNION ALL
+SELECT 'customer', count(*), CAST(sum(c_custkey) AS BIGINT),
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+FROM merged_c
+""".replace("{CUST_CTE}", CUSTOMER_PKLOG_ORACLE_CTE.strip() + ","),
+)
+def streaming_multi_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E115: the reference's MULTI-TABLE poll through the streaming engine —
+    one PKLOG stream carries changes for BOTH orders and customer
+    (S4HanaProducer.java:400-420 walks every impacted table inside a single
+    poll), and each micro-batch routes rows by table_name to that table's
+    delta pipeline + MERGE onto its own versioned snapshot. Base snapshots
+    start with rows missing (every 3rd order / 4th customer absent), so the
+    merge genuinely inserts; the final per-table row counts, key sums and
+    DECIMAL measure sums must equal the one-shot batch merges. Per-table
+    txid frontiers are enforced independently — the cross-table ordering
+    the reference gets from its per-table emit loop."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.sources.pklog import synthetic_pklog_customer
+    from s4hanaconnector_spark.streaming.core import PKLOG_DDL
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    base = {
+        "orders": orders.filter(F.col("o_orderkey") % 3 != 0),
+        "customer": customer.filter(F.col("c_custkey") % 4 != 0),
+    }
+    source = {"orders": orders, "customer": customer}
+    mapping = {"orders": ORDERS_IDENTITY, "customer": CUSTOMER_IDENTITY}
+    pk = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+
+    feed = (
+        synthetic_pklog(orders)
+        .unionByName(synthetic_pklog_customer(customer))
+        .filter((F.col("transactionid") > LO) & (F.col("transactionid") <= HI))
+    )
+    d = tempfile.mkdtemp(prefix="stream_multi_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    mid = (LO + HI) // 2
+    feed.filter(F.col("transactionid") <= mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    feed.filter(F.col("transactionid") > mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+    for tbl, df in base.items():
+        df.write.parquet(os.path.join(state_dir, tbl, "v_base"))
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        for tbl in ("orders", "customer"):
+            sub = batch_df.filter(F.col("table_name") == tbl)
+            span = sub.agg(
+                F.min("transactionid").alias("lo"), F.max("transactionid").alias("hi")
+            ).collect()[0]
+            if span["lo"] is None:
+                continue
+            tdir = os.path.join(state_dir, tbl)
+            versions = sorted(_glob.glob(os.path.join(tdir, "v_0*")))
+            prev = [v for v in versions if v < os.path.join(tdir, f"v_{batch_id:06d}")]
+            state = s.read.parquet(prev[-1] if prev else os.path.join(tdir, "v_base"))
+            frontier = LO
+            if prev:
+                fp = os.path.join(tdir, "tx_" + os.path.basename(prev[-1])[2:] + ".txt")
+                if os.path.exists(fp):
+                    with open(fp) as fh:
+                        frontier = int(fh.read())
+            if span["lo"] <= frontier:
+                raise AssertionError(
+                    f"{tbl}: out-of-order micro-batch {span['lo']} <= {frontier}"
+                )
+            delta = C.cdc_delta(
+                source[tbl], sub, mapping[tbl], LO, HI, strategy="broadcast"
+            )
+            new_state = C.apply_changes(state, delta, pk[tbl])
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(tdir, f"v_{batch_id:06d}")
+            )
+            with open(os.path.join(tdir, f"tx_{batch_id:06d}.txt"), "w") as fh:
+                fh.write(str(span["hi"]))
+
+    stream = (
+        spark.readStream.schema(PKLOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_multi_table_merge did not drain")
+
+    outs = []
+    for tbl, keycol, measure in (
+        ("orders", "o_orderkey", "o_totalprice"),
+        ("customer", "c_custkey", "c_acctbal"),
+    ):
+        final = sorted(_glob.glob(os.path.join(state_dir, tbl, "v_0*")))[-1]
+        snap = spark.read.parquet(final)
+        outs.append(
+            snap.agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(keycol).cast("bigint").alias("key_sum"),
+                F.sum(F.col(measure).cast("decimal(18,2)"))
+                .cast("double")
+                .alias("measure_sum"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

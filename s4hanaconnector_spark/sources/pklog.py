@@ -103,3 +103,44 @@ transactions AS (
     FROM orders WHERE o_orderkey % 97 = 0
 )
 """
+
+
+def synthetic_pklog_customer(customer: DataFrame) -> DataFrame:
+    """Deterministic customer-table change legs for multi-table poll tests
+    (the reference's single poll loop walks EVERY impacted table,
+    S4HanaProducer.java:400-420): every 6th customer updates, every 13th
+    emits a delete for a key that no longer exists in the source."""
+    k = F.col("c_custkey")
+    null_pks = [F.lit(None).cast("string").alias(f"pk{i}") for i in range(2, 7)]
+
+    def leg(mod: int, ctype: str, key_expr, txid_expr):
+        return customer.filter(k % mod == 0).select(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz").alias("change_ts"),
+            F.lit("S4").alias("schema_name"),
+            F.lit(ctype).alias("change_type"),
+            key_expr.cast("string").alias("pk1"),
+            *null_pks,
+            txid_expr.cast("bigint").alias("transactionid"),
+            F.lit(1).cast("int").alias("transaction_seq"),
+            F.lit("customer").alias("table_name"),
+        )
+
+    return leg(6, "U", k, F.lit(1000) + k % 50).unionByName(
+        leg(13, "D", k + 1000000, F.lit(1000) + k % 40)
+    )
+
+
+CUSTOMER_PKLOG_ORACLE_CTE = """
+pklog_c AS (
+    SELECT TIMESTAMP '1995-01-01 00:00:00' AS change_ts, 'S4' AS schema_name,
+           'U' AS change_type, CAST(c_custkey AS VARCHAR) AS pk1,
+           CAST(1000 + c_custkey % 50 AS BIGINT) AS transactionid,
+           1 AS transaction_seq, 'customer' AS table_name
+    FROM customer WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT TIMESTAMP '1995-01-01 00:00:00', 'S4', 'D',
+           CAST(c_custkey + 1000000 AS VARCHAR),
+           CAST(1000 + c_custkey % 40 AS BIGINT), 1, 'customer'
+    FROM customer WHERE c_custkey % 13 = 0
+)
+"""
