@@ -41,7 +41,33 @@ def _build_parser() -> argparse.ArgumentParser:
     impp.add_argument("--pk", required=True, help="comma-separated primary-key columns")
     impp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     impp.add_argument("--out-dir", required=True)
+
+    schp = sub.add_parser(
+        "schema", help="render a mapping JSON file as its registry Avro schema"
+    )
+    schp.add_argument("mapping", help="path to a mapping JSON file")
+    schp.add_argument("--namespace", default=None)
+
+    comp = sub.add_parser(
+        "check-compat",
+        help="registry compatibility gate between two mapping JSON files "
+        "(exit 0 = compatible, 1 = issues printed)",
+    )
+    comp.add_argument("old_mapping")
+    comp.add_argument("new_mapping")
+    comp.add_argument(
+        "--mode", choices=["backward", "forward", "full"], default="backward"
+    )
     return p
+
+
+def _read_mapping_file(path: str):
+    """Load a TableMapping from a direct JSON file path (the CLI takes
+    files, not the BusinessObjects directory convention)."""
+    from s4hanaconnector_spark.mapping import TableMapping
+
+    with open(path) as f:
+        return TableMapping.from_json(json.load(f))
 
 
 def main(argv: list[str] | None = None, out=None) -> int:
@@ -79,6 +105,23 @@ def main(argv: list[str] | None = None, out=None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str, sort_keys=True), file=out)
         return 0
+
+    if args.cmd == "schema":
+        from s4hanaconnector_spark.avro_schema import mapping_to_avro_json
+
+        m = _read_mapping_file(args.mapping)
+        print(mapping_to_avro_json(m, namespace=args.namespace), file=out)
+        return 0
+
+    if args.cmd == "check-compat":
+        from s4hanaconnector_spark.avro_schema import compatibility, mapping_to_avro
+
+        old = mapping_to_avro(_read_mapping_file(args.old_mapping))
+        new = mapping_to_avro(_read_mapping_file(args.new_mapping))
+        issues = compatibility(old, new, mode=args.mode)
+        for issue in issues:
+            print(issue, file=out)
+        return 1 if issues else 0
 
     if args.cmd == "import-table":
         from s4hanaconnector_spark.catalog import load_table

@@ -70,3 +70,32 @@ def test_raw_sql_surface(spark, sf_dir):
     assert len(rows) == 5 and all(n > 0 for n in rows.values())
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_schema_and_check_compat(spark, sf_dir, tmp_path):
+    """schema renders the registry Avro document for a mapping file;
+    check-compat gates two mapping versions (exit 0 compatible, 1 not)."""
+    rc, out = _run(
+        ["import-table", "orders", "--pk", "o_orderkey",
+         "--sf-dir", sf_dir, "--out-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    path = out.strip()
+
+    rc, out = _run(["schema", path])
+    assert rc == 0
+    doc = json.loads(out)
+    assert doc["type"] == "record"
+    assert any(f.get("primarykey") for f in doc["fields"])
+
+    # identical mapping: fully compatible
+    rc, out = _run(["check-compat", path, path, "--mode", "full"])
+    assert rc == 0 and out.strip() == ""
+
+    # PK change: flagged, nonzero exit
+    m = json.load(open(path))
+    m["pkcolumns"] = ["o_orderkey", "o_custkey"]
+    p2 = str(tmp_path / "changed.json")
+    json.dump(m, open(p2, "w"))
+    rc, out = _run(["check-compat", path, p2])
+    assert rc == 1 and "primary key" in out
