@@ -351,6 +351,89 @@ def edit_distance_pairs(
     )
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: classify every document of a NEW
+    ingest batch against the existing corpus by normalized fingerprint —
+    the production shape of continuous corpus building, where each crawl
+    drop must be deduplicated against petabytes of already-accepted data
+    without ever re-shuffling that data.
+
+    Status per batch row:
+      * ``dup_of_corpus`` — fingerprint already in the corpus
+        (canonical_id = min corpus id holding it);
+      * ``dup_in_batch`` — first seen inside this very batch
+        (canonical_id = min batch id holding it);
+      * ``new``          — unseen anywhere (canonical_id = own id).
+    A row that is both defers to the corpus (the corpus copy is the one
+    already delivered downstream).
+
+    100 TB plan shape — the corpus is NEVER shuffled:
+      1. one corpus scan, broadcast-hash inner join against the (tiny,
+         broadcast) distinct batch fingerprint set → surviving hits only;
+      2. the hit set (≤ |batch| rows) aggregates to per-fingerprint min
+         corpus id — a shuffle of batch-sized data;
+      3. the batch left-joins the broadcast hit table and resolves
+         within-batch duplicates with a window over its own fingerprints.
+    An optional Bloom filter on corpus fingerprints can pre-drop non-hit
+    corpus partitions before step 1; the join above is already one
+    scan-side pass, so the bloom rung only saves the probe hashing.
+
+    ``seen`` (optional) is the STREAMING state leg: fingerprints of docs
+    accepted as ``new`` by earlier micro-batches, as (fp, canonical_id)
+    rows. A batch doc matching it classifies ``dup_in_batch`` with the
+    earlier doc's canonical id — so draining a feed batch-by-batch with
+    accumulated state reproduces the one-shot classification of the whole
+    feed exactly. The state table is |accepted new docs| rows of
+    fingerprints (not payloads) and joins broadcast like the hit table.
+    Returns (batch_id, status, canonical_id)."""
+    from pyspark.sql import Window as W
+
+    c_fp = corpus.select(
+        fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("__cid")
+    )
+    b_fp = batch.select(
+        F.col(id_col).alias("batch_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    hits = (
+        c_fp.join(F.broadcast(b_fp.select("fp").distinct()), "fp")
+        .groupBy("fp")
+        .agg(F.min("__cid").alias("__corpus_canonical"))
+    )
+    w = W.partitionBy("fp")
+    out = b_fp.join(F.broadcast(hits), "fp", "left")
+    seen_canonical = F.lit(None).cast("long")
+    if seen is not None:
+        s = seen.groupBy("fp").agg(F.min("canonical_id").alias("__seen_canonical"))
+        out = out.join(F.broadcast(s), "fp", "left")
+        seen_canonical = F.col("__seen_canonical")
+    return (
+        out.withColumn("__batch_min", F.min("batch_id").over(w))
+        .select(
+            "batch_id",
+            F.when(F.col("__corpus_canonical").isNotNull(), F.lit("dup_of_corpus"))
+            .when(
+                seen_canonical.isNotNull() | (F.col("__batch_min") < F.col("batch_id")),
+                F.lit("dup_in_batch"),
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(
+                F.col("__corpus_canonical"),
+                # least() skips NULLs: min over earlier-batch canonical (if
+                # any) and this batch's own per-fp min (== own id for a
+                # first occurrence), which is the one-shot feed-wide min
+                F.least(seen_canonical, F.col("__batch_min")),
+            ).alias("canonical_id"),
+        )
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame, eval_: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BUCKET_SPACE", "hash_bucket", "hash_sample", "hash_split", "stratified_hash_sample"]
+__all__ = [
+    "BUCKET_SPACE",
+    "cluster_safe_split",
+    "hash_bucket",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+]
 
 BUCKET_SPACE = 16**8  # first 8 md5 hex chars -> uniform [0, 2^32)
 
@@ -82,6 +89,23 @@ def stratified_hash_sample(
     for value, frac in fractions.items():
         thr = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(thr)
     return df.filter(b < thr)
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    alias: str = "split",
+) -> DataFrame:
+    """Leakage-free splitting: the split decision hashes the CLUSTER id
+    (near-dup canonical, source domain, user id, …) instead of the row id,
+    so every member of a duplicate cluster lands in the SAME split — the
+    property that keeps eval sets honest (a near-copy of a training doc in
+    the test split silently inflates every metric). Row-local once the
+    cluster id exists; upstream the canonical id comes from the dedup
+    ladder (fingerprint window or connected components)."""
+    return hash_split(df, [cluster_col], weights, seed=seed, alias=alias)
 
 
 def hash_topk_per_group(

@@ -2072,3 +2072,48 @@ def streaming_multi_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@register(
+    "cdc_poll_stats",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+{CUSTOMER_PKLOG_ORACLE_CTE.strip()},
+log AS (
+    SELECT table_name, change_type, pk1, transactionid FROM pklog
+    UNION ALL
+    SELECT table_name, change_type, pk1, transactionid FROM pklog_c
+)
+SELECT table_name, change_type,
+       count(*) AS n_rows,
+       count(DISTINCT pk1) AS n_keys,
+       count(DISTINCT transactionid) AS n_txns,
+       min(transactionid) AS txid_lo,
+       max(transactionid) AS txid_hi
+FROM log
+WHERE transactionid > {LO} AND transactionid <= {HI}
+GROUP BY table_name, change_type
+""",
+)
+def cdc_poll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poll observability — the reference's per-poll operation-log lines
+    ("n rows produced for table X", S4HanaProducer.java:443-447 logs row
+    counts per delta; the monitoring servlets surface them) as a declared
+    query: per (table, change type) row/key/transaction counts and the
+    txid span inside the poll range, across BOTH tables of the multi-table
+    feed. One shuffle on the tiny (table, type) key space; map-side
+    partial aggregation does the heavy counting next to the scan."""
+    from s4hanaconnector_spark.sources.pklog import synthetic_pklog_customer
+
+    orders_log = synthetic_pklog(t(spark, sf_dir, "orders"))
+    cust_log = synthetic_pklog_customer(t(spark, sf_dir, "customer"))
+    log = orders_log.unionByName(cust_log).filter(
+        (F.col("transactionid") > LO) & (F.col("transactionid") <= HI)
+    )
+    return log.groupBy("table_name", "change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("pk1").alias("n_keys"),
+        F.count_distinct("transactionid").alias("n_txns"),
+        F.min("transactionid").alias("txid_lo"),
+        F.max("transactionid").alias("txid_hi"),
+    )

@@ -2069,3 +2069,331 @@ def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is partition-order-free; the oracle replays the identical model
     and fold."""
     return X.bigram_lm_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round 4: incremental corpus dedup, int8 similarity, leakage-free splits
+# ---------------------------------------------------------------------------
+
+# A synthesized ingest batch against the documents corpus: corpus copies
+# (verbatim + case-variant), genuinely new docs, and a within-batch twin
+# pair — every status class of incremental_dedup appears.
+BATCH_CTE = """
+batch AS (
+    SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+    UNION ALL
+    SELECT doc_id + 800000, upper(text) FROM documents WHERE doc_id % 29 = 0
+    UNION ALL
+    SELECT doc_id + 500000, text || ' fresh suffix xyz' FROM documents WHERE doc_id % 17 = 0
+    UNION ALL
+    SELECT doc_id + 600000, text || ' batch twin' FROM documents WHERE doc_id % 23 = 0
+    UNION ALL
+    SELECT doc_id + 700000, text || ' batch twin' FROM documents WHERE doc_id % 23 = 0
+)
+"""
+
+
+def batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    legs = [
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 400000).alias("doc_id"), "text"
+        ),
+        d.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + 800000).alias("doc_id"), F.upper("text").alias("text")
+        ),
+        d.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" fresh suffix xyz")).alias("text"),
+        ),
+        d.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" batch twin")).alias("text"),
+        ),
+        d.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" batch twin")).alias("text"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+@register(
+    "dedup_incremental_corpus",
+    f"""
+WITH {BATCH_CTE.strip()},
+cfp AS (
+    SELECT md5({_NORM}) AS fp, min(doc_id) AS corpus_canonical
+    FROM documents GROUP BY 1
+),
+bfp AS (SELECT doc_id AS batch_id, md5({_NORM}) AS fp FROM batch),
+bmin AS (SELECT fp, min(batch_id) AS batch_min FROM bfp GROUP BY fp)
+SELECT b.batch_id,
+       CASE WHEN c.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+            WHEN m.batch_min < b.batch_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CASE WHEN c.corpus_canonical IS NOT NULL THEN c.corpus_canonical
+            WHEN m.batch_min < b.batch_id THEN m.batch_min
+            ELSE b.batch_id END AS canonical_id
+FROM bfp b LEFT JOIN cfp c USING (fp) JOIN bmin m USING (fp)
+""",
+)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the continuous-corpus-building
+    shape: classify each new-batch doc as dup_of_corpus / dup_in_batch /
+    new by normalized fingerprint, WITHOUT re-shuffling the corpus (one
+    corpus scan, broadcast batch fingerprints, broadcast hit table back —
+    operators/dedup.py incremental_dedup). The oracle replays the same
+    classification with plain joins."""
+    corpus = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.incremental_dedup(corpus, batch_docs(spark, sf_dir), "text", "doc_id")
+
+
+# per-vector symmetric int8 quantization of the corpus embedding (DuckDB)
+_CQ_CTE = """
+cq AS (
+    SELECT vec_id AS c_id,
+           list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+               ELSE CAST(round(127.0 * CAST(x AS DOUBLE) / mx) AS INTEGER) END) AS cv
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    )
+)
+"""
+
+
+@register(
+    "similarity_topk_int8",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+{_CQ_CTE.strip()},
+pairs AS (
+    SELECT q.q_id, c.c_id, q.qv, c.cv FROM q CROSS JOIN cq c WHERE c.c_id <> q.q_id
+),
+expl AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine FROM expl GROUP BY q_id, c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 10
+""",
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric int8 top-k (operators/similarity.py quantized_topk): the
+    corpus is scanned quantized (4x fewer bytes — the memory-vs-disk line
+    for a 100 TB index), queries stay float; per-vector scales cancel in
+    cosine so no dequantization step exists. Same no-corpus-shuffle plan
+    as the exact rung."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.quantized_topk(q, c, k=10)
+
+
+@register(
+    "similarity_int8_recall",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+bfp AS (
+    SELECT q.q_id, c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+),
+bfx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bfp),
+bfs AS (SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine FROM bfx GROUP BY q_id, c_id),
+bf AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM bfs
+    ) WHERE rn <= 10
+),
+{_CQ_CTE.strip()},
+qp AS (
+    SELECT q.q_id, c.c_id, q.qv, c.cv FROM q CROSS JOIN cq c WHERE c.c_id <> q.q_id
+),
+qx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM qp),
+qs AS (SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine FROM qx GROUP BY q_id, c_id),
+qt AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM qs
+    ) WHERE rn <= 10
+)
+SELECT bf.q_id, count(*) AS n_exact, count(qt.c_id) AS n_hit
+FROM bf LEFT JOIN qt ON bf.q_id = qt.q_id AND bf.c_id = qt.c_id
+GROUP BY bf.q_id
+""",
+)
+def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-quantized rung vs the exact float rung, as
+    exact integer counts under the hash gate — quantization loss is a
+    MEASURED contract, not a hope. The function asserts an aggregate
+    recall floor (>= 80%; int8 should lose far less than coarse IVF
+    probing), so a quantizer regression fails loudly."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    bf = S.brute_force_topk(q, c, k=10).select("q_id", "c_id")
+    qk = S.quantized_topk(q, c, k=10).select(
+        F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
+    )
+    out = (
+        bf.join(
+            qk, (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")), "left"
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
+    )
+    totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
+    assert totals["h"] * 100 >= totals["e"] * 80, (
+        f"int8 recall regression: {totals['h']}/{totals['e']} below 80%"
+    )
+    return out
+
+
+@register(
+    "split_leakage_free",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+canon AS (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical_id
+    FROM docs_aug
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN ('0x' || substring(md5(CAST(canonical_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT < {int(0.8 * 16**8)} THEN 'train'
+            WHEN ('0x' || substring(md5(CAST(canonical_id AS VARCHAR) || chr(31) || '42'), 1, 8))::BIGINT < {int(0.9 * 16**8)} THEN 'val'
+            ELSE 'test' END AS split
+FROM canon
+""",
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split hashes the
+    near-dup CLUSTER canonical id (fingerprint window min), not the row
+    id, so exact/near copies can never straddle train and test — the
+    contamination mode plain row-hash splitting cannot prevent
+    (operators/sampling.py cluster_safe_split). Row-local after one
+    fingerprint window; rerun- and engine-stable like every split here."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.sampling import cluster_safe_split
+    from s4hanaconnector_spark.operators.text import fingerprint
+
+    d = docs_aug(spark, sf_dir)
+    canon = d.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(fingerprint(F.col("text"))))
+        .alias("canonical_id"),
+    )
+    return cluster_safe_split(
+        canon, "canonical_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "canonical_id", "split")
+
+
+@register(
+    "streaming_incremental_dedup",
+    f"""
+WITH {BATCH_CTE.strip()},
+cfp AS (
+    SELECT md5({_NORM}) AS fp, min(doc_id) AS corpus_canonical
+    FROM documents GROUP BY 1
+),
+bfp AS (SELECT doc_id AS batch_id, md5({_NORM}) AS fp FROM batch),
+bmin AS (SELECT fp, min(batch_id) AS batch_min FROM bfp GROUP BY fp)
+SELECT b.batch_id,
+       CASE WHEN c.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+            WHEN m.batch_min < b.batch_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CASE WHEN c.corpus_canonical IS NOT NULL THEN c.corpus_canonical
+            WHEN m.batch_min < b.batch_id THEN m.batch_min
+            ELSE b.batch_id END AS canonical_id
+FROM bfp b LEFT JOIN cfp c USING (fp) JOIN bmin m USING (fp)
+""",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup through the REAL streaming engine: the
+    ingest feed lands as two poll files, a file stream drains them one
+    micro-batch each, and every foreachBatch classifies its docs against
+    (a) the static corpus (one scan, broadcast batch fingerprints — the
+    E116 plan) and (b) the accumulated fingerprint STATE of docs accepted
+    as new by earlier micro-batches. The drained classification must
+    hash-equal the ONE-SHOT batch classification of the whole feed — the
+    composition argument (corpus hits are batch-order-free; cross-batch
+    dups resolve to the earlier doc's canonical, which is the feed-wide
+    min because polls ascend by doc id) is verified, not assumed. State
+    is fingerprints of accepted docs only — |new docs| rows, never
+    payloads, exactly what a production dedup service persists."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    corpus = t(spark, sf_dir, "documents").select("doc_id", "text")
+    full = batch_docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    out_dir = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    # poll 0 = legs +400000/+500000/+600000, poll 1 = legs +700000/+800000:
+    # the within-feed twin pair (+600000/+700000) straddles the polls, so
+    # the cross-batch state leg is genuinely exercised
+    full.filter(F.col("doc_id") < 700000).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    full.filter(F.col("doc_id") >= 700000).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+
+    def classify_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        versions = sorted(_glob.glob(os.path.join(state_dir, "seen_0*")))
+        prev = [
+            v
+            for v in versions
+            if v < os.path.join(state_dir, f"seen_{batch_id:06d}")
+        ]
+        seen = s.read.parquet(prev[-1]) if prev else None
+        out = D.incremental_dedup(corpus, batch_df, "text", "doc_id", seen=seen)
+        out.write.parquet(os.path.join(out_dir, f"batch_{batch_id:06d}"))
+        accepted = (
+            s.read.parquet(os.path.join(out_dir, f"batch_{batch_id:06d}"))
+            .filter(F.col("status") == "new")
+            .join(
+                batch_df.select(
+                    F.col("doc_id").alias("batch_id"),
+                    X.fingerprint(F.col("text")).alias("fp"),
+                ),
+                "batch_id",
+            )
+            .select("fp", F.col("batch_id").alias("canonical_id"))
+        )
+        new_state = accepted if seen is None else seen.unionAll(accepted)
+        new_state.write.parquet(os.path.join(state_dir, f"seen_{batch_id:06d}"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_incremental_dedup did not drain")
+    return spark.read.parquet(os.path.join(out_dir, "batch_*"))

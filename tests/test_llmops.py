@@ -485,3 +485,119 @@ def test_similarity_topk_auto_plans_by_size(spark, sf_dir):
     # IVF output is rank-bounded per query like the exact rung
     rows = ivf.collect()
     assert rows and all(r["rn"] <= 5 for r in rows)
+
+
+class TestIncrementalDedup:
+    def test_statuses_and_canonicals(self, spark):
+        from s4hanaconnector_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "Alpha beta."), (2, "gamma delta"), (3, "alpha BETA")],
+            "doc_id bigint, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "ALPHA beta"),   # dup of corpus (normalized; canonical=1 not 3)
+                (11, "epsilon zeta"), # new, twin below
+                (12, "epsilon zeta"), # dup in batch
+                (13, "unique eta"),   # new
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            r["batch_id"]: (r["status"], r["canonical_id"])
+            for r in incremental_dedup(corpus, batch, "text", "doc_id").collect()
+        }
+        assert rows == {
+            10: ("dup_of_corpus", 1),
+            11: ("new", 11),
+            12: ("dup_in_batch", 11),
+            13: ("new", 13),
+        }
+
+    def test_corpus_wins_over_batch_twin(self, spark):
+        from s4hanaconnector_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame([(5, "same text")], "doc_id bigint, text string")
+        batch = spark.createDataFrame(
+            [(20, "same text"), (21, "same text")], "doc_id bigint, text string"
+        )
+        rows = {
+            r["batch_id"]: (r["status"], r["canonical_id"])
+            for r in incremental_dedup(corpus, batch, "text", "doc_id").collect()
+        }
+        # both batch copies defer to the corpus canonical, not to each other
+        assert rows == {20: ("dup_of_corpus", 5), 21: ("dup_of_corpus", 5)}
+
+
+class TestInt8Quantization:
+    def test_quantize_range_and_zero_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from s4hanaconnector_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "id bigint, embedding array<float>",
+        )
+        out = {
+            r["id"]: r["q"]
+            for r in df.select("id", quantize_int8(F.col("embedding")).alias("q")).collect()
+        }
+        assert out[1] == [64, -127, 32]   # round(127*0.5/1)=64 (HALF_UP), .25->31.75->32
+        assert out[2] == [0, 0, 0]        # zero vector: guarded, no NULL/NaN
+
+    def test_scale_cancels_in_cosine_top1(self, spark):
+        # the quantized top-1 for an axis-aligned query is the same corpus
+        # vector the exact rung picks — per-vector scale never reorders an
+        # unambiguous frontier
+        from s4hanaconnector_spark.operators.similarity import (
+            brute_force_topk,
+            quantized_topk,
+        )
+
+        q = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0])], "q_id bigint, embedding array<float>"
+        )
+        c = spark.createDataFrame(
+            [
+                (1, [0.9, 0.1, 0.0, 0.0]),
+                (2, [0.0, 1.0, 0.0, 0.0]),
+                (3, [0.4, 0.4, 0.4, 0.4]),
+            ],
+            "c_id bigint, embedding array<float>",
+        )
+        exact = brute_force_topk(q, c, k=1).collect()[0]["c_id"]
+        quant = quantized_topk(q, c, k=1).collect()[0]["c_id"]
+        assert exact == quant == 1
+
+
+class TestClusterSafeSplit:
+    def test_no_cluster_straddles_splits(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from s4hanaconnector_spark.queries import load_all
+
+        df = load_all()["split_leakage_free"].fn(spark, sf_dir)
+        straddlers = (
+            df.groupBy("canonical_id")
+            .agg(F.count_distinct("split").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert straddlers == 0
+
+    def test_near_dup_pair_lands_together(self, spark):
+        from s4hanaconnector_spark.operators.sampling import cluster_safe_split
+
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "doc_id bigint, canonical_id bigint"
+        )
+        out = cluster_safe_split(df, "canonical_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        per_cluster = {
+            r["canonical_id"]: r["n"]
+            for r in out.groupBy("canonical_id")
+            .agg(F.count_distinct("split").alias("n"))
+            .collect()
+        }
+        assert all(n == 1 for n in per_cluster.values())

@@ -277,3 +277,20 @@ def test_forget_cascade_broadcasts_the_delta(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark, sf_dir):
+    """Incremental corpus dedup: the corpus side must meet the batch through
+    broadcast hash joins only — a SortMergeJoin here would shuffle the
+    full historical corpus on every ingest batch."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_corpus")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    """int8 similarity keeps the exact rung's shape: queries broadcast, the
+    (quantized) corpus scans once and never shuffles before ranking."""
+    plan = plan_of(spark, sf_dir, "similarity_topk_int8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
