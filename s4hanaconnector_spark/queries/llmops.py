@@ -443,8 +443,12 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
     )
     out = (
+        # both sides are k x |queries| rows; broadcast the probe side so the
+        # comparison never sort-merges
         bf.join(
-            iv, (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")), "left"
+            F.broadcast(iv),
+            (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")),
+            "left",
         )
         .groupBy("q_id")
         .agg(
@@ -2248,8 +2252,12 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
     )
     out = (
+        # both sides are k x |queries| rows; broadcast the quantized side so
+        # the comparison never sort-merges
         bf.join(
-            qk, (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")), "left"
+            F.broadcast(qk),
+            (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")),
+            "left",
         )
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
