@@ -3389,3 +3389,101 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+SELECT er.event_id AS error_id,
+       count(*) AS n_clicks,
+       CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value_sum
+FROM (SELECT * FROM events WHERE event_type = 'error') er
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = er.user_id
+ AND c.ts BETWEEN er.ts AND er.ts + INTERVAL 12 HOUR
+GROUP BY 1
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream interval join through the engine: errors and
+    clicks are two filtered branches of one event stream (self-join), each
+    watermarked, joined on user + a 12-hour event-time interval — the
+    stateful join Structured Streaming buffers BOTH sides for, with state
+    eviction driven by the watermark and the time-range condition (an
+    unbounded-state stream-stream join is rejected by the engine in append
+    mode; the interval bound is what makes it runnable at all). The feed
+    is split chronologically into two polls so event time advances
+    monotonically across micro-batches — cross-poll pairs (an error near
+    the cut joining a click just after it) exercise the buffered state.
+    The drained pair set aggregates to the same per-error click counts as
+    the batch range join (range_join_error_clicks' bin-bucketed rewrite) —
+    one contract, three execution strategies (theta join, binned hash
+    join, stateful streaming join).
+
+    State at 100 TB: both sides buffer only rows within watermark + 12 h
+    of the frontier, hash-partitioned by user — bounded by event-rate x
+    window, never by history."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.streaming.core import run_available_now
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    d = tempfile.mkdtemp(prefix="stream_ss_join_")
+    feed_dir = os.path.join(d, "feed")
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "24 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "24 hours")
+    )
+    pairs = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 12 hours")),
+        "inner",
+    )
+    drained = run_available_now(
+        pairs.select("error_id", "click_value"),
+        "streaming_ss_join",
+        output_mode="append",
+    )
+    return drained.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("click_value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("click_value_sum"),
+    )

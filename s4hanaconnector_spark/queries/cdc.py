@@ -2117,3 +2117,129 @@ def cdc_poll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("transactionid").alias("txid_lo"),
         F.max("transactionid").alias("txid_hi"),
     )
+
+
+@register(
+    "streaming_scd2_history",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, change_type,
+           transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+v AS (
+    SELECT o_orderkey, change_type, _transactionid,
+           _transactionid AS valid_from,
+           lead(_transactionid) OVER (PARTITION BY o_orderkey ORDER BY _transactionid, change_type) AS valid_to
+    FROM cv
+)
+SELECT o_orderkey, change_type, _transactionid, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v WHERE change_type <> 'D'
+""",
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history MAINTAINED incrementally through the real streaming
+    engine: the change feed lands as two txid-ordered polls; each
+    foreachBatch (1) closes the prior state's open versions of keys the
+    batch touches (valid_to = the key's smallest incoming txid), (2) runs
+    the one-window scd2_versions chain over the batch alone, and (3)
+    unions both into the next state version. The drained history must
+    hash-equal the ONE-SHOT scd2_versions over the whole feed
+    (cdc_scd2_history's oracle): chains compose across batches because
+    polls ascend by txid, so a key's batch-local chain starts exactly
+    where its prior open version closed. Deletes terminate a version
+    without opening one, across batch boundaries too (a batch whose only
+    change for a key is 'D' contributes no row but closes the open one).
+    State per batch is the history table itself — the consumer-side
+    artifact the reference's change stream implies
+    (S4HanaProducer.java:442)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.streaming.core import PKLOG_DDL
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    d = tempfile.mkdtemp(prefix="stream_scd2_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    lo_t, hi_t = 1000, 1060
+    mid = (lo_t + hi_t) // 2
+    pklog.filter(F.col("transactionid") <= mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    pklog.filter(F.col("transactionid") > mid).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+
+    out_cols = [
+        "o_orderkey", "change_type", "_transactionid",
+        "valid_from", "valid_to", "is_current",
+    ]
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cv = batch_df.filter(
+            (F.col("table_name") == "orders") & (F.col("schema_name") == "S4")
+        ).select(
+            F.col("pk1").cast("bigint").alias("o_orderkey"),
+            "change_type",
+            F.col("transactionid").alias("_transactionid"),
+        )
+        chain = C.scd2_versions(cv, ["o_orderkey"]).select(
+            "o_orderkey", "change_type", "_transactionid",
+            F.col("__valid_from").alias("valid_from"),
+            F.col("__valid_to").alias("valid_to"),
+            F.col("__is_current").alias("is_current"),
+        )
+        versions = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))
+        prev = [v for v in versions if v < os.path.join(state_dir, f"v_{batch_id:06d}")]
+        if prev:
+            state = s.read.parquet(prev[-1])
+            # close the open version of every key this batch touches at the
+            # key's FIRST incoming txid — the lead() value the one-shot
+            # window would have seen
+            firsts = cv.groupBy("o_orderkey").agg(
+                F.min("_transactionid").alias("__next_txid")
+            )
+            state = (
+                state.join(F.broadcast(firsts), "o_orderkey", "left")
+                .select(
+                    "o_orderkey", "change_type", "_transactionid", "valid_from",
+                    F.when(
+                        F.col("is_current") & F.col("__next_txid").isNotNull(),
+                        F.col("__next_txid"),
+                    ).otherwise(F.col("valid_to")).alias("valid_to"),
+                    (F.col("is_current") & F.col("__next_txid").isNull()).alias(
+                        "is_current"
+                    ),
+                )
+            )
+            new_state = state.unionByName(chain)
+        else:
+            new_state = chain
+        new_state.select(*out_cols).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:06d}")
+        )
+
+    stream = (
+        spark.readStream.schema(PKLOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_scd2_history did not drain")
+    final = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
+    return spark.read.parquet(final)
