@@ -2243,3 +2243,196 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("streaming_scd2_history did not drain")
     final = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
     return spark.read.parquet(final)
+
+
+@register(
+    "cdc_temporal_join",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, change_type,
+           transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+v AS (
+    SELECT o_orderkey, change_type, _transactionid,
+           _transactionid AS valid_from,
+           lead(_transactionid) OVER (PARTITION BY o_orderkey ORDER BY _transactionid, change_type) AS valid_to
+    FROM cv
+),
+hist AS (SELECT * FROM v WHERE change_type <> 'D'),
+facts AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(1000 + (l_orderkey + l_linenumber) % 60 AS BIGINT) AS fact_txid
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+)
+SELECT f.l_orderkey, f.l_linenumber, f.fact_txid,
+       h.valid_from, h.valid_to, h.change_type AS version_change_type
+FROM facts f
+JOIN hist h
+  ON h.o_orderkey = f.l_orderkey
+ AND h.valid_from <= f.fact_txid
+ AND (h.valid_to IS NULL OR f.fact_txid < h.valid_to)
+""",
+)
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal (AS OF transaction time) dimension join — the canonical
+    consumer of an SCD2 history: every fact row joins THE dimension
+    version that was valid at the fact's transaction time
+    (valid_from <= t < valid_to, open version catches the tail). Facts
+    are lineitems stamped with a deterministic txid in the feed's range;
+    the dimension is the orders SCD2 history reconstructed from the
+    change feed (scd2_versions over synthetic_pklog).
+
+    Plan shape: ONE equi-join on the dimension key followed by the
+    interval filter — correct because SCD2 intervals per key are disjoint
+    by construction, so at most one version survives per fact and no
+    window/dedup pass is needed. At 100 TB the history table is |changes|
+    rows partitioned by key; the fact side shuffles once on the same key
+    (or never, if both are co-bucketed on it — operators/bucketing.py)."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    cv = pklog.filter(
+        (F.col("table_name") == "orders") & (F.col("schema_name") == "S4")
+    ).select(
+        F.col("pk1").cast("bigint").alias("o_orderkey"),
+        "change_type",
+        F.col("transactionid").alias("_transactionid"),
+    )
+    hist = C.scd2_versions(cv, ["o_orderkey"]).select(
+        "o_orderkey",
+        F.col("change_type").alias("version_change_type"),
+        F.col("__valid_from").alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+    )
+    facts = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+        .withColumn(
+            "fact_txid",
+            (F.lit(1000) + (F.col("l_orderkey") + F.col("l_linenumber")) % 60)
+            .cast("bigint"),
+        )
+    )
+    return (
+        facts.join(hist, facts["l_orderkey"] == hist["o_orderkey"])
+        .filter(
+            (F.col("valid_from") <= F.col("fact_txid"))
+            & (F.col("valid_to").isNull() | (F.col("fact_txid") < F.col("valid_to")))
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "fact_txid",
+            "valid_from", "valid_to", "version_change_type",
+        )
+    )
+
+
+@register(
+    "cdc_snapshot_checksum",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+cv AS (
+    SELECT CAST(pk1 AS BIGINT) AS o_orderkey, change_type, transaction_seq,
+           transactionid AS _transactionid
+    FROM pklog WHERE table_name = 'orders' AND schema_name = 'S4'
+),
+latest AS (
+    SELECT o_orderkey, change_type FROM (
+        SELECT o_orderkey, change_type,
+               row_number() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY _transactionid DESC, transaction_seq DESC,
+                            CASE change_type WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+               ) AS rn
+        FROM cv
+    ) WHERE rn = 1
+),
+snap AS (
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS od
+    FROM orders o LEFT JOIN latest l USING (o_orderkey)
+    WHERE l.change_type IS NULL OR l.change_type <> 'D'
+),
+rows_h AS (
+    SELECT ('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus || chr(31) ||
+               o_orderpriority || chr(31) || CAST(o_custkey AS VARCHAR) || chr(31) || od
+           ), 1, 12))::BIGINT AS h
+    FROM snap
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM rows_h
+""",
+)
+def cdc_snapshot_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the maintained snapshot — the
+    end-to-end audit primitive a CDC consumer runs to prove its replica
+    equals the source without moving either (the reference trusts Kafka
+    transactions for this; an addition-reduced row digest verifies it
+    independently). Each row hashes to a 48-bit integer (md5 over a
+    field-separated canonical encoding, dates ISO-formatted so engines
+    agree); the table digest is the exact DECIMAL(38) SUM — commutative,
+    so partitioning/order/engine cannot change it, and any single changed
+    row changes the sum with probability 1 - 2^-48.
+
+    The snapshot here is the source with the poll's deletes applied
+    (per-PK latest change, reference rank order), so the digest covers the
+    whole maintain path. One scan + one 1-row aggregate; at 100 TB the
+    digest pipelines into the scan with map-side partial sums."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    cv = pklog.filter(
+        (F.col("table_name") == "orders") & (F.col("schema_name") == "S4")
+    ).select(
+        F.col("pk1").cast("bigint").alias("o_orderkey"),
+        "change_type",
+        "transaction_seq",
+        F.col("transactionid").alias("_transactionid"),
+    )
+    rank = (
+        F.when(F.col("change_type") == "D", 3)
+        .when(F.col("change_type") == "U", 2)
+        .otherwise(1)
+    )
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("_transactionid").desc(), F.col("transaction_seq").desc(), rank.desc()
+    )
+    latest = (
+        cv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "change_type")
+    )
+    snap = (
+        orders.join(latest, "o_orderkey", "left")
+        .filter(F.col("change_type").isNull() | (F.col("change_type") != "D"))
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey",
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("od"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    F.col("o_custkey").cast("string"),
+                    "od",
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )
