@@ -3432,8 +3432,32 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type", "value",
     )
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    # Cut the feed at the FIRST error that has a strictly-later click inside
+    # its window: that error lands in poll 0 and its click in poll 1, so at
+    # least one pair is guaranteed to form across micro-batches — the test
+    # would otherwise pass without ever touching the buffered join state.
+    # (1-row bounded agg at plan time; midpoint fallback for a degenerate
+    # fixture with no such pair.)
+    e_b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("e_ts")
+    )
+    c_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("c_ts")
+    )
+    first = (
+        e_b.join(c_b, "bu")
+        .filter(
+            (F.col("c_ts") > F.col("e_ts"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 12 hours"))
+        )
+        .agg(F.min(F.struct("e_ts", "c_ts")).alias("s"))
+        .collect()[0]["s"]
+    )
+    if first is not None:
+        mid = first["e_ts"]
+    else:
+        bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     d = tempfile.mkdtemp(prefix="stream_ss_join_")
     feed_dir = os.path.join(d, "feed")
     ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(

@@ -367,3 +367,60 @@ def test_txn_latency_listener_alerts_per_batch(spark, tmp_path):
     finally:
         spark.streams.removeListener(listener)
     assert alerts and alerts[0] == ("warn", oldest)
+
+
+def test_stream_stream_join_cut_forces_cross_batch_pairs(spark, sf_dir):
+    """The chronological poll split of streaming_stream_stream_join must put
+    at least one (error, click) pair on OPPOSITE sides of the cut —
+    otherwise the query would pass without ever using the buffered join
+    state. Verified on the batch side from the same fixture arithmetic."""
+    from s4hanaconnector_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    # mirror the query's cut rule: ts of the first error with a
+    # strictly-later in-window click
+    e_b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("e_ts")
+    )
+    c_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("c_ts")
+    )
+    first = (
+        e_b.join(c_b, "bu")
+        .filter(
+            (F.col("c_ts") > F.col("e_ts"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 12 hours"))
+        )
+        .agg(F.min(F.struct("e_ts", "c_ts")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert first is not None
+    mid = first["e_ts"]
+    err = ev.filter((F.col("event_type") == "error") & (F.col("ts") <= F.lit(mid)))
+    clk = ev.filter((F.col("event_type") == "click") & (F.col("ts") > F.lit(mid)))
+    straddlers = (
+        err.alias("e")
+        .join(clk.alias("c"), F.col("e.user_id") == F.col("c.user_id"))
+        .filter(
+            (F.col("c.ts") >= F.col("e.ts"))
+            & (F.col("c.ts") <= F.col("e.ts") + F.expr("INTERVAL 12 hours"))
+        )
+        .count()
+    )
+    assert straddlers > 0
+
+
+def test_scd2_feed_has_cross_batch_version_chains(spark, sf_dir):
+    """streaming_scd2_history's txid split must leave at least one key with
+    changes in BOTH polls, so closing prior open versions across the batch
+    boundary is actually exercised."""
+    from s4hanaconnector_spark.catalog import load_table
+    from s4hanaconnector_spark.sources.pklog import synthetic_pklog
+
+    pklog = synthetic_pklog(load_table(spark, sf_dir, "orders"))
+    mid = (1000 + 1060) // 2
+    lo = pklog.filter(F.col("transactionid") <= mid).select("pk1").distinct()
+    hi = pklog.filter(F.col("transactionid") > mid).select("pk1").distinct()
+    assert lo.join(hi, "pk1", "semi").count() > 0
