@@ -2144,6 +2144,7 @@ SELECT b.batch_id,
             ELSE b.batch_id END AS canonical_id
 FROM bfp b LEFT JOIN cfp c USING (fp) JOIN bmin m USING (fp)
 """,
+    headline=True,
 )
 def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (batch-vs-corpus) dedup — the continuous-corpus-building
@@ -2190,6 +2191,7 @@ ranked AS (
 )
 SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 10
 """,
+    headline=True,
 )
 def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric int8 top-k (operators/similarity.py quantized_topk): the
@@ -2405,3 +2407,163 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_incremental_dedup did not drain")
     return spark.read.parquet(os.path.join(out_dir, "batch_*"))
+
+
+@register(
+    "corpus_budget_selection",
+    f"""
+WITH toks AS (
+    SELECT doc_id, len({_WORDS}) AS n_toks,
+           len(list_distinct({_WORDS})) AS n_uniq
+    FROM documents
+),
+base AS (
+    SELECT doc_id, n_toks,
+           round(CAST(n_uniq AS DOUBLE) / n_toks, 6) AS quality,
+           CAST(floor(round(CAST(n_uniq AS DOUBLE) / n_toks, 6) * 1000) AS INTEGER) AS bin
+    FROM toks WHERE n_toks > 0
+),
+bins AS (
+    SELECT bin, sum(n_toks) AS bin_toks FROM base GROUP BY bin
+),
+cums AS (
+    SELECT bin, bin_toks,
+           sum(bin_toks) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bins
+),
+full_bins AS (SELECT bin FROM cums WHERE cum <= 20000),
+boundary AS (
+    SELECT bin, 20000 - (cum - bin_toks) AS remaining
+    FROM cums WHERE cum > 20000 AND cum - bin_toks < 20000
+),
+sel_full AS (
+    SELECT b.doc_id, b.n_toks, b.quality
+    FROM base b JOIN full_bins USING (bin)
+),
+sel_boundary AS (
+    SELECT doc_id, n_toks, quality FROM (
+        SELECT b.doc_id, b.n_toks, b.quality, bd.remaining,
+               sum(b.n_toks) OVER (
+                   PARTITION BY b.bin ORDER BY b.quality DESC, b.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS dcum
+        FROM base b JOIN boundary bd USING (bin)
+    ) WHERE dcum <= remaining
+)
+SELECT * FROM sel_full UNION ALL SELECT * FROM sel_boundary
+""",
+)
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    whose token counts fit a 20k-token budget — greedy-by-quality, the
+    standard budget-capped curation step before training. The quality
+    signal here is the distinct-token ratio (repetition-inverse); any
+    scored column plugs in.
+
+    Scale-correct algorithm: NOT a global order-by + running sum (a
+    single-partition sort at 100 TB). Quality is quantized into 1000 bins;
+    per-bin token totals (one shuffle on a 1000-value key) take a running
+    sum over the TINY bin table (broadcastable window), selecting whole
+    bins that fit; only the ONE boundary bin sorts its own documents to
+    fill the remainder. The full-bin membership check is a broadcast semi
+    join — the corpus is scanned once and never globally sorted. Ties
+    inside the boundary bin break on (quality desc, doc_id) after 6-digit
+    rounding, so the frontier is engine-exact."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.text import word_tokens
+
+    B = 20000
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = d.select(
+        "doc_id", word_tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("n_toks"),
+        F.size(F.array_distinct("__toks")).alias("n_uniq"),
+    )
+    quality = F.round(F.col("n_uniq").cast("double") / F.col("n_toks"), 6)
+    base = toked.filter(F.col("n_toks") > 0).select(
+        "doc_id",
+        "n_toks",
+        quality.alias("quality"),
+        F.floor(quality * 1000).cast("int").alias("bin"),
+    )
+    bins = base.groupBy("bin").agg(F.sum("n_toks").alias("bin_toks"))
+    wb = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cums = bins.withColumn("cum", F.sum("bin_toks").over(wb))
+    full_bins = cums.filter(F.col("cum") <= B).select("bin")
+    boundary = cums.filter(
+        (F.col("cum") > B) & (F.col("cum") - F.col("bin_toks") < B)
+    ).select("bin", (F.lit(B) - (F.col("cum") - F.col("bin_toks"))).alias("remaining"))
+    sel_full = base.join(F.broadcast(full_bins), "bin", "semi").select(
+        "doc_id", "n_toks", "quality"
+    )
+    wd = (
+        W.partitionBy("bin")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sel_boundary = (
+        base.join(F.broadcast(boundary), "bin")
+        .withColumn("dcum", F.sum("n_toks").over(wd))
+        .filter(F.col("dcum") <= F.col("remaining"))
+        .select("doc_id", "n_toks", "quality")
+    )
+    return sel_full.unionByName(sel_boundary)
+
+
+@register(
+    "embedding_training_pairs",
+    f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 128 +
+           (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 64 +
+           (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 32 +
+           (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 16 +
+           (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 8 +
+           (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 4 +
+           (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 2 +
+           (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS qv, b2.embedding AS cv
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+    WHERE a.vec_id < b2.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+    FROM expl GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine,
+       CASE WHEN cosine >= 0.8 THEN 'positive' ELSE 'hard_negative' END AS pair_type
+FROM scored
+WHERE cosine >= 0.8 OR (cosine >= 0.2 AND cosine < 0.5)
+""",
+)
+def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: positives are
+    near-identical vectors (cosine >= 0.8), hard negatives are
+    SAME-BUCKET pairs of moderate similarity (0.2 <= cosine < 0.5) — the
+    negatives that actually teach a margin, because random negatives are
+    trivially far at scale. Mining inside sign-LSH buckets keeps the
+    candidate set ~2^8 below all-pairs AND biases negatives toward the
+    hard region for free (bucket collision implies leading-coordinate
+    agreement). One bucketed self-join, no corpus x corpus pass."""
+    pairs = S.lsh_bucketed_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", dims=8, min_cosine=-1.0
+    )
+    return pairs.filter(
+        (F.col("cosine") >= 0.8)
+        | ((F.col("cosine") >= 0.2) & (F.col("cosine") < 0.5))
+    ).select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.when(F.col("cosine") >= 0.8, F.lit("positive"))
+        .otherwise(F.lit("hard_negative"))
+        .alias("pair_type"),
+    )
