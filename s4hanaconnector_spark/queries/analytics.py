@@ -3392,7 +3392,7 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "streaming_stream_stream_join",
+    "streaming_ss_join_cross_batch",
     """
 SELECT er.event_id AS error_id,
        count(*) AS n_clicks,
@@ -3404,7 +3404,7 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 GROUP BY 1
 """,
 )
-def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_ss_join_cross_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL stream-stream interval join through the engine: errors and
     clicks are two filtered branches of one event stream (self-join), each
     watermarked, joined on user + a 12-hour event-time interval — the

@@ -22,9 +22,14 @@ REGISTRY: dict[str, QueryDef] = {}
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
-    """Decorator: register a declared query."""
+    """Decorator: register a declared query. Duplicate names are an error —
+    a second registration would silently shadow the first in the driver's
+    correctness gate (which is exactly how a redundant query once hid an
+    existing one)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, headline=headline)
         return fn
 
