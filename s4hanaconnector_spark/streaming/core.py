@@ -70,12 +70,17 @@ class transactional_sink:
         out_dir: str,
         transform: Callable[[DataFrame, int], DataFrame] | None = None,
         writer=None,
+        key_prefix: str = "",
     ) -> None:
         from s4hanaconnector_spark.poll import ParquetWriter
 
         self.out_dir = out_dir
         self.transform = transform
         self.writer = writer if writer is not None else ParquetWriter(out_dir)
+        # mapping-aware writers (KafkaFramedWriter) route on the delivery
+        # key's leading path segment; key_prefix="orders" makes this sink
+        # emit "orders/batch_id=N" so the per-mapping topic resolves
+        self.key_prefix = key_prefix
         os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
 
     def _commit_path(self, batch_id: int) -> str:
@@ -88,7 +93,10 @@ class transactional_sink:
         if self.committed(batch_id):
             return  # replay of an already-committed transaction: no-op
         df = self.transform(batch_df, batch_id) if self.transform else batch_df
-        n = self.writer.write(f"batch_id={batch_id}", df)
+        key = f"batch_id={batch_id}"
+        if self.key_prefix:
+            key = f"{self.key_prefix}/{key}"
+        n = self.writer.write(key, df)
         tmp = self._commit_path(batch_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)

@@ -144,3 +144,64 @@ def test_frame_unframe_apply_changes_roundtrip(spark):
     direct = sorted(map(tuple, apply_changes(snap, batch, ["id"]).collect()))
     via_kafka = sorted(map(tuple, apply_changes(snap, back, ["id"]).collect()))
     assert direct == via_kafka == [(1, "a"), (3, "keep")]
+
+
+def test_streaming_transactional_sink_delivers_kafka_frames(spark, tmp_path):
+    """End-to-end: a change-row STREAM drains through transactional_sink
+    composed with KafkaFramedWriter (key_prefix routes the per-mapping
+    topic), then the consumer unframes the in-memory topic and
+    apply_changes rebuilds the table — the reference's producer->topic->
+    consumer loop through the real streaming engine, with the commit log
+    making the delivery exactly-once per batch."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.kafka_sink import unframe
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+    from s4hanaconnector_spark.streaming.core import transactional_sink
+
+    feed = tmp_path / "feed"
+    deltas = [
+        [("A", 10, 1, "a"), ("A", 10, 2, "b")],
+        [("A", 20, 2, "b2"), ("D", 21, 1, None)],
+    ]
+    for i, rows in enumerate(deltas):
+        spark.createDataFrame(
+            rows, "_change_type string, _transactionid bigint, id bigint, val string"
+        ).coalesce(1).write.parquet(str(feed / f"poll={i}"))
+
+    writer = KafkaFramedWriter({BO_MAPPING.name: BO_MAPPING})
+    sink = transactional_sink(
+        str(tmp_path / "out"), writer=writer, key_prefix=BO_MAPPING.name
+    )
+    stream = (
+        spark.readStream.schema(
+            "_change_type string, _transactionid bigint, id bigint, val string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    topic = writer.topics[topic_name(BO_MAPPING)]
+    assert set(topic) == {f"{BO_MAPPING.name}/batch_id=0", f"{BO_MAPPING.name}/batch_id=1"}
+    all_rows = [r for rows in topic.values() for r in rows]
+    frames = spark.createDataFrame(
+        all_rows,
+        "topic string, key string, value string, "
+        "headers array<struct<key string, value binary>>",
+    )
+    batch = unframe(frames, BO_MAPPING)
+    base = spark.createDataFrame([], "id bigint, val string")
+    final = apply_changes(base, batch, ["id"])
+    assert {(r["id"], r["val"]) for r in final.collect()} == {(2, "b2")}
+    # replay of a committed batch is a no-op on the topic (exactly-once)
+    before = {k: len(v) for k, v in topic.items()}
+    sink(spark.createDataFrame(deltas[0], "_change_type string, _transactionid bigint, id bigint, val string"), 0)
+    after = {k: len(v) for k, v in writer.topics[topic_name(BO_MAPPING)].items()}
+    assert before == after
