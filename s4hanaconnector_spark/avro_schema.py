@@ -285,3 +285,89 @@ def compatibility(old: dict, new: dict, mode: str = "backward") -> list[str]:
                 f"field '{name}' exists only in the reader schema and has no default"
             )
     return issues
+
+
+# ---------------------------------------------------------------------------
+# Spark-schema bridge — drift gating for INCOMING batches
+# ---------------------------------------------------------------------------
+
+
+def spark_type_to_avro(dt) -> str | dict:
+    """Spark DataType -> Avro type (logical types for date/timestamp/
+    decimal, recursion for array/struct) — the write-side counterpart of
+    ``hana_to_avro`` so a live DataFrame schema can face the same registry
+    gate as a rendered mapping."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": spark_type_to_avro(dt.elementType)}
+    if isinstance(dt, T.StructType):
+        return spark_schema_to_avro(dt, name="record")
+    raise ValueError(f"no Avro mapping for Spark type {dt}")
+
+
+def spark_schema_to_avro(
+    schema, name: str = "record", pkcolumns: list[str] | None = None
+) -> dict:
+    """Render a Spark StructType as the same Avro record document
+    ``mapping_to_avro`` emits (nullable unions with null defaults, PK
+    flags/positions), so :func:`compatibility` can gate a live batch
+    schema against a registered one."""
+    pks = list(pkcolumns or [])
+    fields = []
+    for f in schema.fields:
+        fd = {
+            "name": avro_encode_name(f.name),
+            "type": ["null", spark_type_to_avro(f.dataType)],
+            "default": None,
+        }
+        if f.name in pks:
+            fd["primarykey"] = True
+            fd["pkposition"] = pks.index(f.name) + 1
+        fields.append(fd)
+    return {"type": "record", "name": avro_encode_name(name), "fields": fields}
+
+
+def schema_drift(
+    old_schema,
+    new_schema,
+    mode: str = "backward",
+    pkcolumns: list[str] | None = None,
+) -> list[str]:
+    """Registry-style drift gate between two LIVE Spark schemas (e.g. the
+    maintained snapshot vs an incoming poll batch): render both as Avro and
+    run the compatibility rules. Empty list = the batch may be applied /
+    the evolved schema registered; non-empty = reject loudly BEFORE
+    apply_changes mutates state — the order the reference implies by
+    registering the rebuilt schema ahead of producing rows with it
+    (S4HanaTableMapping.java:577-597)."""
+    return compatibility(
+        spark_schema_to_avro(old_schema, "t", pkcolumns),
+        spark_schema_to_avro(new_schema, "t", pkcolumns),
+        mode,
+    )

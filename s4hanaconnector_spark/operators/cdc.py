@@ -411,6 +411,7 @@ def apply_changes(
     batch: DataFrame,
     pk_names: list[str],
     evolve_schema: bool = False,
+    drift_mode: str | None = None,
 ) -> DataFrame:
     """Materialize a delta batch onto a snapshot: per-PK latest change wins;
     'D' removes the row, 'A'/'I' upserts it. MERGE INTO without Delta:
@@ -427,11 +428,33 @@ def apply_changes(
     reference's consumers. Dropped columns are NOT inferred (a batch
     without a column means "unchanged", not "removed"). The default
     projects the batch onto the snapshot's schema — unknown batch columns
-    are ignored, so widening the OUTPUT schema is an explicit opt-in."""
+    are ignored, so widening the OUTPUT schema is an explicit opt-in.
+
+    ``drift_mode`` ('backward'/'forward'/'full') runs the registry-style
+    schema compatibility gate (avro_schema.schema_drift) between the
+    snapshot schema and the incoming batch's data columns BEFORE anything
+    is applied — an added nullable column passes, a type change or
+    decimal scale change raises — the order the reference implies by
+    registering the rebuilt schema ahead of producing rows with it."""
+    meta = {"_change_type", "_transactionid", "transaction_seq"}
+    if drift_mode:
+        from pyspark.sql import types as T
+
+        from s4hanaconnector_spark.avro_schema import schema_drift
+
+        batch_data = T.StructType(
+            [f for f in batch.schema.fields if f.name not in meta]
+        )
+        issues = schema_drift(
+            snapshot.schema, batch_data, drift_mode, pkcolumns=pk_names
+        )
+        if issues:
+            raise ValueError(
+                "incompatible batch schema (drift gate): " + "; ".join(issues)
+            )
     latest = latest_per_pk(batch, pk_names)
     data_cols = [c for c in snapshot.columns]
     if evolve_schema:
-        meta = {"_change_type", "_transactionid", "transaction_seq"}
         data_cols += [
             c for c in batch.columns if c not in meta and c not in data_cols
         ]

@@ -171,3 +171,45 @@ class TestCompatibility:
         new = mapping_to_avro(self._m([("k", "BIGINT"), ("a", "BIGINT")], ["k", "a"]))
         for mode in ("backward", "forward", "full"):
             assert any("primary key" in i for i in compatibility(old, new, mode)), mode
+
+
+class TestSchemaDrift:
+    def _schema(self, ddl):
+        from pyspark.sql import types as T
+
+        return T.StructType.fromDDL(ddl)
+
+    def test_added_nullable_column_is_backward_compatible(self, spark):
+        from s4hanaconnector_spark.avro_schema import schema_drift
+
+        old = self._schema("id bigint, val string")
+        new = self._schema("id bigint, val string, extra double")
+        assert schema_drift(old, new, "backward", pkcolumns=["id"]) == []
+
+    def test_type_change_is_rejected(self, spark):
+        from s4hanaconnector_spark.avro_schema import schema_drift
+
+        old = self._schema("id bigint, val string")
+        new = self._schema("id bigint, val bigint")
+        issues = schema_drift(old, new, "backward", pkcolumns=["id"])
+        assert issues and "val" in issues[0]
+
+    def test_int_to_long_promotion_allowed(self, spark):
+        from s4hanaconnector_spark.avro_schema import schema_drift
+
+        old = self._schema("id bigint, n int")
+        new = self._schema("id bigint, n bigint")
+        # Avro resolution promotes int -> long when reading old data
+        assert schema_drift(old, new, "backward", pkcolumns=["id"]) == []
+
+    def test_dropped_column_fails_forward(self, spark):
+        from s4hanaconnector_spark.avro_schema import schema_drift
+
+        old = self._schema("id bigint, val string, gone double")
+        new = self._schema("id bigint, val string")
+        # forward: old consumers read new data; nullable default saves it
+        assert schema_drift(old, new, "forward", pkcolumns=["id"]) == []
+        # but a decimal scale change never resolves
+        old2 = self._schema("id bigint, d decimal(18,2)")
+        new2 = self._schema("id bigint, d decimal(18,4)")
+        assert schema_drift(old2, new2, "backward", pkcolumns=["id"])

@@ -537,3 +537,28 @@ def test_apply_changes_evolving_adds_column_with_nulls(spark):
     assert out == {1: ("a", None), 2: ("b2", "x")}
     # default: batch projects onto the snapshot schema, extras ignored
     assert C.apply_changes(snap, batch, ["id"]).columns == snap.columns
+
+
+def test_apply_changes_drift_gate(spark):
+    """drift_mode runs the registry compatibility rules before the merge: an
+    evolving batch with an added nullable column applies, a batch whose
+    column changed type is rejected before any state mutates."""
+    import pytest
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([Row(id=1, val="a")], "id bigint, val string")
+    ok_batch = spark.createDataFrame(
+        [("A", 10, 2, "b", 1.5)],
+        "_change_type string, _transactionid bigint, id bigint, val string, extra double",
+    )
+    out = apply_changes(snap, ok_batch, ["id"], evolve_schema=True, drift_mode="backward")
+    assert {(r["id"], r["extra"]) for r in out.collect()} == {(1, None), (2, 1.5)}
+
+    bad_batch = spark.createDataFrame(
+        [("A", 10, 2, 99)],
+        "_change_type string, _transactionid bigint, id bigint, val bigint",
+    )
+    with pytest.raises(ValueError, match="drift gate"):
+        apply_changes(snap, bad_batch, ["id"], evolve_schema=True, drift_mode="backward")
