@@ -299,3 +299,113 @@ def test_snapshot_diff_and_maintenance_agree_with_recompute(spark, old, new):
         .collect()
     }
     assert maintained == recomputed
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: composition law
+# ---------------------------------------------------------------------------
+
+# docs: (id, text) with texts drawn from a tiny alphabet so collisions are
+# common; ids unique by construction
+_texts = st.sampled_from(["alpha beta", "ALPHA beta", "gamma", "delta eps", "zzz"])
+_doc_lists = st.lists(_texts, min_size=0, max_size=10)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus_texts=_doc_lists, b1=_doc_lists, b2=_doc_lists)
+def test_incremental_dedup_composes_across_batches(spark, corpus_texts, b1, b2):
+    """Composition law: draining the feed batch-by-batch with accumulated
+    fingerprint state equals the one-shot classification of the whole
+    feed — for ANY corpus/batch contents, including fingerprint collisions
+    (case variants), within-batch twins and cross-batch twins."""
+    from s4hanaconnector_spark.operators.dedup import incremental_dedup
+    from s4hanaconnector_spark.operators.text import fingerprint
+
+    def df_of(texts, base):
+        rows = [(base + i, t) for i, t in enumerate(texts)]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    corpus = df_of(corpus_texts, 0)
+    batch1 = df_of(b1, 100)
+    batch2 = df_of(b2, 200)
+
+    # one-shot over the concatenated feed
+    feed = batch1.unionAll(batch2)
+    oneshot = {
+        r["batch_id"]: (r["status"], r["canonical_id"])
+        for r in incremental_dedup(corpus, feed, "text", "doc_id").collect()
+    }
+
+    # batch-by-batch with state
+    out1 = incremental_dedup(corpus, batch1, "text", "doc_id")
+    seen1 = (
+        out1.filter(F.col("status") == "new")
+        .join(
+            batch1.select(
+                F.col("doc_id").alias("batch_id"), fingerprint(F.col("text")).alias("fp")
+            ),
+            "batch_id",
+        )
+        .select("fp", F.col("batch_id").alias("canonical_id"))
+    )
+    out2 = incremental_dedup(corpus, batch2, "text", "doc_id", seen=seen1)
+    streamed = {
+        r["batch_id"]: (r["status"], r["canonical_id"])
+        for r in out1.unionByName(out2).collect()
+    }
+    assert streamed == oneshot
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=events, cut=st.integers(min_value=5, max_value=25))
+def test_scd2_composes_across_txid_split(spark, feed, cut):
+    """The invariant streaming_scd2_history relies on, as a law over RANDOM
+    feeds and cut points: close-open-versions-then-chain over the two
+    txid-ordered halves equals the one-shot scd2_versions window over the
+    whole feed. Ties (same pk, same txid, different types) and keys whose
+    only later change is a delete are the interesting shapes hypothesis
+    finds."""
+    from s4hanaconnector_spark.operators.cdc import scd2_versions
+
+    rows = [
+        Row(o_orderkey=pk, change_type=ct, _transactionid=tx) for pk, tx, ct in feed
+    ]
+    # scd2 chains assume one change per (pk, txid): keep the max type per
+    # pair so the precondition holds (matches latest_per_pk's dedup)
+    schema = "o_orderkey bigint, change_type string, _transactionid bigint"
+    cv = (
+        spark.createDataFrame(rows, schema)
+        .groupBy("o_orderkey", "_transactionid")
+        .agg(F.max("change_type").alias("change_type"))
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    cols = ["o_orderkey", "change_type", "_transactionid", "__valid_from", "__valid_to", "__is_current"]
+
+    oneshot = {tuple(r) for r in scd2_versions(cv, ["o_orderkey"]).select(cols).collect()}
+
+    lo_half = cv.filter(F.col("_transactionid") <= cut)
+    hi_half = cv.filter(F.col("_transactionid") > cut)
+    state = scd2_versions(lo_half, ["o_orderkey"]).select(cols)
+    firsts = hi_half.groupBy("o_orderkey").agg(
+        F.min("_transactionid").alias("__next_txid")
+    )
+    closed = state.join(firsts, "o_orderkey", "left").select(
+        "o_orderkey", "change_type", "_transactionid", "__valid_from",
+        F.when(
+            F.col("__is_current") & F.col("__next_txid").isNotNull(),
+            F.col("__next_txid"),
+        ).otherwise(F.col("__valid_to")).alias("__valid_to"),
+        (F.col("__is_current") & F.col("__next_txid").isNull()).alias("__is_current"),
+    )
+    chained = scd2_versions(hi_half, ["o_orderkey"]).select(cols)
+    composed = {tuple(r) for r in closed.unionByName(chained).collect()}
+    assert composed == oneshot
