@@ -397,9 +397,15 @@ def incremental_dedup(
     c_fp = corpus.select(
         fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("__cid")
     )
+    # The batch fingerprint frame feeds BOTH the broadcast hit probe and the
+    # final left join; without truncation the whole batch subtree (scans +
+    # normalize regexes + md5) executes twice. localCheckpoint materializes
+    # the tiny (batch_id, fp) frame once — lazy, so the broadcast job's
+    # materialization is reused by the probe side (measured 2x on the
+    # bench fixture). The batch is the small side by contract.
     b_fp = batch.select(
         F.col(id_col).alias("batch_id"), fingerprint(F.col(text_col)).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     hits = (
         c_fp.join(F.broadcast(b_fp.select("fp").distinct()), "fp")
         .groupBy("fp")
