@@ -332,3 +332,40 @@ def run_available_now(
         if q.isActive:
             q.stop()
     return out.sparkSession.table(sink)
+
+
+def make_progress_metrics_listener(sink: list):
+    """Throughput observability for the always-on path — the numbers the
+    reference's monitoring servlets expose per producer (rows produced,
+    rate; S4HanaProducer.java:443-447 logs them per poll) captured from the
+    engine's own progress events: one record per micro-batch with batch id,
+    input row count, processing rate and per-source offsets. Append-only
+    into ``sink`` (any list-like; swap for a metrics client in production).
+    Register with ``spark.streams.addListener(...)``; listener callbacks
+    run on a separate thread and never touch the micro-batch path."""
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class ProgressMetricsListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            sink.append(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "sources": [s.description for s in p.sources],
+                }
+            )
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+    return ProgressMetricsListener()

@@ -424,3 +424,35 @@ def test_scd2_feed_has_cross_batch_version_chains(spark, sf_dir):
     lo = pklog.filter(F.col("transactionid") <= mid).select("pk1").distinct()
     hi = pklog.filter(F.col("transactionid") > mid).select("pk1").distinct()
     assert lo.join(hi, "pk1", "semi").count() > 0
+
+
+def test_progress_metrics_listener_captures_throughput(spark, tmp_path):
+    """The monitoring analogue of the reference's per-poll row-count log
+    lines: a real streaming query's progress events land as one metrics
+    record per micro-batch with the input row count."""
+    import time as _time
+
+    from s4hanaconnector_spark.streaming.core import (
+        make_progress_metrics_listener,
+        run_available_now,
+    )
+
+    feed = tmp_path / "mfeed"
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, v string").coalesce(
+        1
+    ).write.parquet(str(feed / "p0"))
+    metrics: list = []
+    listener = make_progress_metrics_listener(metrics)
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema("id bigint, v string").parquet(str(feed / "p*"))
+        out = stream.groupBy("v").count()
+        run_available_now(out, "metrics_probe", output_mode="complete")
+        deadline = _time.time() + 30
+        while not metrics and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert metrics, "no progress events captured"
+    assert sum(m["num_input_rows"] for m in metrics) == 3
+    assert all("batch_id" in m and m["sources"] for m in metrics)
