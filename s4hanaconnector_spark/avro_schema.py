@@ -371,3 +371,40 @@ def schema_drift(
         spark_schema_to_avro(new_schema, "t", pkcolumns),
         mode,
     )
+
+
+def avro_decode_name(name: str) -> str:
+    """Inverse of :func:`avro_encode_name`: every ``_xHHHH`` escape decodes
+    back to its character. Total on this renderer's output (the encoder
+    escapes any literal ``_x``, so no ambiguity survives a round trip)."""
+    return re.sub(r"_x([0-9a-f]{4})", lambda m: chr(int(m.group(1), 16)), name)
+
+
+def avro_to_mapping(schema: dict, mastertable: str | None = None) -> TableMapping:
+    """Registry import: rebuild a :class:`TableMapping` from a rendered
+    schema document — the inverse of :func:`mapping_to_avro`, closing the
+    registry round trip (the reference only ever writes schemas; a consumer
+    standing up a replica needs to READ one back into a typed mapping).
+
+    Field names decode from the ``_xHHHH`` scheme; HANA declarations ride
+    the ``hanadatatype`` attribute the renderer emits (fields without one
+    import as typeless, like a hand-written mapping); PK columns are
+    recovered from the ``primarykey``/``pkposition`` flags in position
+    order. ``mapping_to_avro(avro_to_mapping(s)) == s`` for any schema this
+    renderer produced."""
+    name = avro_decode_name(schema["name"])
+    cms: list[ColumnMapping] = []
+    pks: list[tuple[int, str]] = []
+    for f in schema["fields"]:
+        alias = avro_decode_name(f["name"])
+        cms.append(
+            ColumnMapping(alias, f'"L1"."{alias}"', f.get("hanadatatype"))
+        )
+        if f.get("primarykey"):
+            pks.append((f["pkposition"], alias))
+    return TableMapping(
+        name=name,
+        mastertable=mastertable or name,
+        columnmappings=cms,
+        pkcolumns=[c for _, c in sorted(pks)],
+    )

@@ -213,3 +213,35 @@ class TestSchemaDrift:
         old2 = self._schema("id bigint, d decimal(18,2)")
         new2 = self._schema("id bigint, d decimal(18,4)")
         assert schema_drift(old2, new2, "backward", pkcolumns=["id"])
+
+
+class TestRegistryRoundTrip:
+    def test_mapping_to_avro_to_mapping_identity(self):
+        from s4hanaconnector_spark.avro_schema import avro_to_mapping, mapping_to_avro
+        from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+        m = TableMapping(
+            name="demo::SO.Header",
+            mastertable="t",
+            columnmappings=[
+                ColumnMapping("SalesOrderId", '"L1"."SalesOrderId"', "NVARCHAR(10)"),
+                ColumnMapping("GrossAmount", '"L1"."GrossAmount"', "DECIMAL(15,2)"),
+                ColumnMapping("CreatedAt", '"L1"."CreatedAt"', "TIMESTAMP"),
+            ],
+            pkcolumns=["SalesOrderId"],
+        )
+        doc = mapping_to_avro(m)
+        back = avro_to_mapping(doc, mastertable="t")
+        assert back.name == m.name
+        assert back.pkcolumns == m.pkcolumns
+        assert [(c.alias, c.hanadatatype) for c in back.columnmappings] == [
+            (c.alias, c.hanadatatype) for c in m.columnmappings
+        ]
+        # and the re-render is byte-identical
+        assert mapping_to_avro(back) == doc
+
+    def test_name_decode_inverts_encode(self):
+        from s4hanaconnector_spark.avro_schema import avro_decode_name, avro_encode_name
+
+        for s in ["demo::SO.Header", "a_xb", "1leading", "plain_name", "ä::ö"]:
+            assert avro_decode_name(avro_encode_name(s)) == s
