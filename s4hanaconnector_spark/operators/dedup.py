@@ -119,6 +119,100 @@ def ngram_coverage(
     )
 
 
+def band_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Banded MinHash signatures, ROW-LOCALLY with array functions: per doc,
+    md5 every shingle once into a materialized array column, then each
+    band's signature is array_min(filter(hashes, leading nibble == band)).
+    An explode + groupBy(doc, band) would push |total shingles| rows
+    through a shuffle just to take 16 mins per doc; this shape shuffles
+    NOTHING for signatures — only the 16-rows-per-doc sig table ever hits
+    an exchange downstream, which at 100 TB is the difference between
+    shuffling the corpus and shuffling a fingerprint of it.
+    Returns (doc, band, sig)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
+        df = df.repartition(parallelism)
+    toksed = df.select(
+        F.col(id_col).alias("doc"),
+        word_tokens(F.col(text_col)).alias("toks"),
+    )
+    hashed = toksed.select(
+        "doc",
+        F.transform(shingles_from_tokens(F.col("toks"), n), F.md5).alias("hs"),
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(bh).alias("band"),
+                F.array_min(
+                    F.filter(F.col("hs"), lambda h: F.substring(h, 1, 1) == bh)
+                ).alias("sig"),
+            )
+            for bh in "0123456789abcdef"
+        ]
+    )
+    return (
+        hashed.select("doc", F.explode(band_sigs).alias("bs"))
+        .select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
+def incremental_neardup_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_shared_bands: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Incremental NEAR-dup: which new-batch documents are near-duplicates
+    of documents already in the corpus — the fuzzy rung of continuous
+    corpus building (E116 catches only fingerprint-exact copies; a crawl
+    re-encode with a changed tail needs MinHash). Candidates form where a
+    batch doc and a corpus doc agree on >= ``min_shared_bands`` band
+    signatures; verify rungs (jaccard/edit distance) evaluate on these
+    pairs only, exactly like the self-join ladder.
+
+    Plan shape — the corpus is never self-joined and never shuffled raw:
+    both sides reduce to row-local band signatures (16 rows/doc); the
+    corpus signature stream probes the BROADCAST batch signature set, so
+    the only shuffles are over hit pairs (bounded by |batch| x bucket
+    sizes). The hot-bucket cap drops (band, sig) groups matching more
+    than ``max_bucket`` corpus docs — boilerplate signatures that carry
+    no dedup signal but would fan one batch doc out to the whole corpus.
+    Returns (batch_id, corpus_id, n_shared_bands)."""
+    from pyspark.sql import Window as W
+
+    c_sigs = band_signatures(corpus, text_col, id_col, n).withColumnRenamed(
+        "doc", "corpus_id"
+    )
+    b_sigs = (
+        band_signatures(batch, text_col, id_col, n)
+        .withColumnRenamed("doc", "batch_id")
+        .localCheckpoint(eager=False)
+    )
+    hits = c_sigs.join(F.broadcast(b_sigs), on=["band", "sig"])
+    if max_bucket is not None:
+        hits = (
+            hits.withColumn(
+                "__bucket_n",
+                F.size(F.collect_set("corpus_id").over(W.partitionBy("band", "sig"))),
+            )
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
+    return (
+        hits.groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -145,43 +239,7 @@ def minhash_lsh_candidates(
     Genuine duplicate families are small, so the cap costs no recall on
     them — it sheds only boilerplate collisions that carry no dedup signal.
     """
-    # Band signatures are computed ROW-LOCALLY with array functions instead
-    # of exploding the shingle table: per doc, md5 every shingle once into a
-    # materialized array column, then each band's signature is
-    # array_min(filter(hashes, leading nibble == band)). The old
-    # explode + groupBy(doc, band) pushed |total shingles| rows through a
-    # shuffle just to take 16 mins per doc; this shape shuffles NOTHING for
-    # signatures — only the 16-rows-per-doc sig table ever hits an exchange
-    # (the bucket self-join below), which at 100 TB is the difference
-    # between shuffling the corpus and shuffling a fingerprint of it.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < parallelism:
-        df = df.repartition(parallelism)
-    toksed = df.select(
-        F.col(id_col).alias("doc"),
-        word_tokens(F.col(text_col)).alias("toks"),
-    )
-    hashed = toksed.select(
-        "doc",
-        F.transform(shingles_from_tokens(F.col("toks"), n), F.md5).alias("hs"),
-    )
-    band_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(bh).alias("band"),
-                F.array_min(
-                    F.filter(F.col("hs"), lambda h: F.substring(h, 1, 1) == bh)
-                ).alias("sig"),
-            )
-            for bh in "0123456789abcdef"
-        ]
-    )
-    sigs = (
-        hashed.select("doc", F.explode(band_sigs).alias("bs"))
-        .select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        .filter(F.col("sig").isNotNull())
-    )
+    sigs = band_signatures(df, text_col, id_col, n)
     if max_bucket is not None:
         from pyspark.sql import Window as W
 

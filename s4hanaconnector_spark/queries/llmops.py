@@ -2567,3 +2567,59 @@ def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hard_negative"))
         .alias("pair_type"),
     )
+
+
+def _SIG_CTES(src: str, prefix: str) -> str:
+    """Shingle + band-signature CTEs for one source table (mirrors
+    operators.dedup.band_signatures)."""
+    return f"""
+{prefix}w AS (
+    SELECT doc_id, {_WORDS} AS w FROM {src}
+),
+{prefix}sh AS (
+    SELECT DISTINCT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM {prefix}w WHERE len(w) >= 3)
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM {prefix}w WHERE len(w) < 3
+),
+{prefix}sig AS (
+    SELECT doc, substr(md5(shingle), 1, 1) AS band, min(md5(shingle)) AS sig
+    FROM {prefix}sh GROUP BY doc, band
+)
+"""
+
+
+@register(
+    "dedup_incremental_neardup",
+    f"""
+WITH {BATCH_CTE.strip()},
+{_SIG_CTES('documents', 'c').strip()},
+{_SIG_CTES('batch', 'b').strip()},
+hits AS (
+    SELECT b.doc AS batch_id, c.doc AS corpus_id, b.band, b.sig
+    FROM bsig b JOIN csig c ON b.band = c.band AND b.sig = c.sig
+),
+sizes AS (
+    SELECT band, sig, count(DISTINCT corpus_id) AS n FROM hits GROUP BY 1, 2
+),
+capped AS (
+    SELECT h.batch_id, h.corpus_id FROM hits h
+    JOIN sizes s ON s.band = h.band AND s.sig = h.sig
+    WHERE s.n <= 64
+)
+SELECT batch_id, corpus_id, count(*) AS n_shared_bands
+FROM capped GROUP BY 1, 2 HAVING count(*) >= 4
+""",
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against the corpus (operators/dedup.py
+    incremental_neardup_candidates): the batch's fresh-suffix and twin
+    variants share most shingles with their corpus originals, so they
+    collide on >= 4 of 16 MinHash bands even though their fingerprints
+    differ — the fuzzy rung E116's exact classification cannot see. The
+    corpus reduces to row-local signatures and probes the broadcast batch
+    signature set; only hit pairs ever shuffle."""
+    corpus = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.incremental_neardup_candidates(
+        corpus, batch_docs(spark, sf_dir), "text", "doc_id"
+    )
