@@ -817,3 +817,28 @@ def maintain_grouped_agg_from_images(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def classify_malformed(
+    pklog: DataFrame,
+    pk_cast: str = "bigint",
+    valid_types: tuple = ("I", "U", "D", "A", "B"),
+) -> DataFrame:
+    """Dead-letter classification for a change feed: the reference's
+    trigger-written PKLOG is clean by construction, but any feed that has
+    crossed a wire can carry garbage, and the delta pipeline would turn an
+    uncastable PK into a NULL join key that classifies as a phantom
+    delete — silent corruption, not an error. This labels every log row
+    with a ``_quarantine_reason`` (NULL = valid), checked in severity
+    order: missing PK, PK that fails ``try_cast`` to the mapping's key
+    type, unknown change type, missing transaction id. Row-local
+    projection (try_cast never throws); the poll pipeline filters
+    ``IS NULL`` onward and ships the rest to a quarantine sink, exactly
+    like the CSV/JSON corrupt-record path (sources/files.py)."""
+    reason = (
+        F.when(F.col("pk1").isNull(), F.lit("missing_pk"))
+        .when(F.col("pk1").try_cast(pk_cast).isNull(), F.lit("pk_uncastable"))
+        .when(~F.col("change_type").isin(*valid_types), F.lit("bad_change_type"))
+        .when(F.col("transactionid").isNull(), F.lit("missing_txid"))
+    )
+    return pklog.withColumn("_quarantine_reason", reason)

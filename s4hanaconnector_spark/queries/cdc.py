@@ -2436,3 +2436,77 @@ def cdc_snapshot_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("string").alias("checksum"),
     )
+
+
+@register(
+    "cdc_quarantine_malformed",
+    f"""
+WITH {PKLOG_ORACLE_CTE.strip()},
+dirty AS (
+    SELECT * FROM pklog
+    UNION ALL
+    SELECT o_orderdate, 'S4', 'U', 'garbage-' || CAST(o_orderkey AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(1000 + o_orderkey % 50 AS BIGINT), 1, 'orders'
+    FROM orders WHERE o_orderkey % 31 = 0
+    UNION ALL
+    SELECT o_orderdate, 'S4', 'X', CAST(o_orderkey AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(1000 + o_orderkey % 50 AS BIGINT), 1, 'orders'
+    FROM orders WHERE o_orderkey % 43 = 0
+    UNION ALL
+    SELECT o_orderdate, 'S4', 'U', CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(1000 + o_orderkey % 50 AS BIGINT), 1, 'orders'
+    FROM orders WHERE o_orderkey % 53 = 0
+)
+SELECT CASE WHEN pk1 IS NULL THEN 'missing_pk'
+            WHEN TRY_CAST(pk1 AS BIGINT) IS NULL THEN 'pk_uncastable'
+            WHEN change_type NOT IN ('I','U','D','A','B') THEN 'bad_change_type'
+            WHEN transactionid IS NULL THEN 'missing_txid'
+       END AS _quarantine_reason,
+       count(*) AS n_rows,
+       count(DISTINCT pk1) AS n_keys
+FROM dirty
+GROUP BY 1
+""",
+)
+def cdc_quarantine_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for a change feed that has crossed a wire:
+    garbage PKs, unknown change types and NULL keys are injected into the
+    synthetic log, and classify_malformed labels every row with a
+    quarantine reason (NULL = valid) — without this, an uncastable PK
+    becomes a NULL join key that the delta pipeline classifies as a
+    phantom delete (silent corruption). Row-local try_cast projection,
+    then the usual tiny-key aggregation; mirrors the CSV/JSON
+    corrupt-record quarantine (E91/E92) on the CDC path."""
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = synthetic_pklog(orders)
+
+    def leg(mod: int, ctype, pk_expr):
+        null_pks = [F.lit(None).cast("string").alias(f"pk{i}") for i in range(2, 7)]
+        return orders.filter(k % mod == 0).select(
+            F.col("o_orderdate").alias("change_ts"),
+            F.lit("S4").alias("schema_name"),
+            F.lit(ctype).alias("change_type"),
+            pk_expr.alias("pk1"),
+            *null_pks,
+            (F.lit(1000) + k % 50).cast("bigint").alias("transactionid"),
+            F.lit(1).cast("int").alias("transaction_seq"),
+            F.lit("orders").alias("table_name"),
+        )
+
+    dirty = (
+        base.unionByName(leg(31, "U", F.concat(F.lit("garbage-"), k.cast("string"))))
+        .unionByName(leg(43, "X", k.cast("string")))
+        .unionByName(leg(53, "U", F.lit(None).cast("string")))
+    )
+    labeled = C.classify_malformed(dirty)
+    return labeled.groupBy("_quarantine_reason").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("pk1").alias("n_keys"),
+    )
