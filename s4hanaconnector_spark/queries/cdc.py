@@ -2510,3 +2510,189 @@ def cdc_quarantine_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("pk1").alias("n_keys"),
     )
+
+
+@register(
+    "streaming_nested_bo_maintenance",
+    """
+WITH li0 AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS l_quantity
+    FROM lineitem GROUP BY 1, 2
+),
+merged_orders AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 41 = 3 AND NOT o_orderkey % 37 = 0)
+),
+merged_li AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 43 = 5 THEN l_quantity + 1
+                ELSE l_quantity END AS l_quantity
+    FROM li0
+    WHERE NOT (l_orderkey % 47 = 7 AND l_linenumber = 1 AND NOT l_orderkey % 43 = 5)
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS qty_sum
+FROM merged_orders o LEFT JOIN merged_li l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+""",
+)
+def streaming_nested_bo_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-BO maintenance through the REAL streaming engine (the
+    streaming composition of E100): ONE unified change feed delivers the
+    MASTER batch in micro-batch 0 and the DETAIL batch in micro-batch 1
+    (routed by table_name, like the reference's poll walking every
+    impacted table); each foreachBatch merges the flat tables with
+    apply_changes AND incrementally re-nests ONLY the affected documents
+    over the prior nested snapshot (maintain_nested_docs). The final
+    snapshot's per-doc summary must hash-equal a full re-nest of the
+    merged tables — maintenance composes across micro-batches because
+    each step's affected-set pruning sees the then-current merged tables
+    (a master deleted in step 0 cannot be resurrected by its detail
+    change in step 1: the semi-join finds no master)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    master0 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    detail0 = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("l_quantity")
+        )
+    )
+    k, lk = F.col("o_orderkey"), F.col("l_orderkey")
+    nulls = {
+        "o_orderkey": "bigint", "o_orderstatus": "string", "o_totalprice": "double",
+        "l_orderkey": "bigint", "l_linenumber": "int", "l_quantity": "double",
+    }
+
+    def pad(df, table):
+        cols = [F.lit(table).alias("table_name"), "_change_type", "_transactionid"]
+        for c, typ in nulls.items():
+            cols.append(
+                (F.col(c) if c in df.columns else F.lit(None)).cast(typ).alias(c)
+            )
+        return df.select(*cols)
+
+    mb_u = (
+        master0.filter(k % 37 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select(F.lit("U").alias("_change_type"), F.lit(1).alias("_transactionid"), "*")
+    )
+    mb_d = master0.filter((k % 41 == 3) & ~(k % 37 == 0)).select(
+        F.lit("D").alias("_change_type"),
+        F.lit(1).alias("_transactionid"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    db_u = (
+        detail0.filter(lk % 43 == 5)
+        .withColumn("l_quantity", F.col("l_quantity") + 1)
+        .select(F.lit("U").alias("_change_type"), F.lit(2).alias("_transactionid"), "*")
+    )
+    db_d = detail0.filter(
+        (lk % 47 == 7) & (F.col("l_linenumber") == 1) & ~(lk % 43 == 5)
+    ).select(
+        F.lit("D").alias("_change_type"),
+        F.lit(2).alias("_transactionid"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(None).cast("double").alias("l_quantity"),
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_nest_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    pad(mb_u.unionByName(mb_d), "orders").coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    pad(db_u.unionByName(db_d), "lineitem").coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+
+    jc = [{"left": "o_orderkey", "right": "l_orderkey"}]
+    dcols = ["l_linenumber", "l_quantity"]
+    nest(
+        master0, detail0, joincondition=jc, schemafield="items",
+        detail_cols=dcols, sort_detail_by=["l_linenumber"],
+    ).write.parquet(os.path.join(state_dir, "snap_base"))
+    master0.write.parquet(os.path.join(state_dir, "m_base"))
+    detail0.write.parquet(os.path.join(state_dir, "d_base"))
+
+    def prev_version(s, prefix, batch_id):
+        versions = sorted(_glob.glob(os.path.join(state_dir, f"{prefix}_0*")))
+        prev = [
+            v
+            for v in versions
+            if v < os.path.join(state_dir, f"{prefix}_{batch_id:06d}")
+        ]
+        return s.read.parquet(prev[-1] if prev else os.path.join(state_dir, f"{prefix}_base"))
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev_snap = prev_version(s, "snap", batch_id)
+        prev_m = prev_version(s, "m", batch_id)
+        prev_d = prev_version(s, "d", batch_id)
+        master_batch = batch_df.filter(F.col("table_name") == "orders").select(
+            "_change_type", "_transactionid",
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+        )
+        detail_batch = batch_df.filter(F.col("table_name") == "lineitem").select(
+            "_change_type", "_transactionid",
+            "l_orderkey", "l_linenumber", "l_quantity",
+        )
+        merged_m = C.apply_changes(prev_m, master_batch, ["o_orderkey"])
+        merged_d = C.apply_changes(prev_d, detail_batch, ["l_orderkey", "l_linenumber"])
+        new_snap = maintain_nested_docs(
+            prev_snap, merged_m, merged_d, master_batch, detail_batch,
+            master_pk=["o_orderkey"], joincondition=jc, schemafield="items",
+            detail_cols=dcols, sort_detail_by=["l_linenumber"],
+        )
+        new_snap.write.parquet(os.path.join(state_dir, f"snap_{batch_id:06d}"))
+        merged_m.write.parquet(os.path.join(state_dir, f"m_{batch_id:06d}"))
+        merged_d.write.parquet(os.path.join(state_dir, f"d_{batch_id:06d}"))
+
+    stream = (
+        spark.readStream.schema(
+            "table_name string, _change_type string, _transactionid bigint, "
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+            "l_orderkey bigint, l_linenumber int, l_quantity double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_nested_bo_maintenance did not drain")
+    final = sorted(_glob.glob(os.path.join(state_dir, "snap_0*")))[-1]
+    snap = spark.read.parquet(final)
+    return snap.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.size("items").cast("long").alias("n_items"),
+        F.expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), "
+            "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("qty_sum"),
+    )
