@@ -3511,3 +3511,62 @@ def streaming_ss_join_cross_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("click_value_sum"),
     )
+
+
+@register(
+    "events_rolling_anomaly",
+    """
+WITH w AS (
+    SELECT user_id, event_id,
+           CAST(value AS DECIMAL(18,6)) AS x,
+           count(*) OVER fr AS n,
+           sum(CAST(value AS DECIMAL(18,6))) OVER fr AS sx,
+           sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS sxx
+    FROM events
+    WINDOW fr AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT user_id, event_id, n AS n_prior
+FROM w
+WHERE n >= 5
+  AND (n * x - sx) * (n * x - sx) > 4 * (n * sxx - sx * sx)
+""",
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection over a RANGE-interval frame: each event is
+    scored against the mean/variance of the SAME user's events in the
+    trailing 7 days (exclusive of itself) — the event-time window frame
+    (``rangeBetween`` over epoch-micros) that tumbling/sliding aggregates
+    cannot express, flagging |x - mean| > 2 sigma with >= 5 priors.
+
+    Determinism without float variance: the frame computes exact DECIMAL
+    count/sum/sum-of-squares, and the 2-sigma test cross-multiplies to
+    (n*x - sx)^2 > 4*(n*sxx - sx^2) — pure decimal arithmetic, no
+    division, no sqrt, so the flag frontier is engine-exact. One shuffle
+    on user_id; the frame is bounded by event-rate x 7 days."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))).alias("__us"),
+    )
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-604800000000, -1)
+    )
+    w = ev.select(
+        "user_id", "event_id", "x",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+    )
+    lhs = (F.col("n") * F.col("x") - F.col("sx"))
+    rhs = F.lit(4) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        w.filter((F.col("n") >= 5) & (lhs * lhs > rhs))
+        .select("user_id", "event_id", F.col("n").alias("n_prior"))
+    )
