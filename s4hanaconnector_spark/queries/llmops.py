@@ -2623,3 +2623,52 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_neardup_candidates(
         corpus, batch_docs(spark, sf_dir), "text", "doc_id"
     )
+
+
+@register(
+    "multimodal_shard_manifest",
+    f"""
+WITH s AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 8))::BIGINT % 16 AS shard_id,
+           ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+    FROM documents
+)
+SELECT shard_id,
+       count(*) AS n_members,
+       sum(n_bytes) AS total_bytes,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM s GROUP BY shard_id
+""",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for a binary-payload corpus: every
+    payload hash-buckets into one of 16 shards (row-local, deterministic,
+    retry-stable — the same md5-bucket discipline as the sampling
+    operators, so a re-run materializes byte-identical shards), and each
+    shard's manifest row carries member count, total payload bytes and an
+    order-independent DECIMAL(38) sum of 48-bit member digests — the
+    integrity record a training-data loader checks before streaming the
+    shard. One scan, one tiny 16-key aggregation; writing the actual
+    shards is `write_partitioned(..., by=shard_id)` on the same column."""
+    from s4hanaconnector_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    payload = M.attach_payload(d, "text", "doc_id")
+    h = F.conv(F.substring(F.md5(F.col("payload")), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        payload.select(
+            (hash_bucket(["doc_id"], seed=7) % 16).alias("shard_id"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            h.alias("h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("h").cast("string").alias("checksum"),
+        )
+    )
