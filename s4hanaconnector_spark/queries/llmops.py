@@ -2672,3 +2672,77 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("string").alias("checksum"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate_quality",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sigs0 AS (
+    SELECT doc, substr(md5(shingle), 1, 1) AS band, min(md5(shingle)) AS sig
+    FROM shingles GROUP BY doc, band
+),
+small AS (
+    SELECT band, sig FROM sigs0 GROUP BY band, sig HAVING count(*) <= 64
+),
+sigs AS (
+    SELECT s.* FROM sigs0 s JOIN small USING (band, sig)
+),
+cands AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc < b.doc GROUP BY 1, 2
+),
+sizes AS (SELECT doc, count(*) AS sz FROM shingles GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    WHERE a.doc < b.doc GROUP BY 1, 2
+),
+jac AS (
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc = c.doc_a
+    JOIN sizes sb ON sb.doc = c.doc_b
+)
+SELECT count(*) AS n_pairs,
+       sum(CASE WHEN abs(n_shared_bands / 16.0 - jaccard) <= 0.3 THEN 1 ELSE 0 END) AS n_close,
+       sum(CASE WHEN n_shared_bands >= 8 AND jaccard >= 0.3 THEN 1 ELSE 0 END) AS n_strong_true
+FROM jac
+""",
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract for the MinHash rung, in the same spirit as
+    the IVF/int8 recall gates: over every LSH candidate pair, the band
+    agreement fraction (n_shared_bands/16 — the MinHash estimate of
+    Jaccard) is compared against the EXACT shingle Jaccard, and the query
+    emits integer counts: pairs, pairs whose estimate lands within 0.3 of
+    the truth, and strong-agreement pairs (>= 8/16 bands) that are truly
+    similar (J >= 0.3). The function asserts a 60% closeness floor, so
+    estimator degradation (bad banding, broken hashing) fails loudly. The
+    exact-Jaccard verification runs ONLY on LSH candidates —
+    cheap-candidates/exact-verify, never all-pairs."""
+    cands = D.minhash_lsh_candidates(docs_aug(spark, sf_dir), "text", "doc_id")
+    exact = D.jaccard_pairs(
+        docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.0
+    )
+    joined = cands.join(exact, on=["doc_a", "doc_b"])
+    est = F.col("n_shared_bands") / F.lit(16.0)
+    out = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.abs(est - F.col("jaccard")) <= 0.3, 1).otherwise(0)
+        ).alias("n_close"),
+        F.sum(
+            F.when((F.col("n_shared_bands") >= 8) & (F.col("jaccard") >= 0.3), 1)
+            .otherwise(0)
+        ).alias("n_strong_true"),
+    )
+    row = out.collect()[0]
+    assert row["n_close"] * 100 >= row["n_pairs"] * 60, (
+        f"MinHash estimator degraded: {row['n_close']}/{row['n_pairs']} close"
+    )
+    return out
