@@ -409,3 +409,85 @@ def test_scd2_composes_across_txid_split(spark, feed, cut):
     chained = scd2_versions(hi_half, ["o_orderkey"]).select(cols)
     composed = {tuple(r) for r in closed.unionByName(chained).collect()}
     assert composed == oneshot
+
+
+# ---------------------------------------------------------------------------
+# nested-BO maintenance: incremental == full re-nest, for random batches
+# ---------------------------------------------------------------------------
+
+_m_updates = st.sets(st.integers(min_value=0, max_value=5), max_size=3)
+_m_deletes = st.sets(st.integers(min_value=0, max_value=5), max_size=2)
+_d_changes = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # master key
+        st.integers(min_value=1, max_value=3),   # line number
+        st.sampled_from(["U", "D"]),
+    ),
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mu=_m_updates, md=_m_deletes, dc=_d_changes)
+def test_nested_maintenance_equals_full_renest(spark, mu, md, dc):
+    """For ANY master/detail change batches (updates, deletes, overlapping
+    keys, details of deleted masters, empty batches), incrementally
+    maintaining the nested snapshot equals nesting the merged tables from
+    scratch — the delta-sized path may prune aggressively but must never
+    prune wrong."""
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    mu = mu - md  # a key is updated OR deleted in one batch, not both
+    dc = {
+        (k, ln) : ct for (k, ln, ct) in sorted(dc)
+    }  # one change per detail PK (last wins deterministically)
+
+    master = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(6)], "mid bigint, mval string"
+    )
+    detail = spark.createDataFrame(
+        [(i, ln, float(i * 10 + ln)) for i in range(6) for ln in (1, 2)],
+        "dmid bigint, lineno int, qty double",
+    )
+    jc = [{"left": "mid", "right": "dmid"}]
+    dcols = ["lineno", "qty"]
+
+    mb_rows = [("U", 1, k, f"m{k}x") for k in sorted(mu)] + [
+        ("D", 1, k, None) for k in sorted(md)
+    ]
+    db_rows = [
+        ("U", 2, k, ln, 999.0) if ct == "U" else ("D", 2, k, ln, None)
+        for (k, ln), ct in dc.items()
+    ]
+    mb = spark.createDataFrame(
+        mb_rows, "_change_type string, _transactionid bigint, mid bigint, mval string"
+    )
+    db = spark.createDataFrame(
+        db_rows,
+        "_change_type string, _transactionid bigint, dmid bigint, lineno int, qty double",
+    )
+
+    merged_m = apply_changes(master, mb, ["mid"])
+    merged_d = apply_changes(detail, db, ["dmid", "lineno"])
+    snap0 = nest(master, detail, joincondition=jc, schemafield="items",
+                 detail_cols=dcols, sort_detail_by=["lineno"])
+    maintained = maintain_nested_docs(
+        snap0, merged_m, merged_d, mb, db,
+        master_pk=["mid"], joincondition=jc, schemafield="items",
+        detail_cols=dcols, sort_detail_by=["lineno"],
+    )
+    full = nest(merged_m, merged_d, joincondition=jc, schemafield="items",
+                detail_cols=dcols, sort_detail_by=["lineno"])
+
+    def canon(df):
+        return sorted(
+            (r["mid"], r["mval"], tuple((x["lineno"], x["qty"]) for x in r["items"]))
+            for r in df.collect()
+        )
+
+    assert canon(maintained) == canon(full)
