@@ -2696,3 +2696,114 @@ def streaming_nested_bo_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("qty_sum"),
     )
+
+
+@register(
+    "streaming_forget_cascade",
+    """
+SELECT 'customer' AS table_name, count(*) AS n_rows
+FROM customer WHERE NOT (c_custkey % 97 = 0)
+UNION ALL
+SELECT 'orders', count(*)
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+""",
+)
+def streaming_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten THROUGH the streaming engine (streaming
+    composition of E112): erasure requests arrive as two polls of seed
+    customer keys; each foreachBatch expands the cascade along the FK
+    topology against the THEN-CURRENT maintained state (broadcast semi
+    join — the forget set is delta-sized, the tables never shuffle),
+    builds PKLOG-shaped DELETE batches and applies them with the same
+    apply_changes MERGE every other consumer path uses. The final
+    per-table row counts must hash-equal the one-shot erasure of the full
+    seed set — deletion composes across micro-batches because erasure is
+    idempotent and monotone."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    cust0 = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    ord0 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    seeds = cust0.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    d = tempfile.mkdtemp(prefix="stream_forget_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    seeds.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    seeds.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+    cust0.write.parquet(os.path.join(state_dir, "c_base"))
+    ord0.write.parquet(os.path.join(state_dir, "o_base"))
+
+    def prev_version(s, prefix, batch_id):
+        versions = sorted(_glob.glob(os.path.join(state_dir, f"{prefix}_0*")))
+        prev = [
+            v
+            for v in versions
+            if v < os.path.join(state_dir, f"{prefix}_{batch_id:06d}")
+        ]
+        return s.read.parquet(
+            prev[-1] if prev else os.path.join(state_dir, f"{prefix}_base")
+        )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cust = prev_version(s, "c", batch_id)
+        orders = prev_version(s, "o", batch_id)
+        keys = batch_df.select("c_custkey")
+        o_del = orders.join(
+            F.broadcast(keys), orders.o_custkey == keys.c_custkey, "leftsemi"
+        ).select("o_orderkey")
+        c_batch = keys.select(
+            F.lit("D").alias("_change_type"),
+            F.lit(1).cast("bigint").alias("_transactionid"),
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("bigint").alias("c_nationkey"),
+        )
+        o_batch = o_del.select(
+            F.lit("D").alias("_change_type"),
+            F.lit(1).cast("bigint").alias("_transactionid"),
+            "o_orderkey",
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        )
+        C.apply_changes(cust, c_batch, ["c_custkey"]).write.parquet(
+            os.path.join(state_dir, f"c_{batch_id:06d}")
+        )
+        C.apply_changes(orders, o_batch, ["o_orderkey"]).write.parquet(
+            os.path.join(state_dir, f"o_{batch_id:06d}")
+        )
+
+    stream = (
+        spark.readStream.schema("c_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_forget_cascade did not drain")
+    fc = sorted(_glob.glob(os.path.join(state_dir, "c_0*")))[-1]
+    fo = sorted(_glob.glob(os.path.join(state_dir, "o_0*")))[-1]
+    c_n = spark.read.parquet(fc).agg(F.count(F.lit(1)).alias("n_rows"))
+    o_n = spark.read.parquet(fo).agg(F.count(F.lit(1)).alias("n_rows"))
+    return c_n.select(F.lit("customer").alias("table_name"), "n_rows").unionByName(
+        o_n.select(F.lit("orders").alias("table_name"), "n_rows")
+    )
