@@ -58,6 +58,16 @@ def _build_parser() -> argparse.ArgumentParser:
     comp.add_argument(
         "--mode", choices=["backward", "forward", "full"], default="backward"
     )
+
+    chk = sub.add_parser(
+        "checksum",
+        help="order-independent content checksum of a fixture table "
+        "(replica-equals-source audit): row count + DECIMAL(38) sum of "
+        "48-bit row digests over the given columns",
+    )
+    chk.add_argument("table")
+    chk.add_argument("--cols", required=True, help="comma-separated columns to digest")
+    chk.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     return p
 
 
@@ -122,6 +132,31 @@ def main(argv: list[str] | None = None, out=None) -> int:
         for issue in issues:
             print(issue, file=out)
         return 1 if issues else 0
+
+    if args.cmd == "checksum":
+        from pyspark.sql import functions as F
+
+        from s4hanaconnector_spark.catalog import load_table
+        from s4hanaconnector_spark.session import get_spark
+
+        df = load_table(get_spark(), args.sf_dir, args.table)
+        cols = args.cols.split(",")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(h).cast("string").alias("checksum")
+        ).collect()[0]
+        print(
+            json.dumps({"n_rows": row["n_rows"], "checksum": row["checksum"]}), file=out
+        )
+        return 0
 
     if args.cmd == "import-table":
         from s4hanaconnector_spark.catalog import load_table

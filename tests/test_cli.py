@@ -99,3 +99,26 @@ def test_schema_and_check_compat(spark, sf_dir, tmp_path):
     json.dump(m, open(p2, "w"))
     rc, out = _run(["check-compat", path, p2])
     assert rc == 1 and "primary key" in out
+
+
+def test_cli_checksum_is_deterministic(spark, capsys_out=None):
+    import io
+    import json as _json
+
+    from s4hanaconnector_spark import cli
+
+    outs = []
+    for _ in range(2):
+        buf = io.StringIO()
+        rc = cli.main(
+            [
+                "checksum", "region",
+                "--cols", "r_regionkey,r_name",
+                "--sf-dir", "/root/testdata/sf0.001",
+            ],
+            out=buf,
+        )
+        assert rc == 0
+        outs.append(_json.loads(buf.getvalue()))
+    assert outs[0] == outs[1]
+    assert outs[0]["n_rows"] == 5 and outs[0]["checksum"].isdigit()
