@@ -821,7 +821,7 @@ def maintain_grouped_agg_from_images(
 
 def classify_malformed(
     pklog: DataFrame,
-    pk_cast: str = "bigint",
+    pk_cast: str | None = "bigint",
     valid_types: tuple = ("I", "U", "D", "A", "B"),
 ) -> DataFrame:
     """Dead-letter classification for a change feed: the reference's
@@ -835,10 +835,15 @@ def classify_malformed(
     projection (try_cast never throws); the poll pipeline filters
     ``IS NULL`` onward and ships the rest to a quarantine sink, exactly
     like the CSV/JSON corrupt-record path (sources/files.py)."""
-    reason = (
-        F.when(F.col("pk1").isNull(), F.lit("missing_pk"))
-        .when(F.col("pk1").try_cast(pk_cast).isNull(), F.lit("pk_uncastable"))
-        .when(~F.col("change_type").isin(*valid_types), F.lit("bad_change_type"))
-        .when(F.col("transactionid").isNull(), F.lit("missing_txid"))
-    )
+    # pk_cast=None runs the STRUCTURAL checks only — the multi-table poll
+    # gate, where each mapping's key type differs and castability is
+    # checked per table downstream
+    reason = F.when(F.col("pk1").isNull(), F.lit("missing_pk"))
+    if pk_cast is not None:
+        reason = reason.when(
+            F.col("pk1").try_cast(pk_cast).isNull(), F.lit("pk_uncastable")
+        )
+    reason = reason.when(
+        ~F.col("change_type").isin(*valid_types), F.lit("bad_change_type")
+    ).when(F.col("transactionid").isNull(), F.lit("missing_txid"))
     return pklog.withColumn("_quarantine_reason", reason)

@@ -27,6 +27,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from s4hanaconnector_spark.mapping import TableMapping
 from s4hanaconnector_spark.operators.cdc import (
@@ -140,6 +141,7 @@ def poll(
     schema_name: str = "S4",
     staleness_seconds: int = 7200,
     on_alert: Callable[[str, object], None] | None = None,
+    quarantine: bool = False,
 ) -> int:
     """One poll: emit every impacted mapping's delta over (from_txid, hi]
     and return hi (the next resume point). ``from_txid`` unchanged means
@@ -149,7 +151,21 @@ def poll(
     ``on_alert(level, oldest_start_time)`` when the oldest in-flight write
     transaction has been open longer than the info (5 s) / warn (60 s)
     thresholds — the engine-side equivalent of the reference's
-    ``addOperationLogLine`` notifications."""
+    ``addOperationLogLine`` notifications.
+
+    ``quarantine=True`` gates the log through the dead-letter classifier
+    first (structural checks — per-mapping PK castability stays with each
+    table's change view): malformed rows are shipped to the sink under the
+    ``_quarantine`` range key instead of poisoning the watermark or the
+    delta joins, and only valid rows drive the rest of the poll."""
+    if quarantine:
+        from s4hanaconnector_spark.operators.cdc import classify_malformed
+
+        labeled = classify_malformed(pklog, pk_cast=None)
+        bad = labeled.filter(F.col("_quarantine_reason").isNotNull())
+        pklog = labeled.filter(F.col("_quarantine_reason").isNull()).drop(
+            "_quarantine_reason"
+        )
     wm = watermark(
         pklog,
         transactions,
@@ -163,6 +179,8 @@ def poll(
         on_alert(level, wm["oldest_start_time"])
     if hi <= from_txid:
         return from_txid
+    if quarantine:
+        sink.write("_quarantine", hi, bad)
 
     changed = {
         r["table_name"]

@@ -221,3 +221,54 @@ def test_impacted_fanout_skips_unchanged_mappings(spark, tmp_path):
     poll(spark, [MAPPING, other], lambda n: src, log, _txns(spark, []), 0, sink, NOW)
     assert sink.committed("t", 10)
     assert not sink.committed("u", 10)
+
+
+def test_poll_quarantines_malformed_rows(spark, tmp_path):
+    """quarantine=True: garbage log rows (NULL pk, unknown change type) land
+    under the _quarantine range key and the emitted deltas equal a clean
+    poll's — malformed rows neither poison the watermark nor become
+    phantom deletes."""
+    from pyspark.sql import Row as _Row
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    src = _src(spark, [(1, "a"), (2, "b")])
+    clean_rows = [("U", 1, 10), ("U", 2, 11)]
+    dirty = _pklog(spark, clean_rows).unionByName(
+        spark.createDataFrame(
+            [
+                _Row(
+                    change_ts=TS, schema_name="S4", change_type="U", pk1=None,
+                    pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                    transactionid=12, transaction_seq=1, table_name="t",
+                ),
+                _Row(
+                    change_ts=TS, schema_name="S4", change_type="X", pk1="3",
+                    pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                    transactionid=12, transaction_seq=1, table_name="t",
+                ),
+            ],
+            _pklog(spark, []).schema,
+        )
+    )
+    sink_d = RangeCommitSink(str(tmp_path / "dirty"))
+    hi = poll(
+        spark, [MAPPING], lambda n: src, dirty, _txns(spark, []), 0, sink_d, NOW,
+        quarantine=True,
+    )
+    sink_c = RangeCommitSink(str(tmp_path / "clean"))
+    hi_c = poll(
+        spark, [MAPPING], lambda n: src, _pklog(spark, clean_rows),
+        _txns(spark, []), 0, sink_c, NOW,
+    )
+    import os as _os
+
+    # the dirty poll sees txid 12 (the structurally-bad rows still carry
+    # valid txids is NOT guaranteed; here pk-null row has txid 12) so hi
+    # may differ — compare the emitted DELTA CONTENT for the shared range
+    dd = spark.read.parquet(str(tmp_path / "dirty" / MAPPING.name / f"txid_hi={hi}"))
+    dc = spark.read.parquet(str(tmp_path / "clean" / MAPPING.name / f"txid_hi={hi_c}"))
+    assert sorted(map(tuple, dd.collect())) == sorted(map(tuple, dc.collect()))
+    dlq = spark.read.parquet(str(tmp_path / "dirty" / "_quarantine" / f"txid_hi={hi}"))
+    reasons = sorted(r["_quarantine_reason"] for r in dlq.collect())
+    assert reasons == ["bad_change_type", "missing_pk"]
