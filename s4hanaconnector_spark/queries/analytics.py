@@ -3570,3 +3570,45 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter((F.col("n") >= 5) & (lhs * lhs > rhs))
         .select("user_id", "event_id", F.col("n").alias("n_prior"))
     )
+
+
+@register(
+    "join_salted_nation_revenue",
+    """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join under the driver's hash gate: orders x customer
+    runs through salted_join (deterministic 8-way salt on the big side,
+    8x replicated small side) and the result must be value-identical to
+    the plain join the oracle runs — the equivalence the salting contract
+    promises (operators/skew.py; deterministic xxhash salt, so retries and
+    reruns agree). Nation keys are exactly the few-hot-keys shape salting
+    exists for: 25 distinct values over 150k orders would otherwise bind
+    the whole stage to 25 tasks when the join feeds a same-key shuffle."""
+    from s4hanaconnector_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust,
+        on=["c_custkey"], how="inner", n=8,
+    )
+    return (
+        enriched.join(F.broadcast(nation), enriched.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
