@@ -491,3 +491,51 @@ def test_nested_maintenance_equals_full_renest(spark, mu, md, dc):
         )
 
     assert canon(maintained) == canon(full)
+
+
+_seed_sets = st.sets(st.integers(min_value=0, max_value=9), max_size=4)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=_seed_sets, b=_seed_sets)
+def test_forget_cascade_composes_across_polls(spark, a, b):
+    """The law streaming_forget_cascade relies on: erasing seed set A, then
+    erasing B against the already-erased state, equals erasing A ∪ B in one
+    shot — including overlapping seeds, seeds with no orders, and empty
+    polls. Deletion is idempotent and monotone, so cascade expansion
+    against partially-erased state can never resurrect or miss a row."""
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(10)], "c_custkey bigint, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(100 + i, i % 10) for i in range(30)], "o_orderkey bigint, o_custkey bigint"
+    )
+
+    def erase(c, o, seeds):
+        if not seeds:
+            return c, o
+        keys = spark.createDataFrame([(k,) for k in sorted(seeds)], "c_custkey bigint")
+        o_del = o.join(F.broadcast(keys), o.o_custkey == keys.c_custkey, "leftsemi")
+        c_batch = keys.select(
+            F.lit("D").alias("_change_type"), F.lit(1).alias("_transactionid"),
+            "c_custkey", F.lit(None).cast("string").alias("c_name"),
+        )
+        o_batch = o_del.select(
+            F.lit("D").alias("_change_type"), F.lit(1).alias("_transactionid"),
+            "o_orderkey", F.lit(None).cast("bigint").alias("o_custkey"),
+        )
+        return (
+            apply_changes(c, c_batch, ["c_custkey"]),
+            apply_changes(o, o_batch, ["o_orderkey"]),
+        )
+
+    c1, o1 = erase(*erase(cust, orders, a), b)
+    c2, o2 = erase(cust, orders, a | b)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, o1.collect())) == sorted(map(tuple, o2.collect()))
