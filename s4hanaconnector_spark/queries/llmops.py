@@ -2746,3 +2746,39 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         f"MinHash estimator degraded: {row['n_close']}/{row['n_pairs']} close"
     )
     return out
+
+
+@register(
+    "similarity_topk_auto",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.q_id, c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c
+    WHERE c.vec_id <> q.q_id
+),
+expl AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
+scored AS (
+    SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine
+    FROM expl GROUP BY q_id, c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored
+)
+SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 10
+""",
+)
+def similarity_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity strategy PLANNER under the driver's hash gate
+    (operators/similarity.py topk(strategy='auto'), SURVEY §7's optional
+    planner item): at fixture scale the corpus row estimate is under the
+    brute-force affordability bound, so auto must pick the exact broadcast
+    rung and match the exact oracle bit-for-bit — pipelines call one front
+    door and get exactness whenever it is affordable, the indexed rung only
+    beyond it (test_llmops pins the beyond-the-bound choice)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.topk(q, c, k=10, strategy="auto")
