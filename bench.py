@@ -39,19 +39,29 @@ def main() -> None:
     for q in headline.values():
         q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the sandbox VM sees intermittent host CPU
-    # starvation (same query 1.5 s or 18 s across runs with an idle guest),
-    # so a single sample measures the host's mood, not the plan; the min of
-    # two runs is stable to ~10% while the plan cost still dominates it
+    # Best-of-3 per query, with an outlier re-run rule: the sandbox VM sees
+    # intermittent host CPU starvation (same query 1.5 s or 18 s across runs
+    # with an idle guest — see BENCH_NOTES.md for the round-4 worked example
+    # where best-of-2 put dedup_minhash_lsh at 13.8 s vs 2.2-3.1 s measured
+    # minutes later). A single sample measures the host's mood, not the
+    # plan; three samples rarely ALL land in a starved window, and when the
+    # min still exceeds 3x the last committed round's value we take up to
+    # two extra trials before believing it. ALL samples are recorded in the
+    # artifact so a noisy host is diagnosable from the JSON alone.
+    prior = _prior_round_timings()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, q in headline.items():
-        best = float("inf")
-        for _ in range(2):
-            df = q.fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        runs: list[float] = []
+        for _ in range(3):
+            runs.append(_time_once(spark, q, sf_dir))
+        ref = prior.get(name)
+        extra = 0
+        while ref is not None and min(runs) > 3 * ref and extra < 2:
+            runs.append(_time_once(spark, q, sf_dir))
+            extra += 1
+        samples[name] = [round(r, 3) for r in runs]
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,11 +71,44 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _time_once(spark, q, sf_dir: str) -> float:
+    df = q.fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _prior_round_timings() -> dict[str, float]:
+    """Per-query best-known timing across ALL committed BENCH_r*.json — the
+    reference for the outlier re-run rule. The MIN across rounds (not just
+    r-1) is used so one starved artifact (r4's 13.8 s dedup_minhash_lsh vs
+    its 2.0 s r3 value) cannot weaken the detector for later rounds.
+    Missing/any-shape artifacts are tolerated: the rule simply disengages
+    for unknown queries."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref: dict[str, float] = {}
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            q = doc.get("parsed", doc).get("queries", {})
+            for k, v in q.items():
+                v = float(v)
+                if k not in ref or v < ref[k]:
+                    ref[k] = v
+        except Exception:
+            continue
+    return ref
 
 
 if __name__ == "__main__":

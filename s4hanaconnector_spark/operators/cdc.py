@@ -843,7 +843,13 @@ def classify_malformed(
         reason = reason.when(
             F.col("pk1").try_cast(pk_cast).isNull(), F.lit("pk_uncastable")
         )
+    # NULL change_type must be an explicit branch: `~isin(...)` is NULL (not
+    # true) for a NULL operand, which would let the row classify as VALID and
+    # flow into the delta pipeline — the silent-drop class this gate exists
+    # to prevent
     reason = reason.when(
-        ~F.col("change_type").isin(*valid_types), F.lit("bad_change_type")
+        F.col("change_type").isNull()
+        | ~F.col("change_type").isin(*valid_types),
+        F.lit("bad_change_type"),
     ).when(F.col("transactionid").isNull(), F.lit("missing_txid"))
     return pklog.withColumn("_quarantine_reason", reason)

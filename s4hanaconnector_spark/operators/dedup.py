@@ -198,10 +198,17 @@ def incremental_neardup_candidates(
     )
     hits = c_sigs.join(F.broadcast(b_sigs), on=["band", "sig"])
     if max_bucket is not None:
+        # plain count window, NOT size(collect_set(...)): collect_set buffers
+        # every corpus id of the bucket in window state — on exactly the hot
+        # buckets this cap exists to shed (r4 VERDICT). band_signatures emits
+        # one sig per (doc, band), so within (band, sig, batch_id) each
+        # corpus doc contributes exactly one hit row and count == number of
+        # corpus docs the bucket fans this batch doc out to — the documented
+        # cap semantics, batch-multiplicity-proof.
         hits = (
             hits.withColumn(
                 "__bucket_n",
-                F.size(F.collect_set("corpus_id").over(W.partitionBy("band", "sig"))),
+                F.count(F.lit(1)).over(W.partitionBy("band", "sig", "batch_id")),
             )
             .filter(F.col("__bucket_n") <= max_bucket)
             .drop("__bucket_n")

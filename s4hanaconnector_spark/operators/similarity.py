@@ -232,7 +232,7 @@ def lsh_bucketed_pairs(
     )
 
 
-def quantize_int8(vec: Column) -> Column:
+def quantize_int8(vec: Column, max_abs: Column | None = None) -> Column:
     """Per-vector symmetric int8 scalar quantization: each element maps to
     ``round(127 * x / max_abs)`` — the standard 4×-compression encoding for
     embedding corpora (FAISS ``SQ8`` shape). Row-local (the scale is the
@@ -241,18 +241,26 @@ def quantize_int8(vec: Column) -> Column:
     quantized cosine needs no dequantization step. A zero vector quantizes
     to zeros (guarded division). Returns ``array<int>`` in [-127, 127].
 
-    Prefer :func:`quantized_topk`'s two-step projection in plans: used
+    Pass ``max_abs`` (a pre-materialized max-|x| COLUMN) in plans: computed
     inline, the ``mx`` subtree re-evaluates per ELEMENT inside the
     transform lambda (higher-order lambdas are interpreted, no CSE) —
     O(dims²) per row, measured 2.5x slower than materializing the max
-    into its own column first."""
-    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    into its own column first. The encoding (round mode, zero guard,
+    clamp-by-construction) lives HERE only; :func:`quantized_topk` calls
+    this with its pre-materialized ``__mx`` column."""
+    mx = max_abs if max_abs is not None else max_abs_col(vec)
     return F.transform(
         vec,
         lambda x: F.when(mx == 0.0, F.lit(0))
         .otherwise(F.round(F.lit(127.0) * x.cast("double") / mx, 0))
         .cast("int"),
     )
+
+
+def max_abs_col(vec: Column) -> Column:
+    """Per-vector max-|x| — the int8 scale factor, as a column expression
+    so callers can materialize it before quantizing (see quantize_int8)."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
 
 
 def quantized_topk(
@@ -278,22 +286,15 @@ def quantized_topk(
     q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
     # two-step projection: materialize the per-vector max into its own
     # column FIRST — inline, the max subtree re-evaluates per element in
-    # the interpreted lambda (O(dims²)/row; 2.5x wall on the bench corpus)
-    mx = F.col("__mx")
+    # the interpreted lambda (O(dims²)/row; 2.5x wall on the bench corpus).
+    # The encoding itself is quantize_int8 — ONE definition, no drift.
     c = corpus.select(
         F.col(c_id),
         F.col(vec).alias("__v"),
-        F.array_max(F.transform(F.col(vec), lambda x: F.abs(x.cast("double")))).alias(
-            "__mx"
-        ),
+        max_abs_col(F.col(vec)).alias("__mx"),
     ).select(
         c_id,
-        F.transform(
-            F.col("__v"),
-            lambda x: F.when(mx == 0.0, F.lit(0))
-            .otherwise(F.round(F.lit(127.0) * x.cast("double") / mx, 0))
-            .cast("int"),
-        ).alias("__cv"),
+        quantize_int8(F.col("__v"), max_abs=F.col("__mx")).alias("__cv"),
     )
     cos = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
     scored = c.crossJoin(F.broadcast(q)).select(

@@ -129,6 +129,57 @@ class RangeCommitSink:
         return n
 
 
+def _ship_quarantine(
+    spark: SparkSession,
+    sink: RangeCommitSink,
+    bad_all: DataFrame,
+    from_txid: int,
+    hi: int,
+) -> int:
+    """Ship this poll's malformed rows to the DLQ under range key
+    ``from_txid`` (the resume point — stable across replays of the same
+    poll, independent of whether the watermark advanced).
+
+    Scan bound: ``txid > from_txid OR txid IS NULL``. The watermark is
+    driven by VALID rows only, so garbage can carry a txid above ``hi``
+    (or none at all) and would never age out of the scan — bounding to
+    ``(from_txid, hi]`` would starve it forever. Instead, any shipped row
+    that CAN rescan on a later poll (``txid > hi`` or NULL txid) has an
+    md5 row fingerprint appended to a persisted ``_quarantine_seen``
+    side-state and is anti-joined out on subsequent polls; rows inside
+    ``(from_txid, hi]`` age out naturally when the frontier advances, so
+    their hashes are never stored. The state is DLQ-sized — bounded by
+    malformed volume, not data volume — and the broadcast anti-join keeps
+    the dedup off the shuffle path. Crash window: data write commits
+    before fingerprints append, so a crash between the two re-ships those
+    rows at the next frontier (at-least-once DLQ, never lost)."""
+    txid = F.col("transactionid")
+    bad = bad_all.filter((txid > from_txid) | txid.isNull())
+    data_cols = [c for c in bad.columns if c != "_quarantine_reason"]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in data_cols],
+        )
+    )
+    bad = bad.withColumn("_row_md5", fp)
+    seen_path = os.path.join(sink.out_dir, "_quarantine_seen")
+    if os.path.isdir(seen_path) and os.listdir(seen_path):
+        seen = spark.read.parquet(seen_path)
+        bad = bad.join(F.broadcast(seen), "_row_md5", "left_anti")
+    # never commit an empty range: a stuck frontier (hi not advancing) keeps
+    # the same range key across polls, and an empty committed marker would
+    # block garbage that arrives while stuck until the frontier moves
+    if bad.isEmpty():
+        return 0
+    shipped = sink.write("_quarantine", from_txid, bad.drop("_row_md5"))
+    if shipped:
+        bad.filter(txid.isNull() | (txid > hi)).select("_row_md5").write.mode(
+            "append"
+        ).parquet(seen_path)
+    return shipped
+
+
 def poll(
     spark: SparkSession,
     mappings: list[TableMapping],
@@ -157,12 +208,20 @@ def poll(
     first (structural checks — per-mapping PK castability stays with each
     table's change view): malformed rows are shipped to the sink under the
     ``_quarantine`` range key instead of poisoning the watermark or the
-    delta joins, and only valid rows drive the rest of the poll."""
+    delta joins, and only valid rows drive the rest of the poll. The
+    quarantine range is keyed by ``from_txid`` (the poll's identity),
+    INDEPENDENT of ``hi``, and written BEFORE the advance short-circuit —
+    a poll whose only new rows are malformed still ships them. The bad-row
+    scan is bounded to the poll's own range: txid-carrying garbage in
+    ``(from_txid, hi]`` ships exactly once because the frontier moves past
+    it; NULL-txid rows (invisible to the watermark, so they never age out
+    of the scan) are fingerprinted and deduped against a persisted
+    side-state so they land in the DLQ once, not once per poll."""
     if quarantine:
         from s4hanaconnector_spark.operators.cdc import classify_malformed
 
         labeled = classify_malformed(pklog, pk_cast=None)
-        bad = labeled.filter(F.col("_quarantine_reason").isNotNull())
+        bad_all = labeled.filter(F.col("_quarantine_reason").isNotNull())
         pklog = labeled.filter(F.col("_quarantine_reason").isNull()).drop(
             "_quarantine_reason"
         )
@@ -177,10 +236,10 @@ def poll(
     level = classify_txn_latency(wm["oldest_start_time"], now_ts)
     if level != "ok" and on_alert is not None:
         on_alert(level, wm["oldest_start_time"])
+    if quarantine:
+        _ship_quarantine(spark, sink, bad_all, from_txid, hi)
     if hi <= from_txid:
         return from_txid
-    if quarantine:
-        sink.write("_quarantine", hi, bad)
 
     changed = {
         r["table_name"]

@@ -1597,8 +1597,22 @@ def cdc_nested_bo_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     detail_batch = db_u.unionByName(db_d)
 
-    merged_m = C.apply_changes(orders, master_batch, ["o_orderkey"])
-    merged_d = C.apply_changes(li, detail_batch, ["l_orderkey", "l_linenumber"])
+    # Eager lineage cut between the MERGE and the MAINTENANCE legs (r4
+    # VERDICT #6): maintain_nested_docs consumes each merged table in
+    # several legs (semi-join pruning, affected-key derivation, the
+    # re-nest), so without the cut every leg re-embeds — and Catalyst
+    # re-analyzes — the whole apply_changes subtree; composed
+    # merge+maintain chains grow analysis cost superlinearly (86 shuffles
+    # in the r4 static plan). WHEN to cut: whenever a merge output fans
+    # into 2+ maintenance legs. At 100 TB the same cut is free: the merged
+    # table is the CDC apply target anyway — write it to its sink and read
+    # it back instead of localCheckpoint (same lineage cut, durable).
+    merged_m = C.apply_changes(orders, master_batch, ["o_orderkey"]).localCheckpoint(
+        eager=True
+    )
+    merged_d = C.apply_changes(
+        li, detail_batch, ["l_orderkey", "l_linenumber"]
+    ).localCheckpoint(eager=True)
     jc = [{"left": "o_orderkey", "right": "l_orderkey"}]
     dcols = ["l_linenumber", "l_quantity", "l_extendedprice"]
     snapshot0 = nest(
@@ -2462,10 +2476,16 @@ dirty AS (
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(1000 + o_orderkey % 50 AS BIGINT), 1, 'orders'
     FROM orders WHERE o_orderkey % 53 = 0
+    UNION ALL
+    SELECT o_orderdate, 'S4', CAST(NULL AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(1000 + o_orderkey % 50 AS BIGINT), 1, 'orders'
+    FROM orders WHERE o_orderkey % 59 = 0
 )
 SELECT CASE WHEN pk1 IS NULL THEN 'missing_pk'
             WHEN TRY_CAST(pk1 AS BIGINT) IS NULL THEN 'pk_uncastable'
-            WHEN change_type NOT IN ('I','U','D','A','B') THEN 'bad_change_type'
+            WHEN change_type IS NULL OR change_type NOT IN ('I','U','D','A','B') THEN 'bad_change_type'
             WHEN transactionid IS NULL THEN 'missing_txid'
        END AS _quarantine_reason,
        count(*) AS n_rows,
@@ -2504,6 +2524,9 @@ def cdc_quarantine_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(leg(31, "U", F.concat(F.lit("garbage-"), k.cast("string"))))
         .unionByName(leg(43, "X", k.cast("string")))
         .unionByName(leg(53, "U", F.lit(None).cast("string")))
+        # NULL change_type: must classify bad_change_type, not slip through
+        # the isin() three-valued-logic hole (round-4 ADVICE)
+        .unionByName(leg(59, F.lit(None).cast("string"), k.cast("string")))
     )
     labeled = C.classify_malformed(dirty)
     return labeled.groupBy("_quarantine_reason").agg(

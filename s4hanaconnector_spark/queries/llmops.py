@@ -458,9 +458,12 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
     # integer cross-multiplication, no float division (determinism rules)
-    assert totals["h"] * 100 >= totals["e"] * 60, (
-        f"IVF recall regression: {totals['h']}/{totals['e']} below 60%"
-    )
+    # explicit raise, not a bare assert: these quality gates are a
+    # production fail-loudly contract and must survive `python -O`
+    if totals["h"] * 100 < totals["e"] * 60:
+        raise AssertionError(
+            f"IVF recall regression: {totals['h']}/{totals['e']} below 60%"
+        )
     return out
 
 
@@ -2265,9 +2268,11 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
     )
     totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
-    assert totals["h"] * 100 >= totals["e"] * 80, (
-        f"int8 recall regression: {totals['h']}/{totals['e']} below 80%"
-    )
+    # explicit raise: the gate must survive `python -O` (see IVF gate)
+    if totals["h"] * 100 < totals["e"] * 80:
+        raise AssertionError(
+            f"int8 recall regression: {totals['h']}/{totals['e']} below 80%"
+        )
     return out
 
 
@@ -2742,9 +2747,11 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("n_strong_true"),
     )
     row = out.collect()[0]
-    assert row["n_close"] * 100 >= row["n_pairs"] * 60, (
-        f"MinHash estimator degraded: {row['n_close']}/{row['n_pairs']} close"
-    )
+    # explicit raise: the gate must survive `python -O` (see IVF gate)
+    if row["n_close"] * 100 < row["n_pairs"] * 60:
+        raise AssertionError(
+            f"MinHash estimator degraded: {row['n_close']}/{row['n_pairs']} close"
+        )
     return out
 
 

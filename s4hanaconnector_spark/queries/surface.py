@@ -8,8 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s4hanaconnector_spark import functions as H
-from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
-from s4hanaconnector_spark.operators.nesting import nest
+from s4hanaconnector_spark.mapping import ColumnMapping, Relation, TableMapping
+from s4hanaconnector_spark.operators.nesting import (
+    materialize_business_object,
+    nest,
+)
 from s4hanaconnector_spark.queries.registry import register, t
 
 # One column per branch of the reference's HANA->Avro switch
@@ -147,6 +150,90 @@ def nest_orders_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), "
             "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("qty_sum"),
+    )
+
+
+@register(
+    "nest_customer_orders_items",
+    """
+SELECT c.c_custkey,
+       c.c_name,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS qty_sum,
+       CAST(coalesce(max(o.o_totalprice), 0) AS DOUBLE) AS max_order_price
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def nest_customer_orders_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32 RECURSIVE nesting: the reference's latent BO model allows
+    relations INSIDE detail mappings (nested ``relations`` key, tmp
+    JSON:148) — a 2-level document customer -> orders[] -> items[] built by
+    walking the mapping tree depth-first (materialize_business_object).
+    Every output value is computed FROM the nested arrays with higher-order
+    functions (list(struct) WITHIN list(struct) is unhashable across
+    engines), so the oracle's flat 3-table rollup verifies both nesting
+    levels: n_items/qty_sum are wrong unless each order's items landed
+    inside that order's struct, and max_order_price is wrong unless the
+    orders landed under the right customer. Struct-level equality of the
+    inner arrays is asserted in tests/test_nesting.py. Scale: two
+    agg-before-join levels, each one shuffle on its own join key —
+    co-bucketing both levels (operators/bucketing.py) makes the whole walk
+    shuffle-free."""
+    items = TableMapping(
+        name="so.item", mastertable="lineitem",
+        columnmappings=[
+            ColumnMapping("l_linenumber", '"L3"."l_linenumber"'),
+            ColumnMapping("l_quantity", '"L3"."l_quantity"'),
+        ],
+        pkcolumns=["l_orderkey", "l_linenumber"],
+    )
+    orders = TableMapping(
+        name="so.header", mastertable="orders",
+        columnmappings=[
+            ColumnMapping("o_orderkey", '"L2"."o_orderkey"'),
+            ColumnMapping("o_totalprice", '"L2"."o_totalprice"'),
+        ],
+        pkcolumns=["o_orderkey"],
+        relations=[
+            Relation(detail=items, schemafield="items",
+                     joincondition=[{"left": "o_orderkey", "right": "l_orderkey"}])
+        ],
+    )
+    cust = TableMapping(
+        name="so.customer", mastertable="customer",
+        columnmappings=[
+            ColumnMapping("c_custkey", '"L1"."c_custkey"'),
+            ColumnMapping("c_name", '"L1"."c_name"'),
+        ],
+        pkcolumns=["c_custkey"],
+        relations=[
+            Relation(detail=orders, schemafield="orders",
+                     joincondition=[{"left": "c_custkey", "right": "o_custkey"}])
+        ],
+    )
+    doc = materialize_business_object(cust, lambda n: t(spark, sf_dir, n))
+    dec = "CAST(0 AS DECIMAL(18,2))"
+    return doc.select(
+        "c_custkey",
+        "c_name",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(aggregate(orders, 0, (acc, o) -> acc + size(o.items)) AS BIGINT)"
+        ).alias("n_items"),
+        F.expr(
+            f"CAST(aggregate(orders, {dec}, (acc, o) -> CAST(acc + "
+            f"aggregate(o.items, {dec}, (a2, x) -> CAST(a2 + "
+            f"CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2)))"
+            " AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("qty_sum"),
+        F.expr(
+            "CAST(coalesce(array_max(transform(orders, o -> "
+            "CAST(o.o_totalprice AS DOUBLE))), 0.0) AS DOUBLE)"
+        ).alias("max_order_price"),
     )
 
 

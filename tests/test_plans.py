@@ -294,3 +294,13 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_topk_int8")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_neardup_cap_uses_count_not_collect_set(spark, sf_dir):
+    """The hot-bucket cap must be a plain count window: size(collect_set(...))
+    buffers every corpus id of the bucket in window state — on exactly the
+    hot buckets the cap exists to shed (r4 VERDICT nit). The plan therefore
+    must contain a window count and NO collect_set anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_neardup")
+    assert "collect_set" not in plan, plan
+    assert re.search(r"windowspecdefinition", plan, re.IGNORECASE), plan

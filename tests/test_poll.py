@@ -247,6 +247,12 @@ def test_poll_quarantines_malformed_rows(spark, tmp_path):
                     pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
                     transactionid=12, transaction_seq=1, table_name="t",
                 ),
+                # NULL change_type: ~isin() alone is NULL-blind (r4 ADVICE)
+                _Row(
+                    change_ts=TS, schema_name="S4", change_type=None, pk1="4",
+                    pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                    transactionid=12, transaction_seq=1, table_name="t",
+                ),
             ],
             _pklog(spark, []).schema,
         )
@@ -269,6 +275,69 @@ def test_poll_quarantines_malformed_rows(spark, tmp_path):
     dd = spark.read.parquet(str(tmp_path / "dirty" / MAPPING.name / f"txid_hi={hi}"))
     dc = spark.read.parquet(str(tmp_path / "clean" / MAPPING.name / f"txid_hi={hi_c}"))
     assert sorted(map(tuple, dd.collect())) == sorted(map(tuple, dc.collect()))
-    dlq = spark.read.parquet(str(tmp_path / "dirty" / "_quarantine" / f"txid_hi={hi}"))
+    # the quarantine range is keyed by the poll's RESUME POINT (from_txid=0),
+    # independent of hi — it ships even when the watermark cannot advance
+    dlq = spark.read.parquet(str(tmp_path / "dirty" / "_quarantine" / "txid_hi=0"))
     reasons = sorted(r["_quarantine_reason"] for r in dlq.collect())
-    assert reasons == ["bad_change_type", "missing_pk"]
+    assert reasons == ["bad_change_type", "bad_change_type", "missing_pk"]
+
+
+def test_poll_quarantine_ships_when_watermark_cannot_advance(spark, tmp_path):
+    """A poll whose only NEW rows are malformed (NULL txid, so the watermark
+    stays put) must still land them in the DLQ — pre-fix, the hi<=from_txid
+    short-circuit dropped them silently (r4 ADVICE)."""
+    from pyspark.sql import Row as _Row
+
+    src = _src(spark, [(1, "a")])
+    only_bad = spark.createDataFrame(
+        [
+            _Row(
+                change_ts=TS, schema_name="S4", change_type="U", pk1=None,
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=None, transaction_seq=1, table_name="t",
+            )
+        ],
+        _pklog(spark, []).schema,
+    )
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    hi = poll(
+        spark, [MAPPING], lambda n: src, only_bad, _txns(spark, []), 5, sink, NOW,
+        quarantine=True,
+    )
+    assert hi == 5  # watermark did not advance...
+    dlq = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "txid_hi=5"))
+    assert dlq.count() == 1  # ...but the malformed row shipped anyway
+
+
+def test_poll_quarantine_null_txid_ships_once_across_polls(spark, tmp_path):
+    """NULL-txid rows never age out of the log scan (no ordering), so the
+    fingerprint side-state must dedup them: two advancing polls over a log
+    carrying the same NULL-txid garbage ship it to the DLQ exactly once."""
+    from pyspark.sql import Row as _Row
+
+    src = _src(spark, [(1, "a"), (2, "b")])
+    bad_row = spark.createDataFrame(
+        [
+            _Row(
+                change_ts=TS, schema_name="S4", change_type="U", pk1="9",
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=None, transaction_seq=1, table_name="t",
+            )
+        ],
+        _pklog(spark, []).schema,
+    )
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    log1 = _pklog(spark, [("U", 1, 10)]).unionByName(bad_row)
+    hi1 = poll(
+        spark, [MAPPING], lambda n: src, log1, _txns(spark, []), 0, sink, NOW,
+        quarantine=True,
+    )
+    assert hi1 == 10
+    log2 = log1.unionByName(_pklog(spark, [("U", 2, 20)]))
+    hi2 = poll(
+        spark, [MAPPING], lambda n: src, log2, _txns(spark, []), hi1, sink, NOW,
+        quarantine=True,
+    )
+    assert hi2 == 20
+    shipped = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "*"))
+    assert shipped.count() == 1  # once under txid_hi=0, never again under =10

@@ -1,0 +1,136 @@
+"""Scale smoke (r4 VERDICT #5): the fuzzy dedup/similarity rungs above the
+bench scale. A seeded ~10x documents/embeddings corpus is synthesized into a
+temp dir (fixtures stay driver-owned) and the three scale-critical paths run
+once each, asserting
+
+  * wall time grows ≲ linearly in corpus size (a quadratic path — unbounded
+    bucket join, corpus x corpus — would show ~100x, far outside the
+    generous noise allowance this host needs, see BENCH_NOTES.md), and
+  * the auto strategy planner flips to the IVF rung once the corpus exceeds
+    the affordability bound.
+
+Run explicitly: ``pytest -m slow tests/test_scale_smoke.py``. Numbers are
+recorded in PLANS.md ("Scale smoke" section).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, tmp_path_factory):
+    """10x corpus: each source row replicated with a deterministic id
+    offset; replica 0 keeps the original text/embedding, replicas 1..9 get
+    a per-replica perturbation (suffix token / +rep*1e-3 on dim 0) so the
+    copies are NEAR-duplicates — the adversarial case for LSH bucket sizes
+    (every family's buckets grow 10x)."""
+    d = str(tmp_path_factory.mktemp("scale10x"))
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.lit("rep"),
+                                   F.col("rep").cast("string")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    )
+    embs = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    (
+        embs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x + F.col("rep").cast("float") * F.lit(1e-3)
+                ).otherwise(x).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        .write.parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    return d
+
+
+def _timed(spark, name, sf_dir):
+    from s4hanaconnector_spark.queries import load_all
+
+    fn = load_all()[name].fn
+    df = fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+# quadratic growth in |docs| would be ~100x; linear is ~10x. 30x is the
+# fail line: far above linear-plus-host-noise (this box swings ±30%, and
+# small-side fixed overheads deflate the 5k-doc denominator), far below
+# quadratic. A floor on the denominator guards against a sub-0.5s small run
+# making the ratio meaningless.
+LINEAR_SLACK = 30.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "qname", ["dedup_minhash_lsh", "dedup_incremental_neardup"]
+)
+def test_dedup_rungs_scale_linearly(spark, big_dir, qname):
+    t_small, n_small = _timed(spark, qname, BASE)
+    t_big, n_big = _timed(spark, qname, big_dir)
+    assert n_big > 0  # the 10x corpus actually produced candidates
+    ratio = t_big / max(t_small, 0.5)
+    assert ratio < LINEAR_SLACK, (
+        f"{qname}: {t_small:.2f}s @5k docs -> {t_big:.2f}s @50k docs "
+        f"(ratio {ratio:.1f}x) — super-linear, check bucket caps"
+    )
+    print(f"SCALE {qname}: {t_small:.2f}s @5k -> {t_big:.2f}s @50k ({ratio:.1f}x)")
+
+
+@pytest.mark.slow
+def test_similarity_auto_scales_and_flips_to_ivf(spark, big_dir, monkeypatch):
+    import s4hanaconnector_spark.operators.similarity as S
+
+    t_small, _ = _timed(spark, "similarity_topk_auto", BASE)
+    t_big, n_big = _timed(spark, "similarity_topk_auto", big_dir)
+    assert n_big > 0
+    ratio = t_big / max(t_small, 0.5)
+    assert ratio < LINEAR_SLACK, (
+        f"similarity_topk_auto: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)"
+    )
+    print(f"SCALE similarity_topk_auto: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)")
+
+    # the planner flip: with the affordability bound below the 20k-vector
+    # corpus, auto must route to the IVF rung (spy on ivf_topk)
+    calls = []
+    real_ivf = S.ivf_topk
+    monkeypatch.setattr(
+        S, "ivf_topk", lambda *a, **kw: calls.append(1) or real_ivf(*a, **kw)
+    )
+    emb = spark.read.parquet(os.path.join(big_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    out = S.topk(q, c, k=5, strategy="auto", brute_force_max_rows=10_000)
+    assert out.count() > 0
+    assert calls, "auto planner did not flip to IVF past the affordability bound"
+    # and below the bound it must stay exact (no IVF call)
+    calls.clear()
+    c_small = c.filter(F.col("c_id") < 1000)
+    S.topk(q, c_small, k=5, strategy="auto", brute_force_max_rows=10_000).count()
+    assert not calls, "auto planner used IVF under the affordability bound"
