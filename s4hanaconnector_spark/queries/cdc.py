@@ -107,6 +107,44 @@ def cdc_delta_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_rowid_passthrough",
+    _DELTA_ORACLE_BODY
+    + """
+, d AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l.o_orderkey
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+)
+SELECT _change_type,
+       count(*) AS n_rows,
+       CAST(CASE WHEN _change_type = 'A' THEN count(*) ELSE 0 END AS BIGINT) AS n_rowids,
+       CAST(CASE WHEN _change_type = 'A' THEN count(DISTINCT o_orderkey) ELSE 0 END AS BIGINT) AS n_distinct_rowids
+FROM d GROUP BY _change_type
+""",
+)
+def cdc_rowid_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 under the oracle gate: the reference forwards HANA's ``$rowid$``
+    from the SOURCE side of the delta join (S4HanaTableMapping.java:452,744)
+    — NULL on deletes, present and row-unique on live rows. Parquet has no
+    engine rowid, so the surrogate is xxhash64 of the PK tuple
+    (operators/cdc.py source_rowid); the hash VALUE is engine-private, so
+    the oracle verifies the CONTRACT instead: every 'A' row carries a rowid,
+    rowids are distinct per logical row (delta is PK-unique after
+    latest-by-key), and every 'D' row's rowid is NULL — counts the oracle
+    derives from the delta row set itself."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    delta = C.cdc_delta(
+        orders, pklog, ORDERS_MAPPING, LO, HI, strategy="outer", with_rowid=True
+    )
+    return delta.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("__source_rowid").alias("n_rowids"),
+        F.count_distinct("__source_rowid").alias("n_distinct_rowids"),
+    )
+
+
+@register(
     "cdc_latest_by_key",
     """
 SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id

@@ -450,6 +450,82 @@ def catalog_pk_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_table_exists",
+    """
+SELECT 'nation' AS tab, TRUE AS tab_exists
+UNION ALL SELECT 'orders', TRUE
+UNION ALL SELECT 'zz_nonexistent', FALSE
+ORDER BY 1
+""",
+)
+def catalog_table_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 under the oracle gate (S4HanaTableMapping.java:491-505): the
+    existence probe the reference runs before creating triggers — one
+    metadata lookup per candidate name, here against the session catalog
+    after registering the fixture views. Driver-side by nature (the
+    reference's probe is a 1-row SELECT): bounded by the probe list, never
+    data-sized."""
+    from s4hanaconnector_spark.catalog import register_views, table_exists
+
+    register_views(spark, sf_dir, ["nation", "orders"])
+    probes = ["nation", "orders", "zz_nonexistent"]
+    rows = [(p, table_exists(spark, p)) for p in probes]
+    return spark.createDataFrame(rows, "tab string, tab_exists boolean").orderBy(
+        "tab"
+    )
+
+
+@register(
+    "cdc_txn_latency_alert",
+    """
+WITH txns AS (SELECT o_orderkey % 180 AS age_s FROM orders),
+c AS (
+    SELECT CASE WHEN age_s > 60 THEN 'warn'
+                WHEN age_s > 5 THEN 'info'
+                ELSE 'ok' END AS level
+    FROM txns
+)
+SELECT level, count(*) AS n FROM c GROUP BY level
+""",
+)
+def cdc_txn_latency_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 under the oracle gate (S4HanaProducer.java:339-358): the open-
+    transaction age classification that drives the replication-latency
+    alerts — info above 5 s, warn above 60 s, STRICT inequalities at both
+    thresholds. A synthetic in-flight population (ages 0..179 s from the
+    orders keys) is classified engine-side with the SAME constants the
+    Python classifier uses, and the classifier itself is pinned to the
+    engine CASE on the exact boundary values (5/60 s classify below, just
+    above classifies up) before the query returns — the alert path and the
+    declared surface cannot drift apart."""
+    import datetime as _dt
+
+    from s4hanaconnector_spark.operators.cdc import (
+        TXN_LATENCY_INFO_SECONDS,
+        TXN_LATENCY_WARN_SECONDS,
+        classify_txn_latency,
+    )
+
+    base = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    for secs, expect in [(5.0, "ok"), (5.1, "info"), (60.0, "info"), (60.1, "warn")]:
+        got = classify_txn_latency(base, base + _dt.timedelta(seconds=secs))
+        if got != expect:
+            raise AssertionError(
+                f"classify_txn_latency({secs}s) = {got!r}, expected {expect!r}"
+            )
+    o = t(spark, sf_dir, "orders")
+    age = (F.col("o_orderkey") % 180).cast("double")
+    level = (
+        F.when(age > TXN_LATENCY_WARN_SECONDS, "warn")
+        .when(age > TXN_LATENCY_INFO_SECONDS, "info")
+        .otherwise("ok")
+    )
+    return o.select(level.alias("level")).groupBy("level").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "unpivot_order_metrics",
     """
 SELECT metric, count(*) AS n, min(v) AS v_min, max(v) AS v_max
