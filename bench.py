@@ -64,6 +64,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    try:
+        # host 1/5/15-min load: a starved run (BENCH_NOTES.md) shows load far
+        # above the guest's own 32 cpus of work — diagnosable from the artifact
+        load = [round(x, 1) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        load = None
     print(
         json.dumps(
             {
@@ -72,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "loadavg": load,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -130,7 +130,15 @@ def band_signatures(
     NOTHING for signatures — only the 16-rows-per-doc sig table ever hits
     an exchange downstream, which at 100 TB is the difference between
     shuffling the corpus and shuffling a fingerprint of it.
-    Returns (doc, band, sig)."""
+    Returns (doc, band, sig).
+
+    PRECONDITION: ``id_col`` is unique per input row (the documents model;
+    the exact-dedup rung runs before any fuzzy rung). The projection is
+    row-local, so a duplicated id yields duplicated (doc, band, sig) rows,
+    which would inflate downstream bucket-size counts and shared-band
+    tallies. ``incremental_neardup_candidates`` dedupes its hit pairs
+    (delta-sized) to be safe under re-ingest; the self-join ladder relies
+    on the precondition rather than paying a corpus-sized dedup shuffle."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
     if 0 < n_files < parallelism:
@@ -197,14 +205,20 @@ def incremental_neardup_candidates(
         .localCheckpoint(eager=False)
     )
     hits = c_sigs.join(F.broadcast(b_sigs), on=["band", "sig"])
+    # Hit rows dedupe on their full identity first: a re-ingested doc id
+    # (same id, same text, fed twice on either side) would otherwise double
+    # both the bucket-size count below AND n_shared_bands (reading 20 of 16
+    # bands). The dedup shuffles only hit pairs — delta-sized, never the
+    # corpus.
+    hits = hits.dropDuplicates(["band", "sig", "batch_id", "corpus_id"])
     if max_bucket is not None:
         # plain count window, NOT size(collect_set(...)): collect_set buffers
         # every corpus id of the bucket in window state — on exactly the hot
-        # buckets this cap exists to shed (r4 VERDICT). band_signatures emits
-        # one sig per (doc, band), so within (band, sig, batch_id) each
-        # corpus doc contributes exactly one hit row and count == number of
-        # corpus docs the bucket fans this batch doc out to — the documented
-        # cap semantics, batch-multiplicity-proof.
+        # buckets this cap exists to shed (r4 VERDICT). After the dedup
+        # above, each corpus doc contributes exactly one hit row per
+        # (band, sig, batch_id), so count == number of corpus docs the
+        # bucket fans this batch doc out to — the documented cap semantics,
+        # duplicate-ingest-proof on both sides.
         hits = (
             hits.withColumn(
                 "__bucket_n",

@@ -134,25 +134,28 @@ def _ship_quarantine(
     sink: RangeCommitSink,
     bad_all: DataFrame,
     from_txid: int,
-    hi: int,
 ) -> int:
-    """Ship this poll's malformed rows to the DLQ under range key
-    ``from_txid`` (the resume point — stable across replays of the same
-    poll, independent of whether the watermark advanced).
+    """Ship this poll's not-yet-quarantined malformed rows to the DLQ,
+    independent of whether the watermark advanced.
 
     Scan bound: ``txid > from_txid OR txid IS NULL``. The watermark is
     driven by VALID rows only, so garbage can carry a txid above ``hi``
     (or none at all) and would never age out of the scan — bounding to
-    ``(from_txid, hi]`` would starve it forever. Instead, any shipped row
-    that CAN rescan on a later poll (``txid > hi`` or NULL txid) has an
-    md5 row fingerprint appended to a persisted ``_quarantine_seen``
-    side-state and is anti-joined out on subsequent polls; rows inside
-    ``(from_txid, hi]`` age out naturally when the frontier advances, so
-    their hashes are never stored. The state is DLQ-sized — bounded by
-    malformed volume, not data volume — and the broadcast anti-join keeps
-    the dedup off the shuffle path. Crash window: data write commits
+    ``(from_txid, hi]`` would starve it forever. Dedup is content-based:
+    every shipped row's md5 fingerprint is appended to a persisted
+    ``_quarantine_seen`` side-state and anti-joined out on later polls
+    (that state is DLQ-sized — bounded by malformed volume, not data
+    volume — and the broadcast anti-join keeps the dedup off the shuffle
+    path). DLQ ranges get their OWN sequence key (``txid_hi=<seq>``, the
+    first uncommitted number), not the poll frontier: a repeated
+    ``from_txid`` (stuck watermark, or a crash-replayed poll) must still
+    be able to ship garbage that arrived since the last attempt — a
+    frontier-keyed marker would skip the write and lose those rows once
+    the frontier moved past their txids. Crash window: data write commits
     before fingerprints append, so a crash between the two re-ships those
-    rows at the next frontier (at-least-once DLQ, never lost)."""
+    rows on the next poll under the next sequence key (at-least-once DLQ,
+    never lost; replays of fully-committed attempts ship nothing because
+    every row is already fingerprinted)."""
     txid = F.col("transactionid")
     bad = bad_all.filter((txid > from_txid) | txid.isNull())
     data_cols = [c for c in bad.columns if c != "_quarantine_reason"]
@@ -167,16 +170,20 @@ def _ship_quarantine(
     if os.path.isdir(seen_path) and os.listdir(seen_path):
         seen = spark.read.parquet(seen_path)
         bad = bad.join(F.broadcast(seen), "_row_md5", "left_anti")
-    # never commit an empty range: a stuck frontier (hi not advancing) keeps
-    # the same range key across polls, and an empty committed marker would
-    # block garbage that arrives while stuck until the frontier moves
+    # one lazy lineage cut: three consumers follow (isEmpty, the sink write,
+    # the fingerprint append) and each would otherwise re-run the whole
+    # classify + anti-join subtree over the log
+    bad = bad.localCheckpoint(eager=False)
+    # never commit an empty range — keeps the sequence dense and skips the
+    # common nothing-malformed poll entirely
     if bad.isEmpty():
         return 0
-    shipped = sink.write("_quarantine", from_txid, bad.drop("_row_md5"))
+    seq = 0
+    while sink.committed("_quarantine", seq):
+        seq += 1
+    shipped = sink.write("_quarantine", seq, bad.drop("_row_md5"))
     if shipped:
-        bad.filter(txid.isNull() | (txid > hi)).select("_row_md5").write.mode(
-            "append"
-        ).parquet(seen_path)
+        bad.select("_row_md5").write.mode("append").parquet(seen_path)
     return shipped
 
 
@@ -208,15 +215,12 @@ def poll(
     first (structural checks — per-mapping PK castability stays with each
     table's change view): malformed rows are shipped to the sink under the
     ``_quarantine`` range key instead of poisoning the watermark or the
-    delta joins, and only valid rows drive the rest of the poll. The
-    quarantine range is keyed by ``from_txid`` (the poll's identity),
-    INDEPENDENT of ``hi``, and written BEFORE the advance short-circuit —
-    a poll whose only new rows are malformed still ships them. The bad-row
-    scan is bounded to the poll's own range: txid-carrying garbage in
-    ``(from_txid, hi]`` ships exactly once because the frontier moves past
-    it; NULL-txid rows (invisible to the watermark, so they never age out
-    of the scan) are fingerprinted and deduped against a persisted
-    side-state so they land in the DLQ once, not once per poll."""
+    delta joins, and only valid rows drive the rest of the poll. DLQ
+    ranges are written BEFORE the advance short-circuit (a poll whose only
+    new rows are malformed still ships them) under their own sequence
+    keys, with a persisted fingerprint side-state guaranteeing each
+    malformed row lands exactly once across polls — the full contract
+    lives on :func:`_ship_quarantine`."""
     if quarantine:
         from s4hanaconnector_spark.operators.cdc import classify_malformed
 
@@ -237,7 +241,7 @@ def poll(
     if level != "ok" and on_alert is not None:
         on_alert(level, wm["oldest_start_time"])
     if quarantine:
-        _ship_quarantine(spark, sink, bad_all, from_txid, hi)
+        _ship_quarantine(spark, sink, bad_all, from_txid)
     if hi <= from_txid:
         return from_txid
 

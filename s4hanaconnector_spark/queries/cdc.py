@@ -680,6 +680,82 @@ def cdc_two_poll_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_quarantine_poll_lifecycle",
+    """
+WITH bad AS (
+    SELECT 'missing_pk' AS _quarantine_reason FROM orders WHERE o_orderkey % 31 = 0
+    UNION ALL
+    SELECT 'bad_change_type' FROM orders WHERE o_orderkey % 43 = 0
+    UNION ALL
+    SELECT 'bad_change_type' FROM orders WHERE o_orderkey % 53 = 0
+    UNION ALL
+    SELECT 'missing_txid' FROM orders WHERE o_orderkey % 61 = 0
+)
+SELECT _quarantine_reason, count(*) AS n_rows FROM bad GROUP BY 1
+""",
+)
+def cdc_quarantine_poll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLL-LEVEL dead-letter contract (r4 ADVICE): across TWO advancing
+    polls over a feed carrying four garbage classes — NULL pk, unknown
+    change type, NULL change type, NULL txid — every malformed row lands in
+    the DLQ EXACTLY once. The oracle is the one-shot classification of the
+    injected legs; parity breaks if (a) any class is dropped (the pre-fix
+    hi<=from short-circuit, or the isin() NULL hole), or (b) any row ships
+    twice (NULL-txid rows never age out of the scan — poll 2 rescans them
+    and must be stopped by the fingerprint side-state; beyond-watermark
+    txids are rescanned too and deduped the same way). Exercises the range
+    keying by resume point, the bounded bad-row scan, and the persisted
+    `_quarantine_seen` dedup in one lifecycle."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = synthetic_pklog(orders)
+
+    def leg(mod: int, ctype_expr, pk_expr, txid_expr):
+        null_pks = [F.lit(None).cast("string").alias(f"pk{i}") for i in range(2, 7)]
+        return orders.filter(k % mod == 0).select(
+            F.col("o_orderdate").alias("change_ts"),
+            F.lit("S4").alias("schema_name"),
+            ctype_expr.alias("change_type"),
+            pk_expr.alias("pk1"),
+            *null_pks,
+            txid_expr.alias("transactionid"),
+            F.lit(1).cast("int").alias("transaction_seq"),
+            F.lit("orders").alias("table_name"),
+        )
+
+    valid_tx = (F.lit(1000) + k % 50).cast("bigint")
+    dirty = (
+        base.unionByName(leg(31, F.lit("U"), F.lit(None).cast("string"), valid_tx))
+        .unionByName(leg(43, F.lit("X"), k.cast("string"), valid_tx))
+        .unionByName(leg(53, F.lit(None).cast("string"), k.cast("string"), valid_tx))
+        .unionByName(
+            leg(61, F.lit("U"), k.cast("string"), F.lit(None).cast("bigint"))
+        )
+    )
+    txns = synthetic_transactions(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_q_poll_")
+    sink = RangeCommitSink(out_dir)
+    hi1 = poll(
+        spark, [ORDERS_MAPPING], lambda name: orders, dirty, txns,
+        from_txid=0, sink=sink, now_ts=_POLL2_NOW1,
+        staleness_seconds=_POLL2_STALENESS, quarantine=True,
+    )
+    hi2 = poll(
+        spark, [ORDERS_MAPPING], lambda name: orders, dirty, txns,
+        from_txid=hi1, sink=sink, now_ts="2026-01-01 00:00:00", quarantine=True,
+    )
+    if not hi2 > hi1 >= 0:
+        raise AssertionError(f"polls did not advance: {hi1} -> {hi2}")
+    dlq = spark.read.parquet(os.path.join(out_dir, "_quarantine"))
+    return dlq.groupBy("_quarantine_reason").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
     "cdc_stream_to_sink",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()}

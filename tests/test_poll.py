@@ -275,8 +275,8 @@ def test_poll_quarantines_malformed_rows(spark, tmp_path):
     dd = spark.read.parquet(str(tmp_path / "dirty" / MAPPING.name / f"txid_hi={hi}"))
     dc = spark.read.parquet(str(tmp_path / "clean" / MAPPING.name / f"txid_hi={hi_c}"))
     assert sorted(map(tuple, dd.collect())) == sorted(map(tuple, dc.collect()))
-    # the quarantine range is keyed by the poll's RESUME POINT (from_txid=0),
-    # independent of hi — it ships even when the watermark cannot advance
+    # DLQ ranges carry their own sequence key (first attempt -> 0),
+    # independent of the watermark — they ship even when it cannot advance
     dlq = spark.read.parquet(str(tmp_path / "dirty" / "_quarantine" / "txid_hi=0"))
     reasons = sorted(r["_quarantine_reason"] for r in dlq.collect())
     assert reasons == ["bad_change_type", "bad_change_type", "missing_pk"]
@@ -305,7 +305,8 @@ def test_poll_quarantine_ships_when_watermark_cannot_advance(spark, tmp_path):
         quarantine=True,
     )
     assert hi == 5  # watermark did not advance...
-    dlq = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "txid_hi=5"))
+    # DLQ ranges are sequence-keyed (first attempt -> 0), never frontier-keyed
+    dlq = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "txid_hi=0"))
     assert dlq.count() == 1  # ...but the malformed row shipped anyway
 
 
@@ -340,4 +341,42 @@ def test_poll_quarantine_null_txid_ships_once_across_polls(spark, tmp_path):
     )
     assert hi2 == 20
     shipped = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "*"))
-    assert shipped.count() == 1  # once under txid_hi=0, never again under =10
+    assert shipped.count() == 1  # shipped once; poll 2 is stopped by the fingerprint state
+
+
+def test_poll_quarantine_new_garbage_while_stuck_still_ships(spark, tmp_path):
+    """A stuck watermark repeats from_txid across polls; garbage arriving
+    between attempts must still ship (sequence-keyed DLQ ranges), and
+    nothing ships twice (fingerprint side-state) — the silent-drop corner
+    of a frontier-keyed DLQ marker."""
+    from pyspark.sql import Row as _Row
+
+    def bad_row(pk):
+        return spark.createDataFrame(
+            [
+                _Row(
+                    change_ts=TS, schema_name="S4", change_type="U", pk1=pk,
+                    pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                    transactionid=None, transaction_seq=1, table_name="t",
+                )
+            ],
+            _pklog(spark, []).schema,
+        )
+
+    src = _src(spark, [(1, "a")])
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    # poll 1: frontier stuck at 5, one NULL-txid garbage row -> ships
+    hi1 = poll(
+        spark, [MAPPING], lambda n: src, bad_row("g1"), _txns(spark, []),
+        5, sink, NOW, quarantine=True,
+    )
+    assert hi1 == 5
+    # poll 2: SAME frontier, old garbage still in the log, NEW garbage too
+    log2 = bad_row("g1").unionByName(bad_row("g2"))
+    hi2 = poll(
+        spark, [MAPPING], lambda n: src, log2, _txns(spark, []),
+        5, sink, NOW, quarantine=True,
+    )
+    assert hi2 == 5
+    dlq = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "*"))
+    assert sorted(r["pk1"] for r in dlq.collect()) == ["g1", "g2"]

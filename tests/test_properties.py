@@ -539,3 +539,65 @@ def test_forget_cascade_composes_across_polls(spark, a, b):
     c2, o2 = erase(cust, orders, a | b)
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
     assert sorted(map(tuple, o1.collect())) == sorted(map(tuple, o2.collect()))
+
+
+# -- classify_malformed: severity-ordered dead-letter classification ---------
+
+# a raw log row: pk may be NULL/garbage/number-string, change_type may be
+# NULL/valid/unknown, txid may be NULL
+_raw_rows = st.lists(
+    st.tuples(
+        st.sampled_from([None, "7", "42", "garbage", ""]),
+        st.sampled_from([None, "I", "U", "D", "A", "B", "X", "u"]),
+        st.sampled_from([None, 1, 1000]),
+    ),
+    max_size=10,
+)
+
+
+def _model_reason(pk, ct, tx):
+    """Reference model of the severity order (missing PK > uncastable PK >
+    bad change type > missing txid); None == valid row."""
+    if pk is None:
+        return "missing_pk"
+    try:
+        int(pk)
+    except ValueError:
+        return "pk_uncastable"
+    if ct is None or ct not in ("I", "U", "D", "A", "B"):
+        return "bad_change_type"
+    if tx is None:
+        return "missing_txid"
+    return None
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_raw_rows)
+def test_classify_malformed_matches_severity_model(spark, rows):
+    """Every (pk, change_type, txid) combination — including the NULL
+    change_type that a bare ~isin() silently passes (r4 ADVICE) — classifies
+    exactly like the severity-ordered reference model, and a row is valid
+    (reason NULL) iff the model says so."""
+    log = spark.createDataFrame(
+        [
+            Row(
+                change_ts=TS, schema_name="S4", change_type=ct, pk1=pk,
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=tx, transaction_seq=1, table_name="t",
+            )
+            for pk, ct, tx in rows
+        ],
+        schema="change_ts timestamp, schema_name string, change_type string, "
+        "pk1 string, pk2 string, pk3 string, pk4 string, pk5 string, pk6 string, "
+        "transactionid bigint, transaction_seq int, table_name string",
+    )
+    got = [
+        (r["pk1"], r["change_type"], r["transactionid"], r["_quarantine_reason"])
+        for r in C.classify_malformed(log).collect()
+    ]
+    for pk, ct, tx, reason in got:
+        assert reason == _model_reason(pk, ct, tx), (pk, ct, tx, reason)

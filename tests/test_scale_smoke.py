@@ -77,6 +77,28 @@ def _timed(spark, name, sf_dir):
     return time.perf_counter() - t0, n
 
 
+def _record(name, t_small, t_big):
+    """Persist the measurement into SCALE_SMOKE.json — plan_audit.py renders
+    PLANS.md's scale-smoke table from this file, so the doc always carries
+    the last MEASURED numbers, never a stale paste."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SCALE_SMOKE.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:
+        doc = {}
+    doc[name] = {
+        "t_small": round(t_small, 2),
+        "t_big": round(t_big, 2),
+        "ratio": round(t_big / max(t_small, 0.5), 1),
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+
 # quadratic growth in |docs| would be ~100x; linear is ~10x. 30x is the
 # fail line: far above linear-plus-host-noise (this box swings ±30%, and
 # small-side fixed overheads deflate the 5k-doc denominator), far below
@@ -94,6 +116,7 @@ def test_dedup_rungs_scale_linearly(spark, big_dir, qname):
     t_big, n_big = _timed(spark, qname, big_dir)
     assert n_big > 0  # the 10x corpus actually produced candidates
     ratio = t_big / max(t_small, 0.5)
+    _record(qname, t_small, t_big)
     assert ratio < LINEAR_SLACK, (
         f"{qname}: {t_small:.2f}s @5k docs -> {t_big:.2f}s @50k docs "
         f"(ratio {ratio:.1f}x) — super-linear, check bucket caps"
@@ -109,6 +132,7 @@ def test_similarity_auto_scales_and_flips_to_ivf(spark, big_dir, monkeypatch):
     t_big, n_big = _timed(spark, "similarity_topk_auto", big_dir)
     assert n_big > 0
     ratio = t_big / max(t_small, 0.5)
+    _record("similarity_topk_auto", t_small, t_big)
     assert ratio < LINEAR_SLACK, (
         f"similarity_topk_auto: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x)"
     )
