@@ -58,8 +58,17 @@ def connected_components(
 
     if nodes is not None:
         node_df = nodes.select(F.col(id_col).alias("id")).distinct()
+        # restrict edges to the caller's universe: a stale edge referencing
+        # a filtered-out doc must neither resurrect it in the output nor
+        # leak its id as a component label (both endpoints checked)
+        sym = sym.join(
+            node_df.withColumnRenamed("id", "a"), on="a", how="left_semi"
+        ).join(node_df.withColumnRenamed("id", "b"), on="b", how="left_semi")
     else:
         node_df = sym.select(F.col("a").alias("id")).distinct()
+    # the edge table feeds every round: cut its lineage ONCE so the
+    # symmetrize + distinct shuffle does not re-run per iteration
+    sym = sym.localCheckpoint(eager=False)
     labels = node_df.select("id", F.col("id").alias("comp")).localCheckpoint()
 
     for _ in range(max_iter):
@@ -116,12 +125,16 @@ def pagerank(
     trap as ``connected_components``). Dangling nodes (no in-edges) settle
     at the teleport term. The node count is the one driver-side scalar
     (bounded metadata)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False  # scanned every round — cut the upstream lineage once
+    )
     nodes = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg")).localCheckpoint(
+        eager=False  # ditto: the out-degree table is loop-invariant
+    )
     ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     teleport = F.lit((1.0 - damping)) / F.lit(float(n))
     for _ in range(iterations):
@@ -172,8 +185,14 @@ def label_propagation(
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     if nodes is not None:
         node_df = nodes.select(F.col(id_col).alias("id")).distinct()
+        # same universe restriction as connected_components: stale edges
+        # outside the caller's node set are ignored, not propagated
+        sym = sym.join(
+            node_df.withColumnRenamed("id", "a"), on="a", how="left_semi"
+        ).join(node_df.withColumnRenamed("id", "b"), on="b", how="left_semi")
     else:
         node_df = sym.select(F.col("a").alias("id")).distinct()
+    sym = sym.localCheckpoint(eager=False)  # one symmetrize, not one per round
     labels = node_df.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(iterations):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(

@@ -24,19 +24,34 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "hash_split",
+    "hash_topk_per_group",
     "stratified_hash_sample",
+    "weighted_hash_sample",
 ]
 
 BUCKET_SPACE = 16**8  # first 8 md5 hex chars -> uniform [0, 2^32)
 
 _SEP = "\x1f"  # unit separator: keeps ("ab","c") and ("a","bc") distinct
+_NULL = "\x00"  # NULL sentinel: concat_ws silently DROPS null parts, which
+# would hash ("a", NULL, "b"), ("a", "b", NULL) and (NULL, "a", "b") — and
+# every all-NULL key — onto the same bucket, correlating rows that must
+# sample independently; coalescing to a sentinel keeps positions distinct
+# while leaving non-NULL keys' hashes (and their DuckDB oracles) unchanged
+
+
+def _key_parts(keys: list[str], seed: int) -> list[Column]:
+    return [F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in keys] + [
+        F.lit(str(seed))
+    ]
 
 
 def hash_bucket(keys: list[str], seed: int = 42) -> Column:
     """Uniform [0, 2^32) bucket from md5 over the key columns + seed.
-    Changing the seed produces an independent sample/split."""
-    parts = [F.col(c).cast("string") for c in keys] + [F.lit(str(seed))]
-    return F.conv(F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 8), 16, 10).cast("bigint")
+    Changing the seed produces an independent sample/split. NULL key values
+    hash via a sentinel, so distinct keys stay distinct (see _NULL)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, *_key_parts(keys, seed))), 1, 8), 16, 10
+    ).cast("bigint")
 
 
 def threshold(fraction: float) -> int:
@@ -120,16 +135,25 @@ def hash_topk_per_group(
     and other engines select the identical rows.
 
     One shuffle on the group columns (the window); the rank prunes to k
-    before anything downstream, so the post-sample data is |groups|·k."""
-    from pyspark.sql import Window as W
+    before anything downstream, so the post-sample data is |groups|·k.
 
-    h = F.md5(
-        F.concat_ws(
-            _SEP, *[F.col(c).cast("string") for c in keys], F.lit(str(seed))
-        )
-    )
+    Determinism holds even when ``keys`` does not uniquely identify rows:
+    ties on (hash, keys) break on every remaining orderable column, so the
+    surviving row at the k-boundary is the same on any rerun, partitioning
+    or engine (fully-identical rows are interchangeable by definition;
+    unorderable map columns are excluded from the tie-break)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    h = F.md5(F.concat_ws(_SEP, *_key_parts(keys, seed)))
+    named = set(keys) | set(group_cols)
+    tiebreak = [
+        F.col(f.name).asc()
+        for f in df.schema.fields
+        if f.name not in named and not isinstance(f.dataType, T.MapType)
+    ]
     w = W.partitionBy(*group_cols).orderBy(
-        h.asc(), *[F.col(c).asc() for c in keys]
+        h.asc(), *[F.col(c).asc() for c in keys], *tiebreak
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -146,9 +170,17 @@ def weighted_hash_sample(
     the row's md5 bucket — upweighting long/high-quality documents in a
     training mixture without randomness. The comparison is cross-multiplied
     (``bucket·max_weight < SPACE·min(weight, max_weight)``) so it stays in
-    exact BIGINT arithmetic: no division, no float threshold, bit-identical
+    exact integer arithmetic: no division, no float threshold, bit-identical
     on any engine or rerun. Row-local filter; weights must be integers
-    (scale fractional weights up by a constant first)."""
-    b = hash_bucket(keys, seed)
-    w = F.least(F.col(weight_col), F.lit(max_weight)).cast("bigint")
-    return df.filter(b * F.lit(max_weight) < F.lit(BUCKET_SPACE) * w)
+    (scale fractional weights up by a constant first). The products are
+    computed in DECIMAL(38,0): bucket is 10 digits and the clamped weight
+    at most 19, so the 29-digit products are exact — plain BIGINT would
+    silently wrap (or throw under ANSI) once ``max_weight`` exceeds 2^31."""
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    d38 = "decimal(38,0)"
+    b = hash_bucket(keys, seed).cast(d38)
+    w = F.least(F.col(weight_col), F.lit(max_weight)).cast(d38)
+    return df.filter(
+        b * F.lit(max_weight).cast(d38) < F.lit(BUCKET_SPACE).cast(d38) * w
+    )

@@ -87,10 +87,38 @@ class MemoryTopicWriter(Writer):
         return len(rows)
 
 
+class CommitLog:
+    """The write-data-then-atomic-marker protocol, shared by every
+    exactly-once sink in the engine (batch :class:`RangeCommitSink` keyed by
+    txid range, streaming ``transactional_sink`` keyed by batch id). ONE
+    implementation of the crash-window contract: a marker is renamed into
+    place only after the data write returns, so a crash in between leaves
+    data that still reads as uncommitted and is wholly replaced on replay.
+    Harden the window here (fsync-before-rename, marker schema changes) and
+    every sink inherits it."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def marker(self, key: str) -> str:
+        return os.path.join(self.dir, f"{key}.json")
+
+    def committed(self, key: str) -> bool:
+        return os.path.exists(self.marker(key))
+
+    def commit(self, key: str, payload: dict) -> None:
+        tmp = self.marker(key) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, self.marker(key))  # the atomic commit point
+
+
 class RangeCommitSink:
     """Exactly-once-per-(schema, txid-range) sink: data first (via a
     pluggable :class:`Writer`, parquet by default), then an
-    atomically-renamed commit marker. Replays of committed ranges skip.
+    atomically-renamed commit marker (:class:`CommitLog`). Replays of
+    committed ranges skip.
 
     Crash-window design: the only non-atomic window is AFTER the data write
     and BEFORE the marker rename. A crash there leaves orphan parquet under
@@ -104,13 +132,10 @@ class RangeCommitSink:
     def __init__(self, out_dir: str, writer: Writer | None = None) -> None:
         self.out_dir = out_dir
         self.writer = writer if writer is not None else ParquetWriter(out_dir)
-        os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
-
-    def _marker(self, name: str, hi: int) -> str:
-        return os.path.join(self.out_dir, "_commits", f"{name}.{hi}.json")
+        self.log = CommitLog(out_dir)
 
     def committed(self, name: str, hi: int) -> bool:
-        return os.path.exists(self._marker(name, hi))
+        return self.log.committed(f"{name}.{hi}")
 
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):
@@ -122,10 +147,7 @@ class RangeCommitSink:
         # footer-only job (file listing + row-group metadata, no column
         # data decoded) — not free, but never re-runs the delta query.
         n = self.writer.write(os.path.join(name, f"txid_hi={hi}"), df)
-        tmp = self._marker(name, hi) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "txid_hi": hi, "rows": n}, f)
-        os.rename(tmp, self._marker(name, hi))  # the atomic commit point
+        self.log.commit(f"{name}.{hi}", {"name": name, "txid_hi": hi, "rows": n})
         return n
 
 

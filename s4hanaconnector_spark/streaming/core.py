@@ -11,8 +11,6 @@ of a batch to the sink function.
 from __future__ import annotations
 
 import itertools
-import json
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,7 +70,7 @@ class transactional_sink:
         writer=None,
         key_prefix: str = "",
     ) -> None:
-        from s4hanaconnector_spark.poll import ParquetWriter
+        from s4hanaconnector_spark.poll import CommitLog, ParquetWriter
 
         self.out_dir = out_dir
         self.transform = transform
@@ -81,13 +79,12 @@ class transactional_sink:
         # key's leading path segment; key_prefix="orders" makes this sink
         # emit "orders/batch_id=N" so the per-mapping topic resolves
         self.key_prefix = key_prefix
-        os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
-
-    def _commit_path(self, batch_id: int) -> str:
-        return os.path.join(self.out_dir, "_commits", f"{batch_id}.json")
+        # marker protocol shared with the batch RangeCommitSink — one
+        # implementation of the crash-window contract (poll.CommitLog)
+        self.log = CommitLog(out_dir)
 
     def committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
+        return self.log.committed(str(batch_id))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.committed(batch_id):
@@ -97,10 +94,7 @@ class transactional_sink:
         if self.key_prefix:
             key = f"{self.key_prefix}/{key}"
         n = self.writer.write(key, df)
-        tmp = self._commit_path(batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "rows": n}, f)
-        os.rename(tmp, self._commit_path(batch_id))  # atomic commit point
+        self.log.commit(str(batch_id), {"batch_id": batch_id, "rows": n})
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +191,8 @@ def stateful_latest_by_key(
     keys: list[str],
     ord_col: str = "transactionid",
     ttl_ms: int | None = None,
+    seq_col: str = "transaction_seq",
+    change_col: str = "change_type",
 ) -> DataFrame:
     """E5 (per-PK latest-only dedup, O11) as a CUSTOM stateful streaming
     operator: across micro-batches, remember the highest ``ord_col`` seen per
@@ -216,31 +212,74 @@ def stateful_latest_by_key(
     state-cleanup triggers between data batches — normal for an always-on
     query, but ``processAllAvailable`` never sees an idle trigger, so
     drive-to-completion tests must use the default (no timeout).
-    """
+
+    Tie-breaking MIRRORS the batch path's ``latest_per_pk``
+    (operators/cdc.py): a key carrying two rows at the same ``ord_col``
+    (insert+update in one transaction) resolves by ``seq_col`` (the true
+    within-transaction order) and then by delete-wins change-type rank
+    (D=3 > U=2 > I=1 > other=0) — both columns used only when present in
+    the schema — with a final total order over all stringified columns, so
+    the surviving row is identical on any rerun, Arrow chunking, or engine
+    (NOT the arrival-order ``tail(1)`` pick, which varied with shuffle
+    block order). The state remembers the full (ord, seq, rank) frontier:
+    a well-formed feed never splits one transaction across polls (a poll
+    is a txid RANGE), but if a malformed feed does, the higher-seq row
+    still advances the frontier and emits instead of being silently
+    suppressed by a max-ord-only state. Arrow chunks fold incrementally —
+    a hot key's micro-batch is never concatenated into one pandas frame."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = stream.schema
-    state_schema = T.StructType([T.StructField("max_ord", T.LongType())])
+    state_schema = T.StructType(
+        [
+            T.StructField("max_ord", T.LongType()),
+            T.StructField("max_seq", T.LongType()),
+            T.StructField("max_rank", T.LongType()),
+        ]
+    )
     col_order = [f.name for f in out_schema.fields]
+    has_seq = seq_col in col_order
+    has_ct = change_col in col_order
+    ct_rank = {"D": 3, "U": 2, "I": 1}
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        frames = list(pdfs)
-        if state.hasTimedOut or not frames:
+        if state.hasTimedOut:
             state.remove()
             return
-        pdf = pd.concat(frames, ignore_index=True)
-        best_ord = int(pdf[ord_col].max())
-        prev = state.get[0] if state.exists else None
+        best_key = None  # (ord, seq, rank, row_string)
+        best_row = None
+        for pdf in pdfs:  # fold chunk-by-chunk: O(chunk) memory, not O(batch)
+            if pdf.empty:
+                continue
+            o = pdf[ord_col].astype("int64")
+            s = (
+                pdf[seq_col].fillna(0).astype("int64")
+                if has_seq
+                else pd.Series(0, index=pdf.index)
+            )
+            r = (
+                pdf[change_col].map(ct_rank).fillna(0).astype("int64")
+                if has_ct
+                else pd.Series(0, index=pdf.index)
+            )
+            tb = pdf.astype(str).agg("\x1f".join, axis=1)
+            ranked = pd.DataFrame({"o": o, "s": s, "r": r, "t": tb})
+            idx = ranked.sort_values(["o", "s", "r", "t"]).index[-1]
+            cand = (int(o[idx]), int(s[idx]), int(r[idx]), tb[idx])
+            if best_key is None or cand > best_key:
+                best_key, best_row = cand, pdf.loc[[idx]]
+        if best_row is None:
+            return
+        prev = tuple(state.get) if state.exists else None
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if prev is not None and best_ord <= prev:
+        cur = best_key[:3]
+        if prev is not None and cur <= prev:
             return  # stale replay: the emitted frontier already passed it
-        state.update((best_ord,))
-        winners = pdf[pdf[ord_col] == best_ord]
-        # deterministic pick among equal ords: last in feed order
-        yield winners.tail(1)[col_order]
+        state.update(cur)
+        yield best_row[col_order]
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -358,7 +397,15 @@ def make_progress_metrics_listener(sink: list):
                     "num_input_rows": p.numInputRows,
                     "input_rows_per_second": p.inputRowsPerSecond,
                     "processed_rows_per_second": p.processedRowsPerSecond,
-                    "sources": [s.description for s in p.sources],
+                    "sources": [
+                        {
+                            "description": s.description,
+                            "start_offset": s.startOffset,
+                            "end_offset": s.endOffset,
+                            "num_input_rows": s.numInputRows,
+                        }
+                        for s in p.sources
+                    ],
                 }
             )
 

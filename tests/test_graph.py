@@ -81,3 +81,24 @@ class TestPageRank:
         )
         ranks = {r["id"]: r["r"] for r in pagerank(df, iterations=5, damping=0.85).collect()}
         assert abs(ranks["lonely"] - 0.15 / 3) < 1e-12  # teleport term only
+
+
+def test_explicit_node_universe_excludes_stale_edges(spark):
+    """An edge referencing a node OUTSIDE the caller's universe (a doc
+    filtered out upstream while the candidate-pair table is stale) must
+    neither resurrect the phantom node in the output nor leak its id as a
+    component label."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 5), (5, 6), (7, 8)], "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(5,), (6,), (7,)], "id bigint")
+    cc = {r["id"]: r["component"] for r in connected_components(edges, nodes=nodes).collect()}
+    # phantom nodes 1 and 8 absent; 5-6 cluster labeled by min IN-universe id
+    assert cc == {5: 5, 6: 5, 7: 7}
+    lp = {r["id"]: r["label"] for r in label_propagation(edges, nodes=nodes).collect()}
+    assert lp == {5: 5, 6: 5, 7: 7}

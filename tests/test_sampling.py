@@ -128,3 +128,37 @@ class TestHashTopKPerGroup:
         a = {r["id"] for r in hash_topk_per_group(df, ["g"], ["id"], 20, seed=1).collect()}
         b = {r["id"] for r in hash_topk_per_group(df, ["g"], ["id"], 20, seed=2).collect()}
         assert a != b
+
+
+def test_null_keys_hash_distinctly(spark):
+    """concat_ws drops NULL parts, so without the sentinel ('a',NULL,'b'),
+    ('a','b',NULL) and (NULL,'a','b') — and every all-NULL key — would
+    share one bucket, correlating rows that must sample independently
+    (e.g. unclustered docs in cluster_safe_split all landing in ONE
+    split). The sentinel keeps positions distinct."""
+    from s4hanaconnector_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), (None, "a", "b"), (None, None, None)],
+        "k1 string, k2 string, k3 string",
+    )
+    buckets = [
+        r["b"] for r in df.select(hash_bucket(["k1", "k2", "k3"]).alias("b")).collect()
+    ]
+    assert len(set(buckets)) == 4  # all distinct
+
+
+def test_weighted_sample_survives_huge_max_weight(spark):
+    """The cross-multiplied accept test must not wrap BIGINT: with
+    max_weight > 2^31 the products exceed 2^63 and a BIGINT comparison
+    silently inverts (or throws under ANSI); DECIMAL(38,0) keeps the
+    29-digit products exact. A row at full weight must always be kept."""
+    from s4hanaconnector_spark.operators.sampling import weighted_hash_sample
+
+    big = 2**40
+    df = spark.createDataFrame(
+        [(i, big if i % 2 == 0 else 1) for i in range(100)], "id bigint, w bigint"
+    )
+    kept = weighted_hash_sample(df, ["id"], "w", max_weight=big)
+    ids = {r["id"] for r in kept.collect()}
+    assert {i for i in range(100) if i % 2 == 0} <= ids  # weight==max always kept

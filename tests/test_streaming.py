@@ -456,3 +456,83 @@ def test_progress_metrics_listener_captures_throughput(spark, tmp_path):
     assert metrics, "no progress events captured"
     assert sum(m["num_input_rows"] for m in metrics) == 3
     assert all("batch_id" in m and m["sources"] for m in metrics)
+    # the documented contract (E129): per-source OFFSETS, not just a label —
+    # the reference's per-poll txid-range monitoring needs log positions
+    data_batches = [m for m in metrics if m["num_input_rows"] > 0]
+    assert all(
+        "end_offset" in s and "start_offset" in s
+        for m in data_batches
+        for s in m["sources"]
+    )
+    assert any(
+        s["end_offset"] is not None for m in data_batches for s in m["sources"]
+    )
+
+
+def test_stateful_latest_by_key_ties_mirror_batch_path(spark, tmp_path):
+    """Same-transactionid ties resolve exactly like the batch path's
+    latest_per_pk: transaction_seq is the true within-transaction order
+    (insert seq=1 + update seq=2 at one txid -> the UPDATE wins, on any
+    Arrow chunk order), and a malformed feed that splits one transaction
+    across micro-batches still emits the higher-seq row instead of
+    silently suppressing it behind a max-ord-only frontier."""
+    from s4hanaconnector_spark.streaming import stateful_latest_by_key
+
+    d = str(tmp_path / "tie_src")
+    schema = (
+        "pk bigint, transactionid bigint, transaction_seq int, "
+        "change_type string, payload string"
+    )
+
+    def rows(*tups):
+        return spark.createDataFrame(
+            [
+                Row(pk=p, transactionid=tx, transaction_seq=sq, change_type=ct, payload=s)
+                for p, tx, sq, ct, s in tups
+            ],
+            schema,
+        )
+
+    # one batch: insert (seq 1) + update (seq 2) for pk 1 at the SAME txid,
+    # fed in an order where the insert comes LAST (tail(1) would pick it)
+    _single_file(
+        spark,
+        rows((1, 100, 2, "U", "update"), (1, 100, 1, "I", "insert")),
+        d, "b1.parquet",
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    latest = stateful_latest_by_key(stream, ["pk"], "transactionid")
+    ckpt = str(tmp_path / "tie_ckpt")
+    emitted: list[tuple] = []
+
+    def collect(batch_df, batch_id):
+        emitted.extend(
+            (r["pk"], r["transactionid"], r["transaction_seq"], r["payload"])
+            for r in batch_df.collect()
+        )
+
+    def run():
+        q = (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert emitted == [(1, 100, 2, "update")]  # seq-2 update wins the tie
+
+    # malformed split: a LATER batch carries the same txid with higher seq —
+    # the frontier is (ord, seq, rank), so it advances and emits
+    emitted.clear()
+    _single_file(spark, rows((1, 100, 3, "D", "late-delete")), d, "b2.parquet")
+    run()
+    assert emitted == [(1, 100, 3, "late-delete")]
+
+    # and a true replay (same tuple) stays silent
+    emitted.clear()
+    _single_file(spark, rows((1, 100, 3, "D", "replay")), d, "b3.parquet")
+    run()
+    assert emitted == []
