@@ -57,7 +57,17 @@ def avro_encode_name(name: str) -> str:
         if ok and not (ch == "_" and name[i + 1 : i + 2] == "x"):
             out.append(ch)
         else:
-            out.append(f"_x{ord(ch):04x}")
+            cp = ord(ch)
+            if cp > 0xFFFF:
+                # one _xHHHH escape per UTF-16 code unit: the decoder's
+                # fixed 4-hex grammar stays total and injective for astral
+                # characters (a 5-hex escape would make "\U0001f600" and
+                # "\u1f60" + "0" collide and break the round trip)
+                cp -= 0x10000
+                out.append(f"_x{0xD800 + (cp >> 10):04x}")
+                out.append(f"_x{0xDC00 + (cp & 0x3FF):04x}")
+            else:
+                out.append(f"_x{cp:04x}")
     return "".join(out)
 
 _PLAIN: dict[str, str | dict] = {
@@ -223,8 +233,16 @@ def _branch(field: dict):
 
 
 def _type_key(t) -> tuple:
+    """Canonical comparison key for a field type. Plain names keep the
+    (name, None, None, None) shape the promotion table matches on; logical
+    types carry their 4-tuple; COMPLEX types (array/record/map) reduce to
+    their full canonical JSON — a bare ("array", ...) key would compare
+    array<int> equal to array<string> and let the drift gate approve an
+    element-type change it exists to reject."""
     if isinstance(t, str):
         return (t, None, None, None)
+    if t.get("type") in ("array", "record", "map"):
+        return (json.dumps(t, sort_keys=True), "complex", None, None)
     return (t["type"], t.get("logicalType"), t.get("precision"), t.get("scale"))
 
 
@@ -375,9 +393,11 @@ def schema_drift(
 
 def avro_decode_name(name: str) -> str:
     """Inverse of :func:`avro_encode_name`: every ``_xHHHH`` escape decodes
-    back to its character. Total on this renderer's output (the encoder
-    escapes any literal ``_x``, so no ambiguity survives a round trip)."""
-    return re.sub(r"_x([0-9a-f]{4})", lambda m: chr(int(m.group(1), 16)), name)
+    back to its UTF-16 code unit, then surrogate pairs recombine into their
+    astral characters. Total on this renderer's output (the encoder escapes
+    any literal ``_x``, so no ambiguity survives a round trip)."""
+    s = re.sub(r"_x([0-9a-f]{4})", lambda m: chr(int(m.group(1), 16)), name)
+    return s.encode("utf-16", "surrogatepass").decode("utf-16")
 
 
 def avro_to_mapping(schema: dict, mastertable: str | None = None) -> TableMapping:

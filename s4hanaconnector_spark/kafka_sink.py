@@ -139,14 +139,30 @@ class KafkaFramedWriter(Writer):
         # keyed by delivery range so replays replace, not append
         self.topics: dict[str, dict[str, list[dict]]] = {}
 
-    def _mapping_for(self, key: str) -> TableMapping:
-        name = key.split("/", 1)[0] if "/" in key else key.split("\\", 1)[0]
-        return self.mappings[name]
+    def _name_of(self, key: str) -> str:
+        return key.split("/", 1)[0] if "/" in key else key.split("\\", 1)[0]
 
     def write(self, key: str, df: DataFrame) -> int:
-        mapping = self._mapping_for(key)
-        framed = frame(df, mapping, self.topic_prefix)
+        name = self._name_of(key)
+        if name in self.mappings:
+            framed = frame(df, self.mappings[name], self.topic_prefix)
+            topic = topic_name(self.mappings[name], self.topic_prefix)
+        elif name.startswith("_"):
+            # RESERVED sink ranges with no mapping — the poll's
+            # ``_quarantine`` DLQ above all — get a generic frame (whole
+            # row as JSON value, md5 row key, the range name as topic):
+            # malformed rows must LAND somewhere, not abort the poll with
+            # a KeyError exactly when garbage arrives. Unreserved unknown
+            # names still raise below: a typo'd mapping is a config error,
+            # not a DLQ.
+            framed, topic = self._frame_raw(df, name)
+        else:
+            raise KeyError(name)
         if self.bootstrap_servers:  # pragma: no cover - no broker in sandbox
+            # one pass over a lineage-cut plan: .save() + .count() on the
+            # raw frame would re-execute the entire delta query (the
+            # double-execution RangeCommitSink.write documents avoiding)
+            framed = framed.localCheckpoint(eager=False)
             (
                 framed.write.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrap_servers)
@@ -155,6 +171,25 @@ class KafkaFramedWriter(Writer):
             )
             return framed.count()
         rows = [r.asDict(recursive=True) for r in framed.collect()]
-        topic = topic_name(mapping, self.topic_prefix)
         self.topics.setdefault(topic, {})[key] = rows  # replace-on-replay
         return len(rows)
+
+    def _frame_raw(self, df: DataFrame, name: str) -> tuple[DataFrame, str]:
+        """Mapping-less frame for reserved ranges (DLQ): value = the full
+        row as JSON, key = md5 of the value (stable, content-addressed),
+        headers carry the range name. Same wire columns as frame(), so the
+        broker path and the in-memory double both take it unchanged."""
+        topic = self.topic_prefix + avro_encode_name(name)
+        value_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        framed = df.select(
+            F.lit(topic).alias("topic"),
+            F.md5(value_col).alias("key"),
+            value_col.alias("value"),
+            F.array(
+                F.struct(
+                    F.lit("range").alias("key"),
+                    F.lit(name).cast("binary").alias("value"),
+                )
+            ).alias("headers"),
+        )
+        return framed, topic

@@ -55,13 +55,23 @@ def encode_name(name: str) -> str:
         if _IDENT_OK.match(ch) or (ch == "_" and not name[i + 1 : i + 2] == "x"):
             out.append(ch)
         else:
-            out.append(f"_x{ord(ch):04x}")
+            cp = ord(ch)
+            if cp > 0xFFFF:
+                # per UTF-16 code unit, so the fixed 4-hex decode grammar
+                # stays total and injective for astral characters (see
+                # avro_schema.avro_encode_name)
+                cp -= 0x10000
+                out.append(f"_x{0xD800 + (cp >> 10):04x}")
+                out.append(f"_x{0xDC00 + (cp & 0x3FF):04x}")
+            else:
+                out.append(f"_x{cp:04x}")
     return "".join(out)
 
 
 def decode_name(name: str) -> str:
     """Inverse of :func:`encode_name`."""
-    return re.sub(r"_x([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), name)
+    s = re.sub(r"_x([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), name)
+    return s.encode("utf-16", "surrogatepass").decode("utf-16")
 
 
 @dataclass

@@ -209,7 +209,7 @@ def cdc_delta(
 # ---------------------------------------------------------------------------
 # O7 / E7 — PK-update expansion
 # ---------------------------------------------------------------------------
-def pk_change_expand(changes: DataFrame, pk_names: list[str], txid_col: str = "transactionid") -> DataFrame:
+def pk_change_expand(changes: DataFrame, pk_names: list[str]) -> DataFrame:
     """A PK update becomes TWO change rows (update trigger with REFERENCING
     NEW ROW / OLD ROW, S4HanaTableMapping.java:194-220): one for the NEW key
     (always) and one for the OLD key, emitted only when any PK column
@@ -453,6 +453,18 @@ def apply_changes(
                 "incompatible batch schema (drift gate): " + "; ".join(issues)
             )
     latest = latest_per_pk(batch, pk_names)
+    missing = [c for c in snapshot.columns if c not in latest.columns]
+    if missing:
+        # "a batch without a column means UNCHANGED, not removed": a
+        # straggler batch produced before a mapping rebuild (O28) lacks the
+        # newer snapshot columns — the drift gate approves it (writer-only
+        # fields are legal backward evolution), so the apply must not crash
+        # on an unresolved column. Recover the missing columns from the
+        # snapshot row per PK (NULL for brand-new PKs). Delta-sized join on
+        # PK; co-located/shuffle-free with a PK-bucketed snapshot.
+        latest = latest.join(
+            snapshot.select(*pk_names, *missing), on=pk_names, how="left"
+        )
     data_cols = [c for c in snapshot.columns]
     if evolve_schema:
         data_cols += [
@@ -576,8 +588,19 @@ def snapshot_as_of(
     """
     from pyspark.sql import Window as W
 
+    # same-(txid, seq) ties resolve DELETE-WINS via the explicit change-type
+    # rank latest_per_pk uses (D=3 > U=2 > I=1 > other) — raw lexicographic
+    # DESC would let 'U' beat 'D' and report a key PRESENT that
+    # apply_changes just removed, so time travel at the current txid would
+    # contradict the materialized table
+    type_rank = (
+        F.when(F.col(type_col) == "D", 3)
+        .when(F.col(type_col) == "U", 2)
+        .when(F.col(type_col) == "I", 1)
+        .otherwise(0)
+    )
     w = W.partitionBy(*pk_names).orderBy(
-        F.col(ord_col).desc(), F.col(seq_col).desc(), F.col(type_col).desc()
+        F.col(ord_col).desc(), F.col(seq_col).desc(), type_rank.desc()
     )
     winner = (
         cv.filter(F.col(ord_col) <= as_of_txid)
@@ -786,22 +809,34 @@ def maintain_grouped_agg_from_images(
     NULL measures would report 0 instead of NULL — use the snapshot
     variant when NULL measures are data."""
     mt = measure_type
-    signed = batch.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col(f"old_{group_col}").alias("g"),
-                    F.col(f"old_{measure_col}").cast(mt).alias("m"),
-                    F.lit(-1).alias("sign"),
-                ),
-                F.struct(
-                    F.col(f"new_{group_col}").alias("g"),
-                    F.col(f"new_{measure_col}").cast(mt).alias("m"),
-                    F.lit(1).alias("sign"),
-                ),
-            )
-        ).alias("__img")
-    ).select("__img.g", "__img.m", "__img.sign").filter(F.col("g").isNotNull())
+    # image PRESENCE comes from the change type, never from g IS NULL: an
+    # insert has no old image and a delete no new image, but a genuine NULL
+    # group VALUE is a real group ('U' moving a row out of the NULL group
+    # must subtract from it — a null filter would silently freeze that
+    # group's aggregate while a recompute says it changed)
+    ct = F.col("_change_type")
+    signed = (
+        batch.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(f"old_{group_col}").alias("g"),
+                        F.col(f"old_{measure_col}").cast(mt).alias("m"),
+                        F.lit(-1).alias("sign"),
+                        ct.isin("U", "D").alias("v"),
+                    ),
+                    F.struct(
+                        F.col(f"new_{group_col}").alias("g"),
+                        F.col(f"new_{measure_col}").cast(mt).alias("m"),
+                        F.lit(1).alias("sign"),
+                        ct.isin("I", "U", "A").alias("v"),
+                    ),
+                )
+            ).alias("__img")
+        )
+        .filter(F.col("__img.v"))
+        .select("__img.g", "__img.m", "__img.sign")
+    )
     delta = signed.groupBy(F.col("g").alias(group_col)).agg(
         F.sum("sign").alias("__n"), F.sum(F.col("m") * F.col("sign")).alias("__s")
     )

@@ -76,6 +76,14 @@ def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 MEDIA_KINDS = {"image", "audio", "video", "text"}
 
+
+def _raw(payload) -> bytes | None:
+    """NULL-safe payload access: a NULL source column (text NULL ->
+    F.encode NULL) arrives in the Arrow batch as None; every batch body
+    must degrade to a marked row (or zero fan-out rows), never crash the
+    whole task on len(None)/bytes(None)."""
+    return None if payload is None else bytes(payload)
+
 FEATURE_SCHEMA = (
     "doc_id bigint, kind string, n_bytes bigint, md5_prefix string, feature_ok boolean"
 )
@@ -101,13 +109,17 @@ def _featurize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction over the RAW payload bytes —
     deterministic digests the oracle can replay."""
     for pdf in batches:
+        raws = [_raw(p) for p in pdf["payload"]]
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "kind": [m["kind"] for m in pdf["media_meta"]],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "md5_prefix": [hashlib.md5(bytes(p)).hexdigest()[:8] for p in pdf["payload"]],
-                "feature_ok": True,
+                "n_bytes": [len(r) if r is not None else None for r in raws],
+                "md5_prefix": [
+                    hashlib.md5(r).hexdigest()[:8] if r is not None else None
+                    for r in raws
+                ],
+                "feature_ok": [r is not None for r in raws],
             }
         )
         yield out
@@ -118,14 +130,20 @@ def _featurize_batch_decoded(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
     DECODED properties (pixel-buffer size, digest of the decoded pixels) —
     the same schema, so downstream consumers don't care which path ran."""
     for pdf in batches:
-        imgs = [decode_rgb_grid(p) for p in pdf["payload"]]
+        imgs = [
+            decode_rgb_grid(r) if r is not None else None
+            for r in (_raw(p) for p in pdf["payload"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "kind": [m["kind"] for m in pdf["media_meta"]],
-                "n_bytes": [img.nbytes for img in imgs],
-                "md5_prefix": [hashlib.md5(img.tobytes()).hexdigest()[:8] for img in imgs],
-                "feature_ok": True,
+                "n_bytes": [img.nbytes if img is not None else None for img in imgs],
+                "md5_prefix": [
+                    hashlib.md5(img.tobytes()).hexdigest()[:8] if img is not None else None
+                    for img in imgs
+                ],
+                "feature_ok": [img is not None for img in imgs],
             }
         )
 
@@ -158,15 +176,22 @@ def image_resize(df: DataFrame, width: int, height: int, decode_stub: bool = Tru
     def fn_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fake = [
-                hashlib.md5(bytes(p) + f"{width}x{height}".encode()).digest()
-                for p in pdf["payload"]
+                hashlib.md5(r + f"{width}x{height}".encode()).digest()
+                if r is not None
+                else None
+                for r in (_raw(p) for p in pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": fake,
                     "media_meta": [
-                        {"kind": "image", "n_bytes": len(b), "width": width, "height": height}
+                        {
+                            "kind": "image",
+                            "n_bytes": len(b) if b is not None else None,
+                            "width": width,
+                            "height": height,
+                        }
                         for b in fake
                     ],
                 }
@@ -175,15 +200,22 @@ def image_resize(df: DataFrame, width: int, height: int, decode_stub: bool = Tru
     def fn_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                encode_rgb_grid(_nn_resize(decode_rgb_grid(p), width, height))
-                for p in pdf["payload"]
+                encode_rgb_grid(_nn_resize(decode_rgb_grid(r), width, height))
+                if r is not None
+                else None
+                for r in (_raw(p) for p in pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": resized,
                     "media_meta": [
-                        {"kind": "image", "n_bytes": len(b), "width": width, "height": height}
+                        {
+                            "kind": "image",
+                            "n_bytes": len(b) if b is not None else None,
+                            "width": width,
+                            "height": height,
+                        }
                         for b in resized
                     ],
                 }
@@ -216,7 +248,9 @@ def frame_sample(
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
+                raw = _raw(payload)
+                if raw is None:
+                    continue  # NULL payload: zero frames, not a task crash
                 n_frames = min(max(len(raw) // 1000, 1), max_frames)
                 for i in range(n_frames):
                     rows["doc_id"].append(doc_id)
@@ -231,7 +265,10 @@ def frame_sample(
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_rgb_grid(payload)
+                raw = _raw(payload)
+                if raw is None:
+                    continue  # NULL payload: zero frames
+                img = decode_rgb_grid(raw)
                 h = img.shape[0]
                 n_frames = min(h, max_frames)
                 for i in range(n_frames):
@@ -266,7 +303,11 @@ def embed_payload(df: DataFrame, decode_stub: bool = True) -> DataFrame:
         for pdf in batches:
             embs = []
             for p in pdf["payload"]:
-                dg = hashlib.md5(bytes(p)).digest()
+                r = _raw(p)
+                if r is None:
+                    embs.append(None)  # NULL payload -> NULL embedding
+                    continue
+                dg = hashlib.md5(r).digest()
                 v = [int.from_bytes(dg[2 * i : 2 * i + 2], "big") - 32768 for i in range(EMBED_DIM)]
                 norm = math.sqrt(sum(x * x for x in v)) or 1.0
                 embs.append([float(x) / norm for x in v])
@@ -276,7 +317,11 @@ def embed_payload(df: DataFrame, decode_stub: bool = True) -> DataFrame:
         for pdf in batches:
             embs = []
             for p in pdf["payload"]:
-                img = decode_rgb_grid(p).astype(np.float32)
+                r = _raw(p)
+                if r is None:
+                    embs.append(None)
+                    continue
+                img = decode_rgb_grid(r).astype(np.float32)
                 h, w, _ = img.shape
                 v = np.concatenate(
                     [

@@ -346,10 +346,17 @@ def topk(
         return brute_force_topk(queries, corpus, k, q_id=q_id, c_id=c_id, vec=vec)
     if strategy == "ivf":
         n_cent = ivf_kwargs.pop("n_centroids", None)
-        if n_cent is None:
-            cnt = corpus.count()
-            n_cent = max(4, int(cnt ** 0.5))
         cents = ivf_kwargs.pop("centroids", None)
+        if n_cent is None:
+            if cents is not None:
+                # caller-supplied centroids define the cell count — a full
+                # corpus.count() here would scan the (by construction
+                # >affordability-bound) corpus for a number ivf_topk never
+                # uses when centroids are prebuilt; counting the centroid
+                # TABLE is sqrt(N) rows
+                n_cent = cents.count()
+            else:
+                n_cent = max(4, int(corpus.count() ** 0.5))
         if cents is None:
             cents = kmeans_centroids(corpus, vec=vec, n_centroids=n_cent)
         return ivf_topk(

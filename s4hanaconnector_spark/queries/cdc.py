@@ -920,7 +920,8 @@ win AS (
     SELECT o_orderkey, transactionid AS last_txid, change_type,
            row_number() OVER (PARTITION BY o_orderkey
                               ORDER BY transactionid DESC, transaction_seq DESC,
-                                       change_type DESC) AS rn
+                                       CASE change_type WHEN 'D' THEN 3 WHEN 'U' THEN 2
+                                            WHEN 'I' THEN 1 ELSE 0 END DESC) AS rn
     FROM cv WHERE transactionid <= 1030
 ),
 w1 AS (SELECT o_orderkey, last_txid, change_type FROM win WHERE rn = 1),

@@ -415,17 +415,20 @@ class TestSnapshotAsOf:
         assert rows[3]["last_change_type"] == "U" and rows[3]["last_txid"] == 5
         assert rows[9]["last_change_type"] == "I"
 
-    def test_same_txid_tiebreak_is_deterministic(self, spark):
+    def test_same_txid_tiebreak_is_delete_wins(self, spark):
+        """Same (txid, seq) ties resolve by latest_per_pk's change-type rank
+        (D=3 > U=2 > I=1), NOT lexicographically ('U' > 'D'): time travel at
+        the current txid must agree with the apply_changes-materialized
+        table, which removes the key when D wins the same tie."""
         from s4hanaconnector_spark.operators.cdc import snapshot_as_of
 
         base = spark.createDataFrame([(1,)], "k long")
-        # same (txid, seq): 'U' > 'I' > 'D' lexicographically -> U wins
         cv = spark.createDataFrame(
             [(1, "D", 10, 1), (1, "U", 10, 1)],
             "k long, change_type string, transactionid long, transaction_seq int",
         )
         rows = snapshot_as_of(base, cv, ["k"], 20, ord_col="transactionid").collect()
-        assert len(rows) == 1 and rows[0]["last_change_type"] == "U"
+        assert rows == []  # delete wins the tie -> key absent, as applied state says
 
 
 def test_maintain_grouped_agg_drops_emptied_group(spark):
@@ -562,3 +565,41 @@ def test_apply_changes_drift_gate(spark):
     )
     with pytest.raises(ValueError, match="drift gate"):
         apply_changes(snap, bad_batch, ["id"], evolve_schema=True, drift_mode="backward")
+
+
+def test_apply_changes_straggler_batch_missing_column_means_unchanged(spark):
+    """A batch produced BEFORE a mapping rebuild lacks the snapshot's newer
+    column; the drift gate approves it (writer-only fields are legal), so
+    apply_changes must treat the missing column as UNCHANGED — old value
+    recovered from the snapshot per PK, NULL for brand-new PKs — instead
+    of crashing on an unresolved column."""
+    snap = spark.createDataFrame(
+        [(1, "a", "note1"), (2, "b", "note2")], "id bigint, v string, note string"
+    )
+    batch = spark.createDataFrame(
+        [("U", 10, 1, "a2"), ("I", 10, 3, "c")],
+        "_change_type string, _transactionid bigint, id bigint, v string",
+    )
+    out = {r["id"]: (r["v"], r["note"]) for r in C.apply_changes(snap, batch, ["id"]).collect()}
+    assert out == {1: ("a2", "note1"), 2: ("b", "note2"), 3: ("c", None)}
+
+
+def test_maintain_from_images_null_group_is_a_real_group(spark):
+    """Image presence is the CHANGE TYPE's business, not g IS NULL: a 'U'
+    moving a row out of the NULL group must subtract from it (pre-fix the
+    null filter dropped that contribution and the NULL group's aggregate
+    silently froze while a recompute said it changed)."""
+    base = spark.createDataFrame(
+        [(None, 1, 10.0), ("a", 2, 40.0)],
+        "grp string, n_rows bigint, measure_sum double",
+    )
+    batch = spark.createDataFrame(
+        [("U", None, 10.0, "a", 10.0)],
+        "_change_type string, old_grp string, old_v double, new_grp string, new_v double",
+    )
+    out = {
+        r["grp"]: (r["n_rows"], float(r["measure_sum"]))
+        for r in C.maintain_grouped_agg_from_images(base, batch, "grp", "v").collect()
+    }
+    # NULL group emptied out and dropped; 'a' gained the moved row
+    assert out == {"a": (3, 50.0)}

@@ -205,3 +205,28 @@ def test_streaming_transactional_sink_delivers_kafka_frames(spark, tmp_path):
     sink(spark.createDataFrame(deltas[0], "_change_type string, _transactionid bigint, id bigint, val string"), 0)
     after = {k: len(v) for k, v in writer.topics[topic_name(BO_MAPPING)].items()}
     assert before == after
+
+
+def test_framed_writer_handles_quarantine_range(spark, tmp_path):
+    """poll(quarantine=True) ships DLQ ranges under the reserved name
+    '_quarantine', which has no mapping — the framed writer must land them
+    on a generic DLQ topic (content-addressed keys, full-row JSON values)
+    instead of aborting the poll with a KeyError."""
+    from s4hanaconnector_spark.kafka_sink import KafkaFramedWriter
+    from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+    from s4hanaconnector_spark.poll import RangeCommitSink
+
+    m = TableMapping(
+        name="t", mastertable="t",
+        columnmappings=[ColumnMapping("id", '"L1"."id"')], pkcolumns=["id"],
+    )
+    writer = KafkaFramedWriter({"t": m})
+    sink = RangeCommitSink(str(tmp_path / "out"), writer=writer)
+    bad = spark.createDataFrame(
+        [(None, "U", "missing_pk")], "pk1 string, change_type string, _quarantine_reason string"
+    )
+    n = sink.write("_quarantine", 0, bad)
+    assert n == 1
+    topic = writer.topics["_quarantine"]
+    frames = topic["_quarantine/txid_hi=0"]
+    assert frames[0]["key"] is not None and "missing_pk" in frames[0]["value"]

@@ -601,3 +601,49 @@ class TestClusterSafeSplit:
             .collect()
         }
         assert all(n == 1 for n in per_cluster.values())
+
+
+class TestNullPayloads:
+    """A NULL payload (text NULL -> encode NULL) must degrade to a marked
+    row / zero fan-out rows / NULL embedding — never crash the Spark task
+    with len(None)/bytes(None)."""
+
+    def _df(self, spark):
+        from s4hanaconnector_spark.operators.multimodal import attach_payload
+
+        base = spark.createDataFrame(
+            [(1, "hello world", "s"), (2, None, "s")],
+            "doc_id bigint, text string, source string",
+        )
+        return attach_payload(base, "text", "doc_id")
+
+    def test_featurize_marks_null(self, spark):
+        from s4hanaconnector_spark.operators.multimodal import extract_features
+
+        for stub in (True, False):
+            rows = {r["doc_id"]: r for r in extract_features(self._df(spark), stub).collect()}
+            assert rows[1]["feature_ok"] is True
+            assert rows[2]["feature_ok"] is False and rows[2]["md5_prefix"] is None
+
+    def test_resize_propagates_null(self, spark):
+        from s4hanaconnector_spark.operators.multimodal import image_resize
+
+        for stub in (True, False):
+            rows = {r["doc_id"]: r for r in image_resize(self._df(spark), 4, 4, stub).collect()}
+            assert rows[1]["payload"] is not None
+            assert rows[2]["payload"] is None
+
+    def test_frames_skip_null(self, spark):
+        from s4hanaconnector_spark.operators.multimodal import frame_sample
+
+        for stub in (True, False):
+            ids = {r["doc_id"] for r in frame_sample(self._df(spark), decode_stub=stub).collect()}
+            assert ids == {1}
+
+    def test_embed_null(self, spark):
+        from s4hanaconnector_spark.operators.multimodal import embed_payload
+
+        for stub in (True, False):
+            rows = {r["doc_id"]: r for r in embed_payload(self._df(spark), stub).collect()}
+            assert rows[1]["embedding"] is not None
+            assert rows[2]["embedding"] is None
