@@ -149,9 +149,13 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> list[s
 
 
 def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Run raw ANSI SQL against the registered fixture tables (registering
-    them first if needed)."""
+    """Run raw ANSI SQL against the registered fixture tables, registering
+    ONLY the genuinely missing ones first — re-registering everything would
+    silently clobber same-named views the caller registered from a
+    different sf_dir (register_views with a custom dir), and the query
+    would run against the wrong data."""
     existing = {t.name for t in spark.catalog.listTables()}
-    if not set(TABLES) <= existing:
-        register_tables(spark, sf_dir)
+    for name in TABLES:
+        if name not in existing:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(query)

@@ -141,12 +141,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
         df = load_table(get_spark(), args.sf_dir, args.table)
         cols = args.cols.split(",")
+        # NULL sentinel per column: concat_ws SKIPS null parts, so rows
+        # differing only in WHICH column is NULL — or NULL vs '' — would
+        # digest identically and the replica audit could pass on unequal
+        # data (same discipline as poll._ship_quarantine's fingerprint)
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+        ]
         h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])),
-                1,
-                12,
-            ),
+            F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 12),
             16,
             10,
         ).cast("decimal(38,0)")

@@ -80,14 +80,20 @@ def to_alphanum(c: Column, length: int = 10) -> Column:
 def sap_date(c: Column) -> Column:
     """NVARCHAR(8) 'yyyyMMdd' -> DateType; the SAP initial value '00000000'
     (and malformed strings) -> NULL (VBAK.sql:1 ERDAT/AUDAT defaults)."""
+    # try_to_date, NOT to_date: under ANSI mode (PySpark 4 default) to_date
+    # RAISES on a malformed string, so one dirty ERDAT value would abort
+    # the whole load instead of mapping to NULL as documented
     return F.when(c == "00000000", F.lit(None).cast("date")).otherwise(
-        F.to_date(c, "yyyyMMdd")
+        F.try_to_date(c, "yyyyMMdd")
     )
 
 
 def sap_time(c: Column) -> Column:
     """NVARCHAR(6) 'HHmmss' -> 'HH:mm:ss' string (Spark has no TimeType —
     documented encoding, SURVEY §1.3); '000000' is midnight, kept as-is."""
-    return F.concat_ws(
-        ":", F.substring(c, 1, 2), F.substring(c, 3, 2), F.substring(c, 5, 2)
+    # F.concat (NULL-propagating, like HANA/DuckDB ||), not concat_ws
+    # (which SKIPS null parts and would turn a NULL UZEIT into '')
+    return F.concat(
+        F.substring(c, 1, 2), F.lit(":"), F.substring(c, 3, 2), F.lit(":"),
+        F.substring(c, 5, 2),
     )

@@ -118,6 +118,15 @@ class TableMapping:
     relations: list[Relation] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        if not self.pkcolumns:
+            # "This replication technology does only work on tables with
+            # primary keys" (S4HanaTableMapping.java:133-136): a PK-less
+            # mapping would key the CDC merge on ZERO columns downstream —
+            # fail at construction, like the reference, not mid-merge
+            raise ValueError(
+                f"mapping {self.name!r} has no primary key columns — CDC "
+                "replication requires a primary key"
+            )
         if len(self.pkcolumns) > MAX_PK_COLUMNS:
             raise ValueError(
                 f"Only {MAX_PK_COLUMNS} primary key columns are supported "

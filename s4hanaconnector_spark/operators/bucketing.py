@@ -104,10 +104,18 @@ def zorder_value(cols: list, bits: int = 16):
 
     ``bits`` bounds each dimension at 2^bits; map wider domains down first
     (e.g. ``pmod(key, 1 << bits)`` or day-number offsets). Row-local and
-    exact in any engine with integer shifts."""
+    exact in any engine with integer shifts.
+
+    ``bits`` is capped so ``bits * N <= 63``: output position 63 is the
+    LONG sign bit (a row with a high value in the last column would get a
+    negative key and sort before everything, destroying the clustering),
+    and positions >= 64 wrap (JVM shifts are mod 64) — with 4 columns the
+    effective default is 15 bits/dimension, with 5 it is 12, and so on.
+    The cap trades per-dimension resolution, never correctness."""
     from pyspark.sql import functions as F
 
     n = len(cols)
+    bits = min(bits, 63 // n)
     z = F.lit(0).cast("long")
     for b in range(bits):
         for j, c in enumerate(cols):

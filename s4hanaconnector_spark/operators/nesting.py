@@ -41,6 +41,14 @@ def nest(
     agg-before-join keeps the join's right side small and skew-resistant,
     the same plan-shape rule as the CDC delta (SURVEY §4). Masters without
     details get an empty array (not NULL), matching document semantics.
+
+    ``sort_detail_by`` orders each nested array: the collected structs are
+    wrapped as (sort keys..., payload) so ``array_sort``'s field-order
+    comparison sorts by the REQUESTED keys (the remaining payload fields
+    break any ties deterministically), then the wrapper projects away —
+    array_sort over the bare payload struct would sort by ``detail_cols``
+    order instead, silently ignoring the contract whenever the sort key is
+    not the first detail column.
     """
     left_keys = [jc["left"] for jc in joincondition]
     right_keys = [jc["right"] for jc in joincondition]
@@ -48,9 +56,14 @@ def nest(
     sort_keys = sort_detail_by or dcols
 
     struct_col = F.struct(*[F.col(c) for c in dcols])
-    grouped = (
-        detail.groupBy(*[F.col(k) for k in right_keys])
-        .agg(F.array_sort(F.collect_list(struct_col)).alias(schemafield))
+    sorter = F.struct(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(sort_keys)],
+        struct_col.alias("__payload"),
+    )
+    grouped = detail.groupBy(*[F.col(k) for k in right_keys]).agg(
+        F.transform(
+            F.array_sort(F.collect_list(sorter)), lambda x: x["__payload"]
+        ).alias(schemafield)
     )
     cond = [master[l] == grouped[r] for l, r in zip(left_keys, right_keys)]
     joined = master.join(grouped, cond, "left")
@@ -101,11 +114,27 @@ def maintain_nested_docs(
 
     # Masters to recompute: (a) every PK in the master batch (U/I rebuild,
     # D drops below), (b) every master whose join key appears in the
-    # detail batch. Delete rows carry PKs, so both arrive key-complete.
+    # detail batch. PRECONDITION: detail-batch rows — deletes included —
+    # carry their JOIN KEYS, not just their PKs (cdc_delta delete rows null
+    # out non-PK columns, so a join key outside the detail PK arrives NULL
+    # and the deleted detail's document would silently never re-nest,
+    # diverging from a recompute). Checked loudly: one bounded delta-sized
+    # probe, a job this operator's callers already pay many of.
     from_master = master_batch.select(*master_pk).distinct()
     changed_keys = detail_batch.select(
         *[F.col(r).alias(l) for l, r in zip(left_keys, right_keys)]
     ).distinct()
+    null_key = None
+    for k in left_keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    if not changed_keys.filter(null_key).isEmpty():
+        raise ValueError(
+            "detail batch carries NULL join-key values — include the join "
+            f"keys {right_keys} in every batch row (deletes too: put them in "
+            "the detail PK or enrich the delete leg), else deleted details "
+            "leave stale nested documents"
+        )
     via_detail = master.join(
         F.broadcast(changed_keys), on=left_keys, how="left_semi"
     ).select(*master_pk)

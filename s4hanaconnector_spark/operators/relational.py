@@ -123,9 +123,15 @@ def quantile_disc_per_group(
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(wn).alias("__n"),
     )
+    # epsilon guard before ceil: IEEE doubles make q*n land a hair ABOVE
+    # an exact integer for some (q, n) — e.g. 0.07*100 = 7.000000000000001,
+    # ceil -> 8, one position off the mathematical spec. Subtracting an
+    # epsilon far below any q*n gap (and far above double error) restores
+    # exact-integer behavior in both directions; oracles replay the same
+    # expression. round() (not int()) for the label: int(0.29*100) == 28.
     return ranked.filter(
-        F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("long")
-    ).select(*keys, F.col(value_col).alias(f"p{int(q * 100)}"))
+        F.col("__rn") == F.ceil(F.lit(q) * F.col("__n") - F.lit(1e-9)).cast("long")
+    ).select(*keys, F.col(value_col).alias(f"p{round(q * 100)}"))
 
 
 def quantile_outlier_filter(
@@ -137,7 +143,7 @@ def quantile_outlier_filter(
     into the probe join; the base scan is touched twice but never
     shuffled on the probe side."""
     thr = quantile_disc_per_group(df, keys, value_col, q, id_col)
-    pcol = f"p{int(q * 100)}"
+    pcol = f"p{round(q * 100)}"
     return df.join(F.broadcast(thr), on=keys, how="inner").filter(
         F.col(value_col) > F.col(pcol)
     )
@@ -155,7 +161,11 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.exceptAll(b)
+    """SQL EXCEPT (DISTINCT) — the dual of :func:`intersect`. For multiset
+    semantics (EXCEPT ALL) call ``a.exceptAll(b)`` directly; pairing a
+    distinct intersect with a multiset except skews any set-algebra
+    consumer's counts."""
+    return a.subtract(b)
 
 
 def observed(df: DataFrame, name: str, metrics: dict[str, Column]):

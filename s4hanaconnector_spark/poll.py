@@ -137,6 +137,27 @@ class RangeCommitSink:
     def committed(self, name: str, hi: int) -> bool:
         return self.log.committed(f"{name}.{hi}")
 
+    def last_committed(self, name: str) -> int | None:
+        """Highest committed range key for ``name`` (None if none) — the
+        per-mapping resume point poll() uses so a crash-replayed poll with
+        an advanced watermark never emits overlapping ranges. One directory
+        listing of small marker files; bounded by commit count."""
+        import re as _re
+
+        best: int | None = None
+        pat = _re.compile(_re.escape(name) + r"\.(\d+)\.json$")
+        try:
+            entries = os.listdir(self.log.dir)
+        except FileNotFoundError:  # pragma: no cover
+            return None
+        for e in entries:
+            m = pat.fullmatch(e)
+            if m:
+                v = int(m.group(1))
+                if best is None or v > best:
+                    best = v
+        return best
+
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):
             return 0
@@ -155,15 +176,17 @@ def _ship_quarantine(
     spark: SparkSession,
     sink: RangeCommitSink,
     bad_all: DataFrame,
-    from_txid: int,
 ) -> int:
     """Ship this poll's not-yet-quarantined malformed rows to the DLQ,
     independent of whether the watermark advanced.
 
-    Scan bound: ``txid > from_txid OR txid IS NULL``. The watermark is
-    driven by VALID rows only, so garbage can carry a txid above ``hi``
-    (or none at all) and would never age out of the scan — bounding to
-    ``(from_txid, hi]`` would starve it forever. Dedup is content-based:
+    No txid bound on the scan: a malformed row's txid is UNTRUSTED by
+    definition — it can sit above the watermark, below the frontier (a
+    corrupt value or a stale replay landing late), or be NULL, and any
+    frontier-based bound would silently starve one of those classes (the
+    exact silent-drop this gate exists to prevent). The classifier already
+    touches every log row, so scanning all malformed rows adds nothing,
+    and dedup is content-based:
     every shipped row's md5 fingerprint is appended to a persisted
     ``_quarantine_seen`` side-state and anti-joined out on later polls
     (that state is DLQ-sized — bounded by malformed volume, not data
@@ -178,8 +201,7 @@ def _ship_quarantine(
     rows on the next poll under the next sequence key (at-least-once DLQ,
     never lost; replays of fully-committed attempts ship nothing because
     every row is already fingerprinted)."""
-    txid = F.col("transactionid")
-    bad = bad_all.filter((txid > from_txid) | txid.isNull())
+    bad = bad_all
     data_cols = [c for c in bad.columns if c != "_quarantine_reason"]
     fp = F.md5(
         F.concat_ws(
@@ -243,6 +265,13 @@ def poll(
     keys, with a persisted fingerprint side-state guaranteeing each
     malformed row lands exactly once across polls — the full contract
     lives on :func:`_ship_quarantine`."""
+    names = [m.name for m in mappings]
+    if len(set(names)) != len(names):
+        # two mappings sharing a name would collide on the same commit
+        # marker: the second delta reads as "already committed" and is
+        # silently skipped — permanent data loss, so refuse loudly
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate mapping names: {dupes}")
     if quarantine:
         from s4hanaconnector_spark.operators.cdc import classify_malformed
 
@@ -263,7 +292,7 @@ def poll(
     if level != "ok" and on_alert is not None:
         on_alert(level, wm["oldest_start_time"])
     if quarantine:
-        _ship_quarantine(spark, sink, bad_all, from_txid)
+        _ship_quarantine(spark, sink, bad_all)
     if hi <= from_txid:
         return from_txid
 
@@ -276,8 +305,19 @@ def poll(
     for m in mappings:
         if m.mastertable not in changed:
             continue
+        # Per-mapping resume: a crash partway through this loop leaves some
+        # mappings committed at hi and others not; if the watermark has
+        # advanced by the replay (hi' > hi), re-emitting (from_txid, hi']
+        # for the already-committed mappings would create two committed
+        # ranges with OVERLAPPING rows. Each mapping therefore resumes from
+        # its own last committed hi — ranges per mapping never overlap,
+        # which is the reference's all-tables-in-one-Kafka-transaction
+        # atomicity re-expressed for per-mapping markers.
+        lo_m = max(from_txid, sink.last_committed(m.name) or from_txid)
+        if hi <= lo_m:
+            continue
         delta = cdc_delta(
-            load_source(m.mastertable), pklog, m, from_txid, hi,
+            load_source(m.mastertable), pklog, m, lo_m, hi,
             schema_name=schema_name, strategy="broadcast",
         )
         sink.write(m.name, hi, delta)

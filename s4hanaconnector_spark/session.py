@@ -26,7 +26,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+        # SPARK_GRAFT_CPUS may legally be '*' or 'N,maxRetries' (valid
+        # local-master syntax) — only a plain integer sizes the shuffle
+        shuffle_partitions = (
+            int(cpus) if cpus and cpus.isdigit() else (os.cpu_count() or 8)
+        )
 
     builder = (
         SparkSession.builder.master(master)

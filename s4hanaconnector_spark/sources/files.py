@@ -108,10 +108,15 @@ def corrupt_rows(df: DataFrame) -> DataFrame:
     """The quarantine side of a PERMISSIVE read (requires
     ``keep_corrupt_col=True``): full rows whose raw line failed the schema
     (parsed columns NULL, the offending text in ``_corrupt_record``), ready
-    for a dead-letter sink. Returns every column, and CACHES the parsed
-    scan first — Spark refuses plans that reference ONLY the internal
-    corrupt column on a raw file scan (a count() over the quarantine
-    prunes down to exactly that), and its documented remedy is caching the
-    parsed result. Quarantine volume is malformed-lines-sized, so the
-    cache is cheap; the full row is what a dead-letter sink wants anyway."""
-    return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
+    for a dead-letter sink. Same non-foldable-tautology discipline as
+    ``_clean`` (see its docstring): Spark refuses plans referencing ONLY
+    the internal corrupt column (a count() over the quarantine prunes to
+    exactly that), and the documented cache remedy would materialize the
+    ENTIRE parsed scan — valid rows included — on a 100 TB read. The
+    tautology keeps one real column referenced instead; correctness
+    unchanged, nothing cached."""
+    first = df.columns[0]
+    keep = F.col(CORRUPT_COL).isNotNull() & (
+        F.col(first).isNull() | F.col(first).isNotNull()
+    )
+    return df.filter(keep)

@@ -88,6 +88,16 @@ class JdbcSourceConfig:
         )
 
     def load(self, spark: SparkSession) -> DataFrame:
+        if self.predicates and self.partition_column is not None:
+            # the two partitioning modes define DIFFERENT row sets (the
+            # predicate list reads exactly the union of its predicates;
+            # range partitioning reads the whole table) — silently taking
+            # one branch would change the data, not just the parallelism
+            raise ValueError(
+                "predicates and partition_column are mutually exclusive: "
+                "predicate-list partitioning selects rows, range "
+                "partitioning stripes the full table"
+            )
         reader = spark.read.format("jdbc")
         for k, v in self.reader_options().items():
             reader = reader.option(k, v)

@@ -130,16 +130,23 @@ def synthetic_pklog_customer(customer: DataFrame) -> DataFrame:
     )
 
 
+# keep in lockstep with synthetic_pklog_customer: FULL 12-column shape
+# (pk2..pk6 included), so SELECT * / UNION with the main pklog CTE aligns
 CUSTOMER_PKLOG_ORACLE_CTE = """
 pklog_c AS (
     SELECT TIMESTAMP '1995-01-01 00:00:00' AS change_ts, 'S4' AS schema_name,
            'U' AS change_type, CAST(c_custkey AS VARCHAR) AS pk1,
+           CAST(NULL AS VARCHAR) AS pk2, CAST(NULL AS VARCHAR) AS pk3,
+           CAST(NULL AS VARCHAR) AS pk4, CAST(NULL AS VARCHAR) AS pk5,
+           CAST(NULL AS VARCHAR) AS pk6,
            CAST(1000 + c_custkey % 50 AS BIGINT) AS transactionid,
            1 AS transaction_seq, 'customer' AS table_name
     FROM customer WHERE c_custkey % 6 = 0
     UNION ALL
     SELECT TIMESTAMP '1995-01-01 00:00:00', 'S4', 'D',
            CAST(c_custkey + 1000000 AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(1000 + c_custkey % 40 AS BIGINT), 1, 'customer'
     FROM customer WHERE c_custkey % 13 = 0
 )

@@ -84,6 +84,14 @@ def hana_to_spark(decl: str) -> T.DataType:
             raise ValueError(f"DECIMAL precision out of range 1..38: {decl!r}")
         return T.DecimalType(p, s)
     if base == "SMALLDECIMAL":
+        # DOCUMENTED LOSSY CHOICE (reference parity): HANA SMALLDECIMAL is
+        # a FLOATING-scale decimal (precision 1..16, scale -369..368) that
+        # no fixed-point Spark type represents faithfully. The reference
+        # maps it to AvroDecimal(length, scale) with the DECLARED scale
+        # (S4HanaTableMapping.java:633-634) — a bare declaration therefore
+        # lands at scale 0 and drops fractional digits there exactly as it
+        # does here. Declare SMALLDECIMAL(p, s) in the mapping (or cast to
+        # DOUBLE upstream) when fractions are data.
         return T.DecimalType(16, s)
     raise ValueError(f"Table mapping references a data type which is not known: {decl!r}")
 

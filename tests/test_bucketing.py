@@ -195,3 +195,19 @@ def test_bucketed_nest_has_no_shuffle(spark, bucketed_tables):
         assert row["n_docs"] > 0 and row["n_items"] > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_zorder_bits_capped_below_sign_bit(spark):
+    """bits * N must stay <= 63: position 63 is the LONG sign bit — without
+    the cap, a 4-column key with default 16 bits put column 3's bit 15 at
+    position 63, so any row with that column >= 32768 got a NEGATIVE key
+    and sorted before everything (silently destroying the clustering)."""
+    from s4hanaconnector_spark.operators.bucketing import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0), (1, 1, 1, 40000), (65535, 65535, 65535, 65535)],
+        "a long, b long, c long, d long",
+    )
+    zs = [r["z"] for r in df.select(zorder_value(["a", "b", "c", "d"]).alias("z")).collect()]
+    assert all(z >= 0 for z in zs)  # never negative
+    assert zs[0] < zs[1] < zs[2]  # monotone for dominated points

@@ -64,3 +64,18 @@ def test_pushdown_query_projection_and_filter():
     )
     assert q == "(SELECT VBELN, ERDAT FROM S4HANA_SOURCE.VBAK WHERE MANDT = '100') AS __pushdown"
     assert prepare_pushdown_query("T") == "(SELECT * FROM T) AS __pushdown"
+
+
+def test_predicates_and_partition_column_are_mutually_exclusive(spark):
+    """The two partitioning modes define DIFFERENT row sets; configuring
+    both must raise instead of silently reading the whole table."""
+    import pytest
+
+    from s4hanaconnector_spark.sources.jdbc import JdbcSourceConfig
+
+    cfg = JdbcSourceConfig(
+        url="jdbc:h2:mem:x", table="t", partition_column="id",
+        lower_bound=0, upper_bound=10, predicates=["region='EU'"],
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cfg.load(spark)

@@ -647,3 +647,19 @@ class TestNullPayloads:
             rows = {r["doc_id"]: r for r in embed_payload(self._df(spark), stub).collect()}
             assert rows[1]["embedding"] is not None
             assert rows[2]["embedding"] is None
+
+
+def test_quantile_float_edges(spark):
+    """IEEE edges of the positional quantile: 0.07*100 is 7.000...001 in
+    doubles (ceil would hit position 8, one off the mathematical spec) and
+    int(0.29*100) == 28 (the label would lie). The epsilon guard and
+    round() label pin both."""
+    from s4hanaconnector_spark.operators.relational import quantile_disc_per_group
+
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(1, 101)], "k string, v int, id int"
+    )
+    rows = quantile_disc_per_group(df, ["k"], "v", 0.07, "id").collect()
+    assert rows[0]["p7"] == 7  # position ceil(0.07*100) == 7, column named p7
+    rows = quantile_disc_per_group(df, ["k"], "v", 0.29, "id").collect()
+    assert rows[0]["p29"] == 29

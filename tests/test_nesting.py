@@ -104,3 +104,44 @@ def test_recursive_business_object(spark, sf_dir):
     first_order = sorted(row["orders"], key=lambda r: r["o_orderkey"])[0]
     want_items = li.filter(li.l_orderkey == first_order["o_orderkey"]).count()
     assert len(first_order["items"]) == want_items
+
+
+def test_nest_sorts_by_requested_keys_not_struct_order(spark):
+    """sort_detail_by must actually order the nested array: pre-fix the
+    parameter was dead and array_sort used detail_cols field order, so any
+    sort key that was not the FIRST detail column was silently ignored."""
+    from s4hanaconnector_spark.operators.nesting import nest
+
+    m = spark.createDataFrame([(1,)], "k bigint")
+    d = spark.createDataFrame(
+        [(1, 2, "b"), (1, 1, "a"), (1, 3, "c")], "k bigint, lineno int, v string"
+    )
+    out = nest(
+        m, d, [{"left": "k", "right": "k"}], "items",
+        detail_cols=["v", "lineno"],  # v first — struct order would sort by v
+        sort_detail_by=["lineno"],
+    ).collect()[0]
+    assert [i["lineno"] for i in out["items"]] == [1, 2, 3]
+
+
+def test_maintain_nested_docs_rejects_null_join_keys(spark):
+    """A detail batch whose delete rows carry NULL join keys (join key not
+    in the detail PK — the cdc_delta delete leg nulls non-PK columns) would
+    silently leave stale nested documents; the operator must refuse."""
+    import pytest
+
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    m = spark.createDataFrame([(1,)], "k bigint")
+    d = spark.createDataFrame([(1, 10, 1.0)], "k bigint, did bigint, q double")
+    snap = nest(m, d, [{"left": "k", "right": "k"}], "items", detail_cols=["did", "q"])
+    bad_batch = spark.createDataFrame(
+        [("D", 10, None, None)], "_change_type string, did bigint, k bigint, q double"
+    )
+    empty_mb = spark.createDataFrame([], "_change_type string, k bigint")
+    with pytest.raises(ValueError, match="NULL join-key"):
+        maintain_nested_docs(
+            snap, m, d, empty_mb, bad_batch, master_pk=["k"],
+            joincondition=[{"left": "k", "right": "k"}], schemafield="items",
+            detail_cols=["did", "q"],
+        ).collect()

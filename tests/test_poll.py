@@ -380,3 +380,50 @@ def test_poll_quarantine_new_garbage_while_stuck_still_ships(spark, tmp_path):
     assert hi2 == 5
     dlq = spark.read.parquet(str(tmp_path / "out" / "_quarantine" / "*"))
     assert sorted(r["pk1"] for r in dlq.collect()) == ["g1", "g2"]
+
+
+def test_poll_rejects_duplicate_mapping_names(spark, tmp_path):
+    """Two mappings sharing a name would collide on one commit-marker key
+    and the second delta would silently skip as 'already committed' —
+    refuse loudly instead."""
+    dup = TableMapping(
+        name="t", mastertable="u",
+        columnmappings=[ColumnMapping("id", '"L1"."id"')], pkcolumns=["id"],
+    )
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="duplicate mapping names"):
+        poll(
+            spark, [MAPPING, dup], lambda n: _src(spark, [(1, "a")]),
+            _pklog(spark, [("U", 1, 10)]), _txns(spark, []), 0, sink, NOW,
+        )
+
+
+def test_poll_crash_partway_then_advance_never_overlaps_ranges(spark, tmp_path):
+    """Crash after mapping A committed but before mapping B, then the
+    watermark advances: the replayed poll must resume A from ITS OWN last
+    committed hi, so A's two committed ranges never carry the same row —
+    the per-mapping form of the reference's single-transaction atomicity."""
+    import os as _os
+
+    m_b = TableMapping(
+        name="u", mastertable="u",
+        columnmappings=[ColumnMapping("id", '"L1"."id"'), ColumnMapping("val", '"L1"."val"')],
+        pkcolumns=["id"],
+    )
+    src = _src(spark, [(1, "a"), (2, "b")])
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    log1 = _pklog(spark, [("U", 1, 10)]).unionByName(_pklog(spark, [("U", 1, 10)], table="u"))
+    # poll 1 commits BOTH at hi=10; simulate the crash by deleting u's marker
+    hi1 = poll(spark, [MAPPING, m_b], lambda n: src, log1, _txns(spark, []), 0, sink, NOW)
+    assert hi1 == 10
+    _os.remove(str(tmp_path / "out" / "_commits" / "u.10.json"))
+    # watermark advances before the replay (new change at txid 20 on t)
+    log2 = log1.unionByName(_pklog(spark, [("U", 2, 20)]))
+    hi2 = poll(spark, [MAPPING, m_b], lambda n: src, log2, _txns(spark, []), 0, sink, NOW)
+    assert hi2 == 20
+    # t resumed from its committed hi=10: the new range carries ONLY txid-20
+    t_20 = spark.read.parquet(str(tmp_path / "out" / "t" / "txid_hi=20"))
+    assert {r["id"] for r in t_20.collect()} == {2}
+    # u (uncommitted at 10) re-emitted its full range under the new hi
+    u_20 = spark.read.parquet(str(tmp_path / "out" / "u" / "txid_hi=20"))
+    assert {r["id"] for r in u_20.collect()} == {1}

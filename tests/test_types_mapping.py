@@ -149,3 +149,43 @@ class TestSchemaEvolution:
         # old mapping still valid against the evolved table (projection subset)
         proj = df1.select(*[c.as_spark() for c in m0.columnmappings])
         assert proj.columns == ["id", "a"]
+
+
+def test_sap_date_malformed_is_null_not_crash(spark):
+    """Under ANSI mode (PySpark 4 default) to_date RAISES on malformed
+    input; sap_date must map dirty ERDAT values to NULL as documented."""
+    from s4hanaconnector_spark import functions as H
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("20230501",), ("00000000",), ("garbage!",), ("20231332",), (None,)],
+        "d string",
+    )
+    got = [r["x"] for r in df.select(H.sap_date(F.col("d")).alias("x")).collect()]
+    assert got[0] is not None
+    assert got[1:] == [None, None, None, None]
+
+
+def test_sap_time_null_propagates(spark):
+    """concat_ws skips NULL parts (NULL UZEIT -> ''); sap_time must
+    NULL-propagate like the HANA/DuckDB || operator."""
+    from s4hanaconnector_spark import functions as H
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("123456",), (None,)], "t string")
+    got = [r["x"] for r in df.select(H.sap_time(F.col("t")).alias("x")).collect()]
+    assert got == ["12:34:56", None]
+
+
+def test_mapping_requires_primary_key():
+    """PK-less mappings fail at construction (the reference's 'only works
+    on tables with primary keys'), not downstream in a zero-column merge."""
+    import pytest
+
+    from s4hanaconnector_spark.mapping import ColumnMapping, TableMapping
+
+    with pytest.raises(ValueError, match="no primary key"):
+        TableMapping(
+            name="x", mastertable="x",
+            columnmappings=[ColumnMapping("a", '"L1"."a"')], pkcolumns=[],
+        )
