@@ -207,15 +207,36 @@ def lsh_bucketed_pairs(
     dims: int = 8,
     min_cosine: float = 0.25,
     round_digits: int | None = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All-pairs similarity restricted to sign-bucket collisions: documents
     only meet inside their bucket, cutting candidate pairs by ~2^dims.
-    Returns (id_a, id_b, cosine) with cosine >= min_cosine, id_a < id_b."""
+    Returns (id_a, id_b, cosine) with cosine >= min_cosine, id_a < id_b.
+
+    ``max_bucket`` drops sign buckets larger than the cap BEFORE the
+    self-join — the same hot-bucket discipline as
+    dedup.minhash_lsh_candidates. Real encoder outputs have BIASED
+    coordinate signs, so one of the 2^dims buckets can hold a large
+    constant fraction of N vectors and the uncapped self-join degrades
+    toward N²; an oversized bucket means those sign bits carry no
+    locality signal for its members anyway. Pass it at corpus scale
+    (pair-mining over a low min_cosine especially); the default None keeps
+    the exact-pair semantics small oracle-checked corpora rely on."""
     b = df.select(
         F.col(id_col),
         F.col(vec),
         sign_bucket(F.col(vec), dims).alias("__bucket"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        b = (
+            b.withColumn(
+                "__bn", F.count(F.lit(1)).over(W.partitionBy("__bucket"))
+            )
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a, c = b.alias("a"), b.alias("b")
     cos = cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
     if round_digits is not None:

@@ -97,6 +97,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension filter -> fact join -> agg ->
     top-k. customer is small relative to lineitem, so it is broadcast
     explicitly — at 100 TB the only shuffle left is the final groupBy."""
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
@@ -104,9 +106,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
     )
-    oc = o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "inner")
+    # size-GUARDED hints: the segment customers and especially the
+    # orders⋈customers intermediate GROW with the data — an unconditional
+    # F.broadcast would force a fact-sized broadcast at 100 TB (AQE never
+    # demotes an explicit hint); over the estimate the plan goes unhinted
+    # and AQE picks broadcast vs shuffle from the true runtime size
+    oc = o.join(
+        broadcast_if_small(c.select("c_custkey")), o.o_custkey == c.c_custkey, "inner"
+    )
     j = l.join(
-        F.broadcast(oc.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        broadcast_if_small(oc.select("o_orderkey", "o_orderdate", "o_orderpriority")),
         l.l_orderkey == F.col("o_orderkey"),
         "inner",
     )
@@ -148,12 +157,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+
+    # nation⋈region stays a hard broadcast (bounded dimensions); the
+    # customer-scale dims and orders-scale oc intermediates get the
+    # size-guarded hint — they grow with the data (see q3)
     dims = (
         c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == F.col("n_nationkey"))
         .select("c_custkey", "n_name")
     )
-    oc = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey")).select("o_orderkey", "n_name")
-    j = l.join(F.broadcast(oc), l.l_orderkey == F.col("o_orderkey"))
+    oc = o.join(broadcast_if_small(dims), o.o_custkey == F.col("c_custkey")).select("o_orderkey", "n_name")
+    j = l.join(broadcast_if_small(oc), l.l_orderkey == F.col("o_orderkey"))
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return j.groupBy("n_name").agg(
         F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue")
@@ -377,7 +391,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
 WITH gaps AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTES
                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -386,7 +400,7 @@ WITH gaps AS (
 ),
 sessions AS (
     SELECT user_id, ts,
-           sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+           sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM gaps
 )
@@ -401,10 +415,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window functions and the final aggregate."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the running sum carries the SAME (ts, event_id) tiebreak as the lag
+    # window: ts-only ordering makes session ids of duplicate-timestamp
+    # rows depend on which row the engine orders first — order-dependent
+    # and cross-engine divergent
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     gaps = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"))
             | F.lag("ts").over(w).isNull(),
@@ -713,13 +734,17 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+
+    # nation is a bounded dim (hard broadcast); the customer-scale cn and
+    # the 3-month-orders oc intermediates grow with the data (see q3)
     cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", "c_name", "n_name"
     )
-    oc = o.join(F.broadcast(cn), o.o_custkey == F.col("c_custkey")).select(
+    oc = o.join(broadcast_if_small(cn), o.o_custkey == F.col("c_custkey")).select(
         "o_orderkey", "c_custkey", "c_name", "n_name"
     )
-    j = l.join(F.broadcast(oc), l.l_orderkey == F.col("o_orderkey"))
+    j = l.join(broadcast_if_small(oc), l.l_orderkey == F.col("o_orderkey"))
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return (
         j.groupBy("c_custkey", "c_name", "n_name")
@@ -2432,7 +2457,7 @@ SELECT user_id, event_id,
        count(*) OVER w AS n_1h,
        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,
 )
@@ -2440,8 +2465,11 @@ def window_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling aggregation: each event's trailing-1-hour count
     and value sum per user — the VALUE-based frame class (rows included by
     timestamp distance, peers share frames), distinct from every ROWS
-    frame elsewhere in the suite. Ordering is epoch SECONDS as exact
-    integers on both engines (identical frame membership by construction);
+    frame elsewhere in the suite. Ordering is FLOOR(epoch) seconds as exact
+    integers on both engines — Spark's unix_timestamp truncates sub-second
+    parts, so the oracle floors too (a bare CAST in DuckDB ROUNDS, flipping
+    frame membership for fractional-second events whose peer sits exactly
+    3600 s away);
     the windowed sum runs in DECIMAL. One shuffle on user_id."""
     from pyspark.sql import Window as W
 

@@ -402,7 +402,9 @@ def cdc_poll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink=sink,
         now_ts="2026-01-01 00:00:00",
     )
-    assert sink.committed(ORDERS_MAPPING.name, hi)
+    if not sink.committed(ORDERS_MAPPING.name, hi):
+        # explicit raise: lifecycle gates must survive python -O
+        raise AssertionError(f"poll range {hi} never committed")
     return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name, f"txid_hi={hi}"))
 
 
@@ -673,7 +675,9 @@ def cdc_two_poll_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [ORDERS_MAPPING], lambda name: orders, pklog, txns,
         from_txid=hi1, sink=sink, now_ts="2026-01-01 00:00:00",
     )
-    assert hi2 > hi1 >= 0
+    if not hi2 > hi1 >= 0:
+        # explicit raise: lifecycle gates must survive python -O
+        raise AssertionError(f"polls did not advance: {hi1} -> {hi2}")
     return spark.read.parquet(os.path.join(out_dir, ORDERS_MAPPING.name)).withColumn(
         "txid_hi", F.col("txid_hi").cast("bigint")
     )
@@ -2801,9 +2805,17 @@ def streaming_nested_bo_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             master_pk=["o_orderkey"], joincondition=jc, schemafield="items",
             detail_cols=dcols, sort_detail_by=["l_linenumber"],
         )
-        new_snap.write.parquet(os.path.join(state_dir, f"snap_{batch_id:06d}"))
-        merged_m.write.parquet(os.path.join(state_dir, f"m_{batch_id:06d}"))
-        merged_d.write.parquet(os.path.join(state_dir, f"d_{batch_id:06d}"))
+        # mode("overwrite"): replayed foreachBatch ids replace their own
+        # prior uncommitted state versions (at-least-once delivery)
+        new_snap.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"snap_{batch_id:06d}")
+        )
+        merged_m.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"m_{batch_id:06d}")
+        )
+        merged_d.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"d_{batch_id:06d}")
+        )
 
     stream = (
         spark.readStream.schema(
@@ -2917,12 +2929,13 @@ def streaming_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("o_custkey"),
             F.lit(None).cast("string").alias("o_orderstatus"),
         )
-        C.apply_changes(cust, c_batch, ["c_custkey"]).write.parquet(
-            os.path.join(state_dir, f"c_{batch_id:06d}")
-        )
-        C.apply_changes(orders, o_batch, ["o_orderkey"]).write.parquet(
-            os.path.join(state_dir, f"o_{batch_id:06d}")
-        )
+        # mode("overwrite"): replay-idempotent per-batch state versions
+        C.apply_changes(cust, c_batch, ["c_custkey"]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"c_{batch_id:06d}"))
+        C.apply_changes(orders, o_batch, ["o_orderkey"]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"o_{batch_id:06d}"))
 
     stream = (
         spark.readStream.schema("c_custkey bigint")

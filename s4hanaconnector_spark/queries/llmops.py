@@ -217,7 +217,7 @@ _SIMHASH_CONCAT = " || ".join(f"b{i}" for i in range(16))
     f"""
 WITH {DOCS_AUG_CTE.strip()},
 toks AS (
-    SELECT DISTINCT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(text), ' '), x -> x <> '')) AS tok
+    SELECT DISTINCT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
     FROM docs_aug
 ),
 bits AS (
@@ -292,9 +292,11 @@ WITH b AS (
            (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
     FROM embeddings
 ),
+small AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1024),
+bc AS (SELECT b.* FROM b JOIN small USING (bucket)),
 pairs AS (
     SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS qv, b2.embedding AS cv
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+    FROM bc a JOIN bc b2 ON a.bucket = b2.bucket
     WHERE a.vec_id < b2.vec_id
 ),
 expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
@@ -456,6 +458,10 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("ic")).alias("n_hit"),
         )
     )
+    # lineage cut before the gate's aggregate: without it the full
+    # brute-force + approximate DAG executes TWICE (once for the totals
+    # collect, once when the caller consumes the returned frame)
+    out = out.localCheckpoint(eager=False)
     totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
     # integer cross-multiplication, no float division (determinism rules)
     # explicit raise, not a bare assert: these quality gates are a
@@ -574,7 +580,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E21 — text analysis
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKS = "list_filter(regexp_split_to_array(text, ' '), x -> x <> '')"
+# \s+ (NOT a literal space): operators/text.py tokens() splits on any
+# whitespace run — a literal-space oracle silently diverges on the first
+# corpus whose documents carry tabs or newlines (the fixtures are
+# space-only, so the hash gate alone can never catch the drift)
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _DUCK_SW = "['the','a','and','of','to','in','is','it','for','on']"
 
 
@@ -1734,7 +1744,9 @@ semr AS (
 fused AS (
     SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_a, s.rank_b,
            round(coalesce(1.0 / (60 + l.rank_a), 0) + coalesce(1.0 / (60 + s.rank_b), 0), 9) AS rrf_score
-    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    FROM (SELECT * FROM lexr WHERE rank_a <= 100) l
+    FULL OUTER JOIN (SELECT * FROM semr WHERE rank_b <= 100) s
+      ON l.doc_id = s.doc_id
 )
 SELECT doc_id, rank_a, rank_b, rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
@@ -1743,24 +1755,42 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical ranking fused with an embedding-cosine
     ranking by reciprocal-rank fusion (operators/text.py rrf_fuse) — the
-    standard two-tower RAG first stage. The lexical list ranks bm25_search
-    output; the semantic list ranks exact cosine against query vector
-    vec_id=0 (the documents and embeddings fixtures share the 0-based id
-    domain). Fusion is a wide full-outer join with the two 1/(60+rank)
+    standard two-tower RAG first stage. BOTH rank lists are truncated at
+    depth 100 (the standard RRF top-K-per-retriever contract, Cormack
+    SIGIR'09) on BOTH engines — an unbounded semantic list would rank the
+    whole corpus through one single-partition window sort (row_number over
+    one query's partition), the straggler/OOM shape the similarity module
+    exists to avoid. The top-100 instead comes from orderBy+limit —
+    Spark's TakeOrderedAndProject, a distributed per-partition top-k with
+    a driver merge, never a full sort — and only the 100 survivors see a
+    window. Fusion is a wide full-outer join with the two 1/(60+rank)
     addends in fixed expression order, so the fused float is deterministic
-    on both engines; both rank lists are bounded, so every join here is
-    broadcast-sized."""
+    on both engines; both rank lists are depth-bounded, so every join here
+    is broadcast-sized."""
+    from pyspark.sql import Window as W
+
     from s4hanaconnector_spark.operators.text import rank_by_score, rrf_fuse
 
+    DEPTH = 100
     d = t(spark, sf_dir, "documents")
     lex = X.bm25_search(d, "text", "doc_id", ["spark", "shuffle", "broadcast"])
-    lexr = rank_by_score(lex, "bm25", "doc_id")
+    lexr = rank_by_score(lex, "bm25", "doc_id").filter(F.col("rank") <= DEPTH)
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("q_id"), "embedding")
-    c = e.filter(F.col("vec_id") != 0).select(F.col("vec_id").alias("c_id"), "embedding")
-    sem = S.brute_force_topk(q, c, k=1 << 30).select(
-        F.col("c_id").alias("doc_id"), F.col("rn").cast("long").alias("rank")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    c = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "c_id", F.round(S.cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine")
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("c_id")).limit(DEPTH)
+    sem = top.select(
+        F.col("c_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine"), F.asc("c_id")))
+        .cast("long")
+        .alias("rank"),
     )
     fused = rrf_fuse(lexr, sem, "doc_id", k=60)
     return (
@@ -2267,6 +2297,10 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
     )
+    # lineage cut before the gate's aggregate: without it the full
+    # brute-force + approximate DAG executes TWICE (once for the totals
+    # collect, once when the caller consumes the returned frame)
+    out = out.localCheckpoint(eager=False)
     totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
     # explicit raise: the gate must survive `python -O` (see IVF gate)
     if totals["h"] * 100 < totals["e"] * 80:
@@ -2381,7 +2415,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         seen = s.read.parquet(prev[-1]) if prev else None
         out = D.incremental_dedup(corpus, batch_df, "text", "doc_id", seen=seen)
-        out.write.parquet(os.path.join(out_dir, f"batch_{batch_id:06d}"))
+        # mode("overwrite"): foreachBatch is at-least-once — a replayed
+        # batch id must REPLACE its own prior (uncommitted) output, not
+        # wedge the query on path-already-exists (same contract comment as
+        # the sibling streaming merges)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{batch_id:06d}")
+        )
         accepted = (
             s.read.parquet(os.path.join(out_dir, f"batch_{batch_id:06d}"))
             .filter(F.col("status") == "new")
@@ -2395,7 +2435,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("fp", F.col("batch_id").alias("canonical_id"))
         )
         new_state = accepted if seen is None else seen.unionAll(accepted)
-        new_state.write.parquet(os.path.join(state_dir, f"seen_{batch_id:06d}"))
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"seen_{batch_id:06d}")
+        )
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -2533,9 +2575,11 @@ WITH b AS (
            (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
     FROM embeddings
 ),
+small AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1024),
+bc AS (SELECT b.* FROM b JOIN small USING (bucket)),
 pairs AS (
     SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS qv, b2.embedding AS cv
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+    FROM bc a JOIN bc b2 ON a.bucket = b2.bucket
     WHERE a.vec_id < b2.vec_id
 ),
 expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM pairs),
@@ -2557,9 +2601,14 @@ def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially far at scale. Mining inside sign-LSH buckets keeps the
     candidate set ~2^8 below all-pairs AND biases negatives toward the
     hard region for free (bucket collision implies leading-coordinate
-    agreement). One bucketed self-join, no corpus x corpus pass."""
+    agreement). One bucketed self-join, no corpus x corpus pass; the
+    1024-vector hot-bucket cap sheds any sign bucket so large its bits
+    carry no locality signal (biased encoder coordinates can put a
+    constant fraction of N in one bucket — with min_cosine=-1.0 nothing
+    else bounds that join's fan-out), mirrored in the oracle."""
     pairs = S.lsh_bucketed_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", dims=8, min_cosine=-1.0
+        t(spark, sf_dir, "embeddings"), "vec_id", dims=8, min_cosine=-1.0,
+        max_bucket=1024,
     )
     return pairs.filter(
         (F.col("cosine") >= 0.8)
@@ -2699,10 +2748,14 @@ cands AS (
     FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
     WHERE a.doc < b.doc GROUP BY 1, 2
 ),
-sizes AS (SELECT doc, count(*) AS sz FROM shingles GROUP BY doc),
+rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 128
+),
+capped AS (SELECT s.doc, s.shingle FROM shingles s JOIN rare USING (shingle)),
+sizes AS (SELECT doc, count(*) AS sz FROM capped GROUP BY doc),
 inter AS (
     SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    FROM capped a JOIN capped b ON a.shingle = b.shingle
     WHERE a.doc < b.doc GROUP BY 1, 2
 ),
 jac AS (
@@ -2727,12 +2780,19 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     emits integer counts: pairs, pairs whose estimate lands within 0.3 of
     the truth, and strong-agreement pairs (>= 8/16 bands) that are truly
     similar (J >= 0.3). The function asserts a 60% closeness floor, so
-    estimator degradation (bad banding, broken hashing) fails loudly. The
-    exact-Jaccard verification runs ONLY on LSH candidates —
-    cheap-candidates/exact-verify, never all-pairs."""
+    estimator degradation (bad banding, broken hashing) fails loudly.
+    df_cap=128 on the exact side (threshold=0.0 keeps every candidate's
+    score, the CAP bounds the pair fan-out): an uncapped thresholdless
+    shingle self-join materializes every co-shingling pair corpus-wide —
+    the quadratic boilerplate blowup the dedup module calls the
+    job-killer — before the candidate intersection could prune anything;
+    the capped universe is the SAME one the LSH candidates and
+    dedup_jaccard use, so estimate and truth stay comparable. The exact
+    pairs that survive are then intersected with the LSH candidates:
+    cheap-candidates/exact-verify over a bounded pair set."""
     cands = D.minhash_lsh_candidates(docs_aug(spark, sf_dir), "text", "doc_id")
     exact = D.jaccard_pairs(
-        docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.0
+        docs_aug(spark, sf_dir), "text", "doc_id", threshold=0.0, df_cap=128
     )
     joined = cands.join(exact, on=["doc_a", "doc_b"])
     est = F.col("n_shared_bands") / F.lit(16.0)
@@ -2746,6 +2806,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
             .otherwise(0)
         ).alias("n_strong_true"),
     )
+    out = out.localCheckpoint(eager=False)  # one execution, not two (see recall gates)
     row = out.collect()[0]
     # explicit raise: the gate must survive `python -O` (see IVF gate)
     if row["n_close"] * 100 < row["n_pairs"] * 60:
