@@ -10,6 +10,7 @@ Usage: ``python correctness_full.py [sf_dir]`` (default /root/testdata/sf0.01).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,10 +25,23 @@ TABLES = [
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as e
-    from s4hanaconnector_spark.session import get_spark
+    from pyspark.sql import SparkSession
     from tests.parity import assert_parity
 
-    spark = get_spark()
+    # a PLAIN session, mirroring the driver's injected one — running under
+    # get_spark's tuned confs (UTC, nanosAsLong, Arrow) would let this
+    # artifact stay green for queries that only work WITH those confs,
+    # exactly the portability gap it exists to audit. Only result-neutral
+    # infra knobs here.
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("correctness-full-plain")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for n in TABLES:
         con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{sf}/{n}.parquet'")
@@ -40,10 +54,10 @@ def main() -> int:
         try:
             sdf = fn(spark, sf)
             if name in oracles:
-                assert_parity(sdf, con, oracles[name], name)
-                rec["rows"] = con.execute(
-                    f"SELECT count(*) FROM ({oracles[name]})"
-                ).fetchone()[0]
+                # assert_parity returns the verified row count — re-running
+                # the oracle for a separate count(*) would execute every
+                # (sometimes expensive) oracle twice
+                rec["rows"] = assert_parity(sdf, con, oracles[name], name)
             else:
                 rec["rows"] = sdf.count()
             rec["ok"] = True
@@ -53,16 +67,27 @@ def main() -> int:
         rec["sec"] = round(time.time() - t0, 2)
         out[name] = rec
         print(("OK  " if rec["ok"] else "FAIL"), name, flush=True)
+    n_oracle = sum(1 for r in out.values() if r["oracle"] and r["ok"])
     artifact = {
         "sf_dir": sf,
         "n_queries": len(qs),
         "n_ok": len(qs) - failed,
         "n_fail": failed,
+        # how many of the oks were actually ORACLE-VERIFIED (vs rows-only
+        # smoke for non-SQL-expressible queries) — the summary must not
+        # conflate "parity-proven" with "didn't crash"
+        "n_oracle_checked": n_oracle,
         "queries": out,
     }
-    with open("CORRECTNESS_FULL.json", "w") as f:
+    # anchor to the repo, not the cwd: run from anywhere, the committed
+    # artifact is the one that updates
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_FULL.json")
+    with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
-    print(f"wrote CORRECTNESS_FULL.json: {len(qs) - failed}/{len(qs)} ok")
+    print(
+        f"wrote CORRECTNESS_FULL.json: {len(qs) - failed}/{len(qs)} ok "
+        f"({n_oracle} oracle-verified)"
+    )
     return 1 if failed else 0
 
 

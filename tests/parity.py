@@ -1,12 +1,31 @@
 """Spark <-> DuckDB result comparison, mirroring the driver's canonicalization
-(sort columns by name, order-insensitive rows, exact values)."""
+(sort columns by name, order-insensitive rows, exact values).
+
+Known comparison limits (inherent to the pandas bridge, documented so they
+are a decision, not a surprise):
+
+* NULL vs NaN in double columns: both engines' pandas exports render a
+  NULL double as NaN (non-nullable float dtype), so a genuine NULL-vs-NaN
+  divergence at the TOP level cannot be observed post-export. Inside array
+  cells the distinction survives and IS enforced (None vs the NaN
+  sentinel).
+* int-vs-float dtype drift is tolerated by value (1 == 1.0): pandas
+  promotes nullable int columns to float64 on either side depending on
+  null presence, so dtype-strict comparison would flag legitimate
+  exports. BOOL columns are the exception — both engines export bool as
+  dtype 'b' deterministically, so a bool-vs-number kind mismatch is a real
+  schema divergence and fails loudly.
+"""
 
 from __future__ import annotations
 
-import datetime
 import math
 
 import pandas as pd
+
+# unique, non-string NaN sentinel: the plain string "NaN" would make a
+# string cell 'NaN' compare equal to a float NaN inside array values
+_NAN = ("__float_nan__",)
 
 
 def _canon_cell(v):
@@ -14,7 +33,7 @@ def _canon_cell(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return _NAN
         return v
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
@@ -41,17 +60,32 @@ def canonicalize(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
-def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "?"):
-    spdf = spark_df.toPandas()
-    # cast None in object cols uniformly
-    spdf = spdf.where(pd.notna(spdf), None)
-    ddf = duck_con.execute(oracle_sql).fetchdf()
-    ddf = ddf.where(pd.notna(ddf), None)
+def _kind_check(spdf: pd.DataFrame, ddf: pd.DataFrame, name: str) -> None:
+    """Bool columns must be bool on BOTH sides (see module docstring)."""
+    for col in spdf.columns:
+        sk = spdf[col].dtype.kind
+        dk = ddf[col].dtype.kind
+        if ("b" in (sk, dk)) and sk != dk:
+            raise AssertionError(
+                f"[{name}] column {col!r}: bool-vs-{'bool' if dk == 'b' else dk} "
+                f"dtype divergence (spark={sk} duck={dk}) — a 0/1 numeric "
+                "column is not a BOOLEAN even when the values compare equal"
+            )
 
+
+def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "?") -> int:
+    """Compare a Spark result against its DuckDB oracle; returns the row
+    count so callers need not re-run either side for accounting."""
+    spdf = spark_df.toPandas()
+    ddf = duck_con.execute(oracle_sql).fetchdf()
     assert len(spdf) == len(ddf), f"[{name}] row count: spark={len(spdf)} duck={len(ddf)}"
     assert sorted(spdf.columns) == sorted(
         ddf.columns
     ), f"[{name}] columns: spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
+    _kind_check(spdf, ddf, name)
+    # cast None in object cols uniformly
+    spdf = spdf.where(pd.notna(spdf), None)
+    ddf = ddf.where(pd.notna(ddf), None)
 
     s_rows = canonicalize(spdf)
     d_rows = canonicalize(ddf)
@@ -61,3 +95,4 @@ def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "?"):
     assert not mismatches, (
         f"[{name}] {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
     )
+    return len(spdf)
