@@ -1336,6 +1336,57 @@ def cdc_incremental_agg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_changes_straggler",
+    """
+WITH snap AS (
+    SELECT o_orderkey, o_orderstatus, upper(o_orderpriority) AS note
+    FROM orders
+),
+upd AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 11 <> 0),
+del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
+ins AS (SELECT o_orderkey + 5000000 AS o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+SELECT s.o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'X' ELSE s.o_orderstatus END AS o_orderstatus,
+       s.note
+FROM snap s
+LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+LEFT JOIN del d ON s.o_orderkey = d.o_orderkey
+WHERE d.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, 'N', CAST(NULL AS VARCHAR) FROM ins
+""",
+)
+def cdc_apply_changes_straggler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAGGLER-batch apply under the oracle gate: the snapshot carries a
+    column (``note``) a pre-rebuild batch does not — legal backward
+    evolution the drift gate approves (writer-only fields) — and the merge
+    must treat the missing column as UNCHANGED: updated rows keep their
+    snapshot ``note``, inserted rows read NULL, deletes remove. Pre-fix
+    this crashed on an unresolved column; the oracle is the three-way
+    merge spelled out in SQL, so 'missing means unchanged' is now a
+    hash-gated contract, not just a unit test."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    snap = o.select(
+        "o_orderkey", "o_orderstatus", F.upper("o_orderpriority").alias("note")
+    )
+    upd = o.filter((k % 9 == 0) & (k % 11 != 0)).select(
+        F.lit("U").alias("_change_type"), F.lit(1).alias("_transactionid"),
+        "o_orderkey", F.lit("X").alias("o_orderstatus"),
+    )
+    dels = o.filter(k % 11 == 0).select(
+        F.lit("D").alias("_change_type"), F.lit(1).alias("_transactionid"),
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    ins = o.filter(k % 10 == 0).select(
+        F.lit("I").alias("_change_type"), F.lit(1).alias("_transactionid"),
+        (k + 5000000).alias("o_orderkey"), F.lit("N").alias("o_orderstatus"),
+    )
+    batch = upd.unionByName(dels).unionByName(ins)  # no `note` column anywhere
+    return C.apply_changes(snap, batch, ["o_orderkey"], drift_mode="backward")
+
+
+@register(
     "cdc_apply_changes_evolving",
     _DELTA_ORACLE_BODY
     + """
