@@ -86,6 +86,7 @@ def maintain_nested_docs(
     schemafield: str,
     detail_cols: list[str] | None = None,
     sort_detail_by: list[str] | None = None,
+    check_delete_keys: bool = True,
 ) -> DataFrame:
     """Incrementally maintain a materialized nested-document table under
     master+detail CDC batches: re-nest ONLY the documents whose master row
@@ -128,13 +129,28 @@ def maintain_nested_docs(
     for k in left_keys:
         c = F.col(k).isNull()
         null_key = c if null_key is None else (null_key | c)
-    if not changed_keys.filter(null_key).isEmpty():
-        raise ValueError(
-            "detail batch carries NULL join-key values — include the join "
-            f"keys {right_keys} in every batch row (deletes too: put them in "
-            "the detail PK or enrich the delete leg), else deleted details "
-            "leave stale nested documents"
+    # The stale-document hazard is DELETE-specific: a delete row whose join
+    # key got nulled out (cdc_delta nulls non-PK columns on 'D') means the
+    # deleted detail's document silently never re-nests. A NULL join key on
+    # an insert/update is a legitimately-orphaned detail — NULL never joins,
+    # exactly as a full re-nest would treat it — so probing those rows would
+    # hard-fail feeds with nullable FKs that are perfectly maintainable.
+    # ``check_delete_keys=False`` skips the (delta-sized, but eager) probe
+    # job for callers on a hot poll loop that enforce the contract upstream.
+    if check_delete_keys and "_change_type" in detail_batch.columns:
+        del_keys = detail_batch.filter(F.col("_change_type") == "D").select(
+            *[F.col(r).alias(l) for l, r in zip(left_keys, right_keys)]
         )
+        if not del_keys.filter(null_key).isEmpty():
+            raise ValueError(
+                "detail batch carries delete rows with NULL join-key values "
+                f"— include the join keys {right_keys} on every delete row "
+                "(put them in the detail PK or enrich the delete leg), else "
+                "deleted details leave stale nested documents"
+            )
+    # NULL keys on non-delete rows never join; drop them so the broadcast
+    # semi-join below doesn't carry useless NULL probe rows.
+    changed_keys = changed_keys.filter(~null_key)
     via_detail = master.join(
         F.broadcast(changed_keys), on=left_keys, how="left_semi"
     ).select(*master_pk)

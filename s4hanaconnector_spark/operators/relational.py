@@ -125,12 +125,15 @@ def quantile_disc_per_group(
     )
     # epsilon guard before ceil: IEEE doubles make q*n land a hair ABOVE
     # an exact integer for some (q, n) — e.g. 0.07*100 = 7.000000000000001,
-    # ceil -> 8, one position off the mathematical spec. Subtracting an
-    # epsilon far below any q*n gap (and far above double error) restores
-    # exact-integer behavior in both directions; oracles replay the same
-    # expression. round() (not int()) for the label: int(0.29*100) == 28.
+    # ceil -> 8, one position off the mathematical spec. The error is
+    # RELATIVE (~ULP of q*n), so the guard must be too: a fixed 1e-9 would
+    # be swamped once q*n > ~1e7 (billion-row groups at 100 TB). Scaling by
+    # (1 - 1e-12) shaves ~few-ULP off any magnitude while staying far below
+    # the 1/n gap between adjacent positions (n < 1e12); oracles replay the
+    # same expression. round() (not int()) for the label: int(0.29*100)==28.
     return ranked.filter(
-        F.col("__rn") == F.ceil(F.lit(q) * F.col("__n") - F.lit(1e-9)).cast("long")
+        F.col("__rn")
+        == F.ceil((F.lit(q) * F.col("__n")) * F.lit(1.0 - 1e-12)).cast("long")
     ).select(*keys, F.col(value_col).alias(f"p{round(q * 100)}"))
 
 

@@ -145,12 +145,24 @@ def hash_topk_per_group(
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
+    def _has_map(dt) -> bool:
+        # maps are unorderable at ANY nesting depth — a map inside a struct
+        # or array poisons the whole column for orderBy (AnalysisException),
+        # so the exclusion must recurse, not just check the top level
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     h = F.md5(F.concat_ws(_SEP, *_key_parts(keys, seed)))
     named = set(keys) | set(group_cols)
     tiebreak = [
         F.col(f.name).asc()
         for f in df.schema.fields
-        if f.name not in named and not isinstance(f.dataType, T.MapType)
+        if f.name not in named and not _has_map(f.dataType)
     ]
     w = W.partitionBy(*group_cols).orderBy(
         h.asc(), *[F.col(c).asc() for c in keys], *tiebreak

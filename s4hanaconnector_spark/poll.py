@@ -105,13 +105,34 @@ class CommitLog:
         return os.path.join(self.dir, f"{key}.json")
 
     def committed(self, key: str) -> bool:
-        return os.path.exists(self.marker(key))
+        # Existence alone is not commit: after a power loss the rename can
+        # survive while the marker's data pages never hit disk (empty or
+        # truncated JSON). An unparsable marker therefore reads as
+        # UNCOMMITTED — the range replays and mode="overwrite" replaces any
+        # orphan data, exactly the crash-window contract.
+        try:
+            with open(self.marker(key)) as f:
+                json.load(f)
+            return True
+        except (OSError, ValueError):
+            return False
 
     def commit(self, key: str, payload: dict) -> None:
         tmp = self.marker(key) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
+            # fsync BEFORE the rename: rename-then-crash must never expose a
+            # marker whose bytes were still in the page cache — that is the
+            # host-crash hole process-crash testing can't see
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, self.marker(key))  # the atomic commit point
+        # fsync the directory entry so the rename itself is durable
+        dfd = os.open(self.dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 class RangeCommitSink:
@@ -154,7 +175,10 @@ class RangeCommitSink:
             m = pat.fullmatch(e)
             if m:
                 v = int(m.group(1))
-                if best is None or v > best:
+                # committed() re-validates the marker parses — a truncated
+                # post-power-loss marker must not become the resume point
+                # (it would skip the very range that needs replaying)
+                if (best is None or v > best) and self.log.committed(f"{name}.{v}"):
                     best = v
         return best
 
@@ -172,10 +196,77 @@ class RangeCommitSink:
         return n
 
 
+# broadcast the seen-state only below this on-disk size; above it a plain
+# (shuffled) anti-join is the safe shape — md5 fingerprints are 32 chars, so
+# 32 MiB is ~1M shipped malformed rows, far past any healthy feed
+_SEEN_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+# compact once the append-only state fragments past this many parquet files
+_SEEN_COMPACT_MAX_FILES = 64
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:  # pragma: no cover
+                pass
+    return total
+
+
+def _compact_quarantine_seen(
+    spark: SparkSession,
+    seen_path: str,
+    max_files: int = _SEEN_COMPACT_MAX_FILES,
+    expiry_cutoff=None,
+) -> None:
+    """Rewrite the append-only fingerprint state as a distinct, few-file
+    parquet once it fragments: every poll appends a handful of files and a
+    crash between data-commit and fingerprint-append replays duplicate
+    fingerprints, so without compaction the state grows monotonically and
+    every poll pays a full-history read over ever-more files. Crash-safe by
+    at-least-once semantics: the only non-atomic window (after rmtree,
+    before rename) loses the state entirely, which merely re-ships rows —
+    the DLQ contract is at-least-once, never-lost; the ``.compact`` tmp dir
+    is recovered or discarded on the next call."""
+    import shutil
+
+    tmp = seen_path + ".compact"
+    if not os.path.isdir(seen_path):  # pragma: no cover
+        # crash landed between rmtree(seen) and rename(tmp): finish the swap
+        if os.path.isdir(tmp):
+            os.rename(tmp, seen_path)
+        return
+    n_files = sum(1 for f in os.listdir(seen_path) if f.endswith(".parquet"))
+    if n_files <= max_files:
+        return
+    if os.path.isdir(tmp):  # stale tmp from an earlier crashed compaction
+        shutil.rmtree(tmp)
+    seen = spark.read.option("mergeSchema", "true").parquet(seen_path)
+    if "_shipped_ts" in seen.columns:
+        # crash replays can re-append the same fingerprint with a later
+        # stamp — keep the max so in-window dedup is conservative, and drop
+        # physically-expired fingerprints (the read-side filter in
+        # _ship_quarantine already ignores them; this reclaims the space)
+        seen = seen.groupBy("_row_md5").agg(F.max("_shipped_ts").alias("_shipped_ts"))
+        if expiry_cutoff is not None:
+            seen = seen.filter(
+                F.col("_shipped_ts").isNull() | (F.col("_shipped_ts") >= expiry_cutoff)
+            )
+    else:  # pragma: no cover - legacy stamp-less state
+        seen = seen.distinct()
+    seen.coalesce(8).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(seen_path)
+    os.rename(tmp, seen_path)
+
+
 def _ship_quarantine(
     spark: SparkSession,
     sink: RangeCommitSink,
     bad_all: DataFrame,
+    now_ts: str | None = None,
+    retention_seconds: int | None = 7 * 86400,
 ) -> int:
     """Ship this poll's not-yet-quarantined malformed rows to the DLQ,
     independent of whether the watermark advanced.
@@ -200,7 +291,18 @@ def _ship_quarantine(
     before fingerprints append, so a crash between the two re-ships those
     rows on the next poll under the next sequence key (at-least-once DLQ,
     never lost; replays of fully-committed attempts ship nothing because
-    every row is already fingerprinted)."""
+    every row is already fingerprinted).
+
+    Retention mirrors O25 (S4HanaProducer.java:474-491, 7-day log
+    retention) for the fingerprint state: each shipped fingerprint is
+    stamped with the poll's ``now_ts``, the anti-join only consults
+    fingerprints still inside ``retention_seconds``, and compaction drops
+    expired ones physically. A stale malformed row re-arriving past the
+    window therefore RE-SHIPS (visible again, at-least-once) instead of
+    being silently deduped forever — and the state stays bounded by the
+    retention window's malformed volume, not all-time volume.
+    ``retention_seconds=None`` disables expiry (legacy behavior); legacy
+    stamp-less fingerprints (NULL ``_shipped_ts``) never expire."""
     bad = bad_all
     data_cols = [c for c in bad.columns if c != "_quarantine_reason"]
     fp = F.md5(
@@ -211,9 +313,28 @@ def _ship_quarantine(
     )
     bad = bad.withColumn("_row_md5", fp)
     seen_path = os.path.join(sink.out_dir, "_quarantine_seen")
+    cutoff = None
+    if now_ts is not None and retention_seconds is not None:
+        cutoff = F.to_timestamp(F.lit(now_ts)) - F.expr(
+            f"INTERVAL {int(retention_seconds)} SECONDS"
+        )
     if os.path.isdir(seen_path) and os.listdir(seen_path):
-        seen = spark.read.parquet(seen_path)
-        bad = bad.join(F.broadcast(seen), "_row_md5", "left_anti")
+        _compact_quarantine_seen(spark, seen_path, expiry_cutoff=cutoff)
+        seen = spark.read.option("mergeSchema", "true").parquet(seen_path)
+        if cutoff is not None and "_shipped_ts" in seen.columns:
+            # expired fingerprints stop deduplicating: a re-arriving stale
+            # malformed row past the window ships again (O25 symmetry)
+            seen = seen.filter(
+                F.col("_shipped_ts").isNull() | (F.col("_shipped_ts") >= cutoff)
+            )
+        seen = seen.select("_row_md5")
+        # the seen-state grows with the retention window's DLQ volume
+        # (appends per poll, duplicates after crash replays) — broadcast
+        # only while it is actually small, else let the planner shuffle the
+        # anti-join instead of blowing the driver/broadcast budget
+        if _dir_bytes(seen_path) <= _SEEN_BROADCAST_MAX_BYTES:
+            seen = F.broadcast(seen)
+        bad = bad.join(seen, "_row_md5", "left_anti")
     # one lazy lineage cut: three consumers follow (isEmpty, the sink write,
     # the fingerprint append) and each would otherwise re-run the whole
     # classify + anti-join subtree over the log
@@ -227,7 +348,14 @@ def _ship_quarantine(
         seq += 1
     shipped = sink.write("_quarantine", seq, bad.drop("_row_md5"))
     if shipped:
-        bad.select("_row_md5").write.mode("append").parquet(seen_path)
+        stamp = (
+            F.to_timestamp(F.lit(now_ts))
+            if now_ts is not None
+            else F.lit(None).cast("timestamp")
+        )
+        bad.select("_row_md5").withColumn("_shipped_ts", stamp).write.mode(
+            "append"
+        ).parquet(seen_path)
     return shipped
 
 
@@ -244,6 +372,7 @@ def poll(
     staleness_seconds: int = 7200,
     on_alert: Callable[[str, object], None] | None = None,
     quarantine: bool = False,
+    quarantine_retention_seconds: int | None = 7 * 86400,
 ) -> int:
     """One poll: emit every impacted mapping's delta over (from_txid, hi]
     and return hi (the next resume point). ``from_txid`` unchanged means
@@ -292,7 +421,10 @@ def poll(
     if level != "ok" and on_alert is not None:
         on_alert(level, wm["oldest_start_time"])
     if quarantine:
-        _ship_quarantine(spark, sink, bad_all)
+        _ship_quarantine(
+            spark, sink, bad_all, now_ts=now_ts,
+            retention_seconds=quarantine_retention_seconds,
+        )
     if hi <= from_txid:
         return from_txid
 

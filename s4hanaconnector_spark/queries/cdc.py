@@ -760,6 +760,71 @@ def cdc_quarantine_poll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cdc_quarantine_retention",
+    """
+SELECT 'missing_pk' AS _quarantine_reason,
+       2 * count(*) AS n_rows,
+       count(*) AS n_distinct_rows
+FROM orders WHERE o_orderkey % 31 = 0
+""",
+)
+def cdc_quarantine_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25 symmetry for the DLQ fingerprint state (r5 residual nit): shipped
+    fingerprints age out after the retention window instead of deduping
+    forever, so the state stays bounded by windowed malformed volume. Three
+    polls over the SAME dirty feed: poll 2 lands inside the 7-day window
+    (in-window dedup — ships nothing), poll 3 lands past it (fingerprints
+    expired — the stale rows RE-SHIP, at-least-once made visible again).
+    The oracle pins both effects at once: total DLQ rows = exactly 2× the
+    injected leg (one initial ship + one post-expiry re-ship, zero from the
+    in-window poll), distinct content = 1× (the re-ship is the same rows)."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = synthetic_pklog(orders)
+    null_pks = [F.lit(None).cast("string").alias(f"pk{i}") for i in range(2, 7)]
+    garbage = orders.filter(k % 31 == 0).select(
+        F.col("o_orderdate").alias("change_ts"),
+        F.lit("S4").alias("schema_name"),
+        F.lit("U").alias("change_type"),
+        F.lit(None).cast("string").alias("pk1"),  # missing PK -> quarantined
+        *null_pks,
+        # unique per row so DLQ content never collides (the distinct-count
+        # oracle leg relies on it); txids on malformed rows are untrusted
+        # anyway and never reach the watermark
+        (F.lit(1000) + k).cast("bigint").alias("transactionid"),
+        F.lit(1).cast("int").alias("transaction_seq"),
+        F.lit("orders").alias("table_name"),
+    )
+    dirty = base.unionByName(garbage)
+    txns = synthetic_transactions(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_q_retention_")
+    sink = RangeCommitSink(out_dir)
+    common = dict(
+        spark=spark, mappings=[ORDERS_MAPPING],
+        load_source=lambda name: orders, pklog=dirty, transactions=txns,
+        sink=sink, staleness_seconds=_POLL2_STALENESS, quarantine=True,
+    )
+    hi1 = poll(**common, from_txid=0, now_ts=_POLL2_NOW1)
+    # +3 days: inside the 7-day retention window -> fingerprint dedup holds
+    poll(**common, from_txid=hi1, now_ts="1998-08-08 00:00:00")
+    # +8 days: past the window -> expired fingerprints stop deduping
+    poll(**common, from_txid=hi1, now_ts="1998-08-13 00:00:00")
+    dlq = spark.read.parquet(os.path.join(out_dir, "_quarantine"))
+    data_cols = [c for c in dlq.columns if c not in ("txid_hi",)]
+    return dlq.groupBy("_quarantine_reason").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.struct(*[F.col(c) for c in data_cols])).alias(
+            "n_distinct_rows"
+        ),
+    )
+
+
+@register(
     "cdc_stream_to_sink",
     f"""
 WITH {PKLOG_ORACLE_CTE.strip()}
@@ -2896,6 +2961,309 @@ def streaming_nested_bo_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), "
             "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("qty_sum"),
+    )
+
+
+@register(
+    "streaming_nested_bo_2level",
+    """
+WITH li0 AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS l_quantity
+    FROM lineitem GROUP BY 1, 2
+),
+merged_c AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 29 = 0 THEN c_name || '*' ELSE c_name END AS c_name
+    FROM customer
+    WHERE NOT (c_custkey % 31 = 4 AND NOT c_custkey % 29 = 0)
+),
+merged_o AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 53 = 9 AND NOT o_orderkey % 37 = 0
+                THEN (o_custkey % 100) + 1 ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 41 = 3 AND NOT o_orderkey % 37 = 0
+               AND NOT o_orderkey % 53 = 9)
+),
+merged_l AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 43 = 5 THEN l_quantity + 1
+                ELSE l_quantity END AS l_quantity
+    FROM li0
+    WHERE NOT (l_orderkey % 47 = 7 AND l_linenumber = 1 AND NOT l_orderkey % 43 = 5)
+)
+SELECT c.c_custkey, c.c_name,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS qty_sum,
+       CAST(coalesce(max(o.o_totalprice), 0) AS DOUBLE) AS max_order_price
+FROM merged_c c
+LEFT JOIN merged_o o ON c.c_custkey = o.o_custkey
+LEFT JOIN merged_l l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def streaming_nested_bo_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL nested-document maintenance through the real streaming
+    engine (r5 VERDICT #8): the customer -> orders[] -> items[] document of
+    ``nest_customer_orders_items``, maintained incrementally under THREE
+    micro-batches (customer changes, then order changes — including
+    CUSTOMER-REASSIGNMENT updates — then item changes). Each foreachBatch
+    merges the flat tables, maintains the inner orders+items snapshot, then
+    DERIVES the outer level's detail batch itself: every affected order
+    contributes both its OLD and its NEW o_custkey (old from the pre-merge
+    orders table, new from the merged one), so a reassigned order re-nests
+    BOTH customer documents — the exact stale-doc hazard a naive single-key
+    batch would miss. Deleted customers in batch 0 stay deleted when their
+    orders change in batch 1 (affected-set semi-join finds no master). The
+    final snapshot's per-customer rollup must equal the oracle's flat
+    3-table recompute over the merged tables."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    cust0 = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders0 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    items0 = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("l_quantity")
+        )
+    )
+    ck, ok, lk = F.col("c_custkey"), F.col("o_orderkey"), F.col("l_orderkey")
+    nulls = {
+        "c_custkey": "bigint", "c_name": "string",
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_totalprice": "double",
+        "l_orderkey": "bigint", "l_linenumber": "int", "l_quantity": "double",
+    }
+
+    def pad(df, table):
+        cols = [F.lit(table).alias("table_name"), "_change_type", "_transactionid"]
+        for c, typ in nulls.items():
+            cols.append(
+                (F.col(c) if c in df.columns else F.lit(None)).cast(typ).alias(c)
+            )
+        return df.select(*cols)
+
+    def leg(df, ct, txid):
+        return df.select(
+            F.lit(ct).alias("_change_type"), F.lit(txid).alias("_transactionid"), "*"
+        )
+
+    cb_u = leg(
+        cust0.filter(ck % 29 == 0).withColumn("c_name", F.concat(F.col("c_name"), F.lit("*"))),
+        "U", 1,
+    )
+    cb_d = leg(
+        cust0.filter((ck % 31 == 4) & ~(ck % 29 == 0)).select(
+            "c_custkey", F.lit(None).cast("string").alias("c_name")
+        ),
+        "D", 1,
+    )
+    ob_u = leg(
+        orders0.filter(ok % 37 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        "U", 2,
+    )
+    ob_move = leg(
+        orders0.filter((ok % 53 == 9) & ~(ok % 37 == 0)).withColumn(
+            "o_custkey", (F.col("o_custkey") % 100) + 1
+        ),
+        "U", 2,
+    )
+    ob_d = leg(
+        orders0.filter((ok % 41 == 3) & ~(ok % 37 == 0) & ~(ok % 53 == 9)).select(
+            "o_orderkey",
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        ),
+        "D", 2,
+    )
+    ib_u = leg(
+        items0.filter(lk % 43 == 5).withColumn("l_quantity", F.col("l_quantity") + 1),
+        "U", 3,
+    )
+    ib_d = leg(
+        items0.filter(
+            (lk % 47 == 7) & (F.col("l_linenumber") == 1) & ~(lk % 43 == 5)
+        ).select(
+            "l_orderkey", "l_linenumber", F.lit(None).cast("double").alias("l_quantity")
+        ),
+        "D", 3,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_nest2_")
+    feed_dir = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    pad(cb_u.unionByName(cb_d), "customer").coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=0")
+    )
+    pad(ob_u.unionByName(ob_move).unionByName(ob_d), "orders").coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=1")
+    )
+    pad(ib_u.unionByName(ib_d), "lineitem").coalesce(1).write.parquet(
+        os.path.join(feed_dir, "poll=2")
+    )
+
+    jc1 = [{"left": "o_orderkey", "right": "l_orderkey"}]
+    d1cols = ["l_linenumber", "l_quantity"]
+    jc2 = [{"left": "c_custkey", "right": "o_custkey"}]
+    d2cols = ["o_orderkey", "o_totalprice", "items"]
+
+    def nest1(m, dd):
+        return nest(m, dd, joincondition=jc1, schemafield="items",
+                    detail_cols=d1cols, sort_detail_by=["l_linenumber"])
+
+    def nest2(c, s1):
+        return nest(c, s1, joincondition=jc2, schemafield="orders",
+                    detail_cols=d2cols, sort_detail_by=["o_orderkey"])
+
+    s1_base = nest1(orders0, items0)
+    cust0.write.parquet(os.path.join(state_dir, "c_base"))
+    orders0.write.parquet(os.path.join(state_dir, "m_base"))
+    items0.write.parquet(os.path.join(state_dir, "d_base"))
+    s1_base.write.parquet(os.path.join(state_dir, "s1_base"))
+    nest2(cust0, s1_base).write.parquet(os.path.join(state_dir, "s2_base"))
+
+    def prev_version(s, prefix, batch_id):
+        versions = sorted(_glob.glob(os.path.join(state_dir, f"{prefix}_0*")))
+        prev = [
+            v for v in versions
+            if v < os.path.join(state_dir, f"{prefix}_{batch_id:06d}")
+        ]
+        return s.read.parquet(
+            prev[-1] if prev else os.path.join(state_dir, f"{prefix}_base")
+        )
+
+    def write_state(df, prefix, batch_id):
+        # mode("overwrite"): replayed foreachBatch ids replace their own
+        # prior uncommitted versions (at-least-once delivery); writing then
+        # reading back cuts lineage so multi-consumer stages don't re-run
+        # the whole merge subtree
+        p = os.path.join(state_dir, f"{prefix}_{batch_id:06d}")
+        df.write.mode("overwrite").parquet(p)
+        return df.sparkSession.read.parquet(p)
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev_c = prev_version(s, "c", batch_id)
+        prev_m = prev_version(s, "m", batch_id)
+        prev_d = prev_version(s, "d", batch_id)
+        prev_s1 = prev_version(s, "s1", batch_id)
+        prev_s2 = prev_version(s, "s2", batch_id)
+        cb = batch_df.filter(F.col("table_name") == "customer").select(
+            "_change_type", "_transactionid", "c_custkey", "c_name"
+        )
+        ob = batch_df.filter(F.col("table_name") == "orders").select(
+            "_change_type", "_transactionid",
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )
+        ib = batch_df.filter(F.col("table_name") == "lineitem").select(
+            "_change_type", "_transactionid",
+            "l_orderkey", "l_linenumber", "l_quantity",
+        )
+        merged_c = write_state(C.apply_changes(prev_c, cb, ["c_custkey"]), "c", batch_id)
+        merged_o = write_state(
+            C.apply_changes(prev_m, ob, ["o_orderkey"]), "m", batch_id
+        )
+        merged_l = write_state(
+            C.apply_changes(prev_d, ib, ["l_orderkey", "l_linenumber"]), "d", batch_id
+        )
+        snap1 = write_state(
+            maintain_nested_docs(
+                prev_s1, merged_o, merged_l, ob, ib,
+                master_pk=["o_orderkey"], joincondition=jc1, schemafield="items",
+                detail_cols=d1cols, sort_detail_by=["l_linenumber"],
+            ),
+            "s1", batch_id,
+        )
+        # Outer-level detail batch: every order the inner level touched,
+        # fanned out to BOTH its pre-merge and post-merge o_custkey, so a
+        # customer-reassignment re-nests the old AND new parent documents.
+        # All rows are 'U' (keys-only probes); deleted orders contribute
+        # their old custkey via prev_m, which is exactly the join key the
+        # raw cdc_delta delete leg would have nulled out.
+        aff = (
+            ob.select("o_orderkey")
+            .unionByName(ib.select(F.col("l_orderkey").alias("o_orderkey")))
+            .distinct()
+        )
+        l2b = (
+            prev_m.join(F.broadcast(aff), "o_orderkey", "left_semi")
+            .select("o_custkey", "o_orderkey")
+            .unionByName(
+                merged_o.join(F.broadcast(aff), "o_orderkey", "left_semi").select(
+                    "o_custkey", "o_orderkey"
+                )
+            )
+            .distinct()
+            .select(
+                F.lit("U").alias("_change_type"),
+                F.lit(None).cast("bigint").alias("_transactionid"),
+                "o_custkey", "o_orderkey",
+            )
+        )
+        write_state(
+            maintain_nested_docs(
+                prev_s2, merged_c, snap1, cb, l2b,
+                master_pk=["c_custkey"], joincondition=jc2, schemafield="orders",
+                detail_cols=d2cols, sort_detail_by=["o_orderkey"],
+            ),
+            "s2", batch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "table_name string, _change_type string, _transactionid bigint, "
+            "c_custkey bigint, c_name string, "
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "l_orderkey bigint, l_linenumber int, l_quantity double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed_dir, "poll=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_nested_bo_2level did not drain")
+    final = sorted(_glob.glob(os.path.join(state_dir, "s2_0*")))[-1]
+    snap = spark.read.parquet(final)
+    dec = "CAST(0 AS DECIMAL(18,2))"
+    return snap.select(
+        "c_custkey",
+        "c_name",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(aggregate(orders, 0, (acc, o) -> acc + size(o.items)) AS BIGINT)"
+        ).alias("n_items"),
+        F.expr(
+            f"CAST(aggregate(orders, {dec}, (acc, o) -> CAST(acc + "
+            f"aggregate(o.items, {dec}, (a2, x) -> CAST(a2 + "
+            f"CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2)))"
+            " AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("qty_sum"),
+        F.expr(
+            "CAST(coalesce(array_max(transform(orders, o -> "
+            "CAST(o.o_totalprice AS DOUBLE))), 0.0) AS DOUBLE)"
+        ).alias("max_order_price"),
     )
 
 

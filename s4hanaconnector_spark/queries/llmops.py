@@ -1236,7 +1236,7 @@ WITH rk AS (
     FROM documents
 ),
 thr AS (
-    SELECT lang, n_chars AS p95 FROM rk WHERE rn = CAST(ceil(0.95 * n - 0.000000001) AS BIGINT)
+    SELECT lang, n_chars AS p95 FROM rk WHERE rn = CAST(ceil((0.95 * n) * (1 - 0.000000000001)) AS BIGINT)
 )
 SELECT d.doc_id, d.lang, d.n_chars, thr.p95
 FROM documents d JOIN thr USING (lang)

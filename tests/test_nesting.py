@@ -145,3 +145,30 @@ def test_maintain_nested_docs_rejects_null_join_keys(spark):
             joincondition=[{"left": "k", "right": "k"}], schemafield="items",
             detail_cols=["did", "q"],
         ).collect()
+
+
+def test_maintain_nested_docs_allows_null_fk_on_upserts(spark):
+    """NULL join keys on INSERT/UPDATE rows are legitimately-orphaned
+    details (NULL never joins — a full re-nest ignores them the same way);
+    only delete rows with nulled join keys are a stale-document hazard.
+    Pre-fix the probe hard-failed any NULL, breaking nullable-FK feeds."""
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    jc = [{"left": "k", "right": "k"}]
+    m = spark.createDataFrame([(1,), (2,)], "k bigint")
+    # current detail table includes an orphan row with NULL FK
+    d = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (None, 30, 3.0)],
+        "k bigint, did bigint, q double",
+    )
+    snap = nest(m, d, jc, "items", detail_cols=["did", "q"])
+    batch = spark.createDataFrame(
+        [("I", 30, None, 3.0)], "_change_type string, did bigint, k bigint, q double"
+    )
+    empty_mb = spark.createDataFrame([], "_change_type string, k bigint")
+    out = maintain_nested_docs(
+        snap, m, d, empty_mb, batch, master_pk=["k"],
+        joincondition=jc, schemafield="items", detail_cols=["did", "q"],
+    )
+    full = nest(m, d, jc, "items", detail_cols=["did", "q"])
+    assert sorted(map(str, out.collect())) == sorted(map(str, full.collect()))

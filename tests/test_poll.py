@@ -427,3 +427,54 @@ def test_poll_crash_partway_then_advance_never_overlaps_ranges(spark, tmp_path):
     # u (uncommitted at 10) re-emitted its full range under the new hi
     u_20 = spark.read.parquet(str(tmp_path / "out" / "u" / "txid_hi=20"))
     assert {r["id"] for r in u_20.collect()} == {1}
+
+
+def test_truncated_marker_reads_uncommitted(spark, tmp_path):
+    """Host-crash hardening: a power loss can leave the renamed marker with
+    empty/partial contents (rename durable, data pages lost). committed()
+    must treat an unparsable marker as UNCOMMITTED so the range replays,
+    and last_committed() must not use it as a resume point (that would skip
+    the very range that needs replaying)."""
+    sink = RangeCommitSink(str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id int, val string")
+    sink.write("t", 5, df)
+    assert sink.committed("t", 5)
+    assert sink.last_committed("t") == 5
+    # simulate torn marker for the next range
+    sink.write("t", 9, df)
+    with open(sink.log.marker("t.9"), "w") as f:
+        f.write('{"name": "t", "txid')  # truncated JSON
+    assert not sink.committed("t", 9)
+    assert sink.last_committed("t") == 5
+    # replay heals it
+    assert sink.write("t", 9, df) == 1
+    assert sink.committed("t", 9)
+    assert sink.last_committed("t") == 9
+
+
+def test_quarantine_seen_compaction_preserves_dedup(spark, tmp_path):
+    """The fingerprint side-state is append-only (plus crash-replay
+    duplicates); compaction must rewrite it distinct + few-file without
+    changing dedup semantics, and recover from a crashed half-swap."""
+    import shutil
+
+    from s4hanaconnector_spark.poll import _compact_quarantine_seen
+
+    seen = str(tmp_path / "_quarantine_seen")
+    fps = spark.createDataFrame([(f"fp{i}",) for i in range(10)], "_row_md5 string")
+    # fragment the state: many appends, with duplicates (crash replays)
+    for _ in range(5):
+        fps.repartition(20).write.mode("append").parquet(seen)
+    n_before = spark.read.parquet(seen).count()
+    assert n_before == 50
+    _compact_quarantine_seen(spark, seen, max_files=16)
+    files = [f for f in os.listdir(seen) if f.endswith(".parquet")]
+    assert len(files) <= 8
+    got = sorted(r["_row_md5"] for r in spark.read.parquet(seen).collect())
+    assert got == sorted(f"fp{i}" for i in range(10))
+    # below the threshold: no-op
+    _compact_quarantine_seen(spark, seen, max_files=16)
+    # crashed half-swap: seen gone, .compact present -> recovered
+    shutil.move(seen, seen + ".compact")
+    _compact_quarantine_seen(spark, seen, max_files=16)
+    assert sorted(r["_row_md5"] for r in spark.read.parquet(seen).collect()) == got

@@ -162,3 +162,25 @@ def test_weighted_sample_survives_huge_max_weight(spark):
     kept = weighted_hash_sample(df, ["id"], "w", max_weight=big)
     ids = {r["id"] for r in kept.collect()}
     assert {i for i in range(100) if i % 2 == 0} <= ids  # weight==max always kept
+
+
+def test_topk_tiebreak_skips_nested_maps(spark):
+    """Maps are unorderable at ANY depth: a map inside a struct or array
+    must be excluded from the full-row tie-break too, else the window
+    orderBy raises AnalysisException at analysis time — a regression for
+    schemas whose keys already uniquely identify rows."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.sampling import hash_topk_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], "g string, id int"
+    ).select(
+        "g", "id",
+        F.struct(F.create_map(F.lit("x"), F.col("id")).alias("m")).alias("s"),
+        F.array(F.create_map(F.lit("y"), F.col("id"))).alias("am"),
+    )
+    out = hash_topk_per_group(df, ["g"], ["id"], k=2)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 2, "b": 1}
