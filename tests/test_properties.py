@@ -601,3 +601,135 @@ def test_classify_malformed_matches_severity_model(spark, rows):
     ]
     for pk, ct, tx, reason in got:
         assert reason == _model_reason(pk, ct, tx), (pk, ct, tx, reason)
+
+
+# ---------------------------------------------------------------------------
+# 2-LEVEL nested-BO maintenance: incremental == full re-nest, random batches
+# ---------------------------------------------------------------------------
+
+_c_upd = st.sets(st.integers(min_value=0, max_value=3), max_size=2)
+_c_del = st.sets(st.integers(min_value=0, max_value=3), max_size=1)
+_o_upd = st.sets(st.integers(min_value=0, max_value=7), max_size=3)
+_o_move = st.sets(st.integers(min_value=0, max_value=7), max_size=2)
+_o_del = st.sets(st.integers(min_value=0, max_value=7), max_size=2)
+_i_chg = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=2),
+        st.sampled_from(["U", "D"]),
+    ),
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cu=_c_upd, cd=_c_del, ou=_o_upd, om=_o_move, od=_o_del, ic=_i_chg)
+def test_2level_nested_maintenance_equals_full_renest(spark, cu, cd, ou, om, od, ic):
+    """customer -> orders[] -> items[]: for ANY change batches on all three
+    levels — including ORDER REASSIGNMENT to another customer, deletes at
+    every level, and item changes under deleted parents — composing the two
+    maintenance levels (inner orders+items, then outer with old+new custkey
+    fan-out) equals re-nesting the merged flat tables from scratch. This is
+    the batch kernel of the streaming_nested_bo_2level query."""
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    cu = cu - cd
+    ou = ou - od
+    om = om - od - ou  # one change class per order
+    ic = {(k, ln): ct for (k, ln, ct) in sorted(ic)}
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(4)], "cid bigint, cval string"
+    )
+    orders = spark.createDataFrame(
+        [(o, o % 4, float(100 + o)) for o in range(8)],
+        "oid bigint, cid bigint, price double",
+    )
+    items = spark.createDataFrame(
+        [(o, ln, float(o * 10 + ln)) for o in range(8) for ln in (1, 2)],
+        "ioid bigint, lineno int, qty double",
+    )
+    jc1 = [{"left": "oid", "right": "ioid"}]
+    d1 = ["lineno", "qty"]
+    jc2 = [{"left": "cid", "right": "cid"}]
+    d2 = ["oid", "price", "items"]
+
+    cb = spark.createDataFrame(
+        [("U", 1, k, f"c{k}x") for k in sorted(cu)]
+        + [("D", 1, k, None) for k in sorted(cd)],
+        "_change_type string, _transactionid bigint, cid bigint, cval string",
+    )
+    ob = spark.createDataFrame(
+        [("U", 2, o, o % 4, 999.0) for o in sorted(ou)]
+        + [("U", 2, o, (o % 4 + 1) % 4, float(100 + o)) for o in sorted(om)]
+        + [("D", 2, o, None, None) for o in sorted(od)],
+        "_change_type string, _transactionid bigint, oid bigint, cid bigint, price double",
+    )
+    ib = spark.createDataFrame(
+        [
+            ("U", 3, k, ln, 777.0) if ct == "U" else ("D", 3, k, ln, None)
+            for (k, ln), ct in ic.items()
+        ],
+        "_change_type string, _transactionid bigint, ioid bigint, lineno int, qty double",
+    )
+
+    merged_c = apply_changes(cust, cb, ["cid"])
+    merged_o = apply_changes(orders, ob, ["oid"])
+    merged_i = apply_changes(items, ib, ["ioid", "lineno"])
+
+    def nest1(m, d):
+        return nest(m, d, joincondition=jc1, schemafield="items",
+                    detail_cols=d1, sort_detail_by=["lineno"])
+
+    def nest2(c, s1):
+        return nest(c, s1, joincondition=jc2, schemafield="orders",
+                    detail_cols=d2, sort_detail_by=["oid"])
+
+    s1_0 = nest1(orders, items)
+    s2_0 = nest2(cust, s1_0)
+    s1 = maintain_nested_docs(
+        s1_0, merged_o, merged_i, ob, ib,
+        master_pk=["oid"], joincondition=jc1, schemafield="items",
+        detail_cols=d1, sort_detail_by=["lineno"],
+    )
+    aff = (
+        ob.select("oid")
+        .unionByName(ib.select(F.col("ioid").alias("oid")))
+        .distinct()
+    )
+    l2b = (
+        orders.join(aff, "oid", "left_semi").select("cid", "oid")
+        .unionByName(merged_o.join(aff, "oid", "left_semi").select("cid", "oid"))
+        .distinct()
+        .select(
+            F.lit("U").alias("_change_type"),
+            F.lit(None).cast("bigint").alias("_transactionid"),
+            "cid", "oid",
+        )
+    )
+    maintained = maintain_nested_docs(
+        s2_0, merged_c, s1, cb, l2b,
+        master_pk=["cid"], joincondition=jc2, schemafield="orders",
+        detail_cols=d2, sort_detail_by=["oid"],
+    )
+    full = nest2(merged_c, nest1(merged_o, merged_i))
+
+    def canon(df):
+        return sorted(
+            (
+                r["cid"], r["cval"],
+                tuple(
+                    (o["oid"], o["price"],
+                     tuple((x["lineno"], x["qty"]) for x in o["items"]))
+                    for o in r["orders"]
+                ),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(maintained) == canon(full)
