@@ -536,3 +536,137 @@ def test_stateful_latest_by_key_ties_mirror_batch_path(spark, tmp_path):
     _single_file(spark, rows((1, 100, 3, "D", "replay")), d, "b3.parquet")
     run()
     assert emitted == []
+
+
+# ---------------------------------------------------------------------------
+# State-size bound proofs (SURVEY §7 risk: "streaming state TTL'd, never
+# unbounded") — read the engine's OWN state-store metrics across >=10 polls
+# of fully-churning keys and assert the row count plateaus instead of
+# growing with cumulative key volume.
+# ---------------------------------------------------------------------------
+
+
+def _state_totals(progresses, min_batches):
+    """Per-batch state-store row totals from recentProgress dicts (data
+    batches only — availableNow can interleave empty bookkeeping batches)."""
+    totals = [
+        sum(so["numRowsTotal"] for so in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators") and p.get("numInputRows", 0) > 0
+    ]
+    assert len(totals) >= min_batches, f"only {len(totals)} data batches: {totals}"
+    return totals
+
+
+def test_stateful_dedup_state_plateaus_under_churn(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: 12 polls x 200 brand-new keys each,
+    event time advancing 1 h/poll, TTL 30 min. Watermark eviction must hold
+    live state to ~2 polls' worth of keys (the 1-batch watermark lag), not
+    the 2400 cumulative keys — the bound that keeps a 24/7 dedup stream at
+    100 TB from accreting every key it has ever seen."""
+    d = str(tmp_path / "churn_dedup_src")
+    os.makedirs(d)
+    schema = "user_id bigint, ts timestamp, value double"
+    n_polls, keys = 12, 200
+    for poll in range(n_polls):
+        rows = [
+            Row(user_id=poll * keys + i, ts=T0 + datetime.timedelta(hours=poll), value=1.0)
+            for i in range(keys)
+        ]
+        _single_file(spark, spark.createDataFrame(rows, schema), d, f"b{poll:03d}.parquet")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    deduped = stateful_dedup(stream, ["user_id"], "ts", "30 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", str(tmp_path / "churn_dedup_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = list(q.recentProgress)
+    q.stop()
+    totals = _state_totals(progresses, min_batches=10)
+    assert max(totals) <= 3 * keys, f"state not bounded: {totals}"
+    assert totals[-1] <= 3 * keys
+    # sanity: the churn really was cumulative-scale
+    assert n_polls * keys > 3 * max(totals)
+
+def test_stateful_latest_by_key_ttl_state_plateaus(spark, tmp_path):
+    """applyInPandasWithState frontier with processing-time TTL: 10 polls x
+    100 brand-new keys. Each poll's keys time out (ttl_ms=1) before the
+    next poll runs, so hasTimedOut -> state.remove() must keep live state
+    to ~1-2 polls' worth — the PKLOG-retention analogue actually observed
+    in the state store's own numRowsTotal, not just asserted semantically.
+
+    Drive protocol: with a processing-time timeout the engine schedules
+    state-cleanup batches ASAP forever, so BOTH processAllAvailable and
+    availableNow spin on an endless empty-batch tail (observed live; the
+    operator docstring's warning). A listener therefore captures every
+    progress (recentProgress only keeps the last 100 — the empty tail
+    would evict the data batches), and the test stops the query itself
+    once all data batches have been observed."""
+    import time
+
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    from s4hanaconnector_spark.streaming import stateful_latest_by_key
+
+    d = str(tmp_path / "churn_latest_src")
+    os.makedirs(d)
+    schema = "pk bigint, transactionid bigint, payload string"
+    n_polls, keys = 10, 100
+    for poll in range(n_polls):
+        rows = [
+            Row(pk=poll * keys + i, transactionid=poll + 1, payload="x")
+            for i in range(keys)
+        ]
+        _single_file(spark, spark.createDataFrame(rows, schema), d, f"b{poll:03d}.parquet")
+
+    captured: list[dict] = []
+
+    class StateCapture(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            captured.append(
+                {
+                    "numInputRows": p.numInputRows,
+                    "stateRows": [s.numRowsTotal for s in p.stateOperators],
+                }
+            )
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+    listener = StateCapture()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        latest = stateful_latest_by_key(stream, ["pk"], "transactionid", ttl_ms=1)
+        q = (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "churn_latest_ckpt"))
+            .start()
+        )
+        deadline = time.monotonic() + 240
+        while time.monotonic() < deadline:
+            if sum(1 for p in captured if p["numInputRows"] > 0) >= n_polls:
+                break
+            time.sleep(1.0)
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    totals = [sum(p["stateRows"]) for p in captured if p["numInputRows"] > 0]
+    assert len(totals) >= n_polls, f"only {len(totals)} data batches: {totals}"
+    assert max(totals) <= 3 * keys, f"state not bounded: {totals}"
+    assert totals[-1] <= 3 * keys
+    assert n_polls * keys > 3 * max(totals)
