@@ -70,20 +70,64 @@ def main() -> None:
         load = [round(x, 1) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
         load = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "loadavg": load,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "loadavg": load,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        doc["sf1"] = _sf1_tier(spark, headline, sf_dir, timings)
+    print(json.dumps(doc))
     spark.stop()
+
+
+def _sf1_tier(spark, headline, base_dir: str, sf01_timings: dict) -> dict:
+    """Second bench tier at a synthesized 10x of the base dir (r5 VERDICT
+    #1: at sf0.1 every headline query is sub-second, so the baseline gate
+    measures job overhead, not plans — a quadratic rung would hide under
+    fixed costs). Emits per-query timings, samples and the sf0.1 -> sf1
+    RATIO; the scaling contract is ratio ≲ 12 (linear growth + fixed
+    overhead amortization; overhead-dominated micro-queries sit near 1).
+
+    Time budget: best-of-2 (the outlier-rerun rule re-samples only when
+    min > 12x the query's own sf0.1 time this run), and a wall budget —
+    once exceeded, remaining queries run once. Synthesis is cached across
+    rounds under a completion marker (scale_data.synthesize_sf1)."""
+    import time as _t
+
+    from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
+
+    t0 = _t.perf_counter()
+    sf1_dir = synthesize_sf1(spark, base_dir, default_sf1_dir())
+    synth_sec = round(_t.perf_counter() - t0, 1)
+
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))
+    start = _t.perf_counter()
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    ratios: dict[str, float] = {}
+    for name, q in headline.items():
+        n_samples = 2 if (_t.perf_counter() - start) < budget else 1
+        runs = [_time_once(spark, q, sf1_dir) for _ in range(n_samples)]
+        ref = sf01_timings.get(name)
+        if ref and min(runs) > 12 * ref and (_t.perf_counter() - start) < budget:
+            runs.append(_time_once(spark, q, sf1_dir))
+        samples[name] = [round(r, 3) for r in runs]
+        timings[name] = round(min(runs), 3)
+        if ref:
+            ratios[name] = round(timings[name] / ref, 1)
+    return {
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+        "samples": samples,
+        "ratio_vs_sf01": ratios,
+        "synth_sec": synth_sec,
+        "dir": sf1_dir,
+    }
 
 
 def _time_once(spark, q, sf_dir: str) -> float:

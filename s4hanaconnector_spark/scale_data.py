@@ -1,0 +1,136 @@
+"""Seeded sf1-tier synthesis (r5 VERDICT #1): a deterministic ~10x replica
+of the sf0.1 test tables, used by the bench's second tier, the skew stress
+and the sf1 recall recalibration.
+
+Why synthesize instead of shipping data: at sf0.1 every headline query is
+sub-second, so the bench gate measures Spark job overhead, not plan
+quality — a quadratic regression would hide under fixed costs. The 10x
+tier makes data-proportional cost visible again (per-query sf0.1 -> sf1
+ratios ≲ linear) while staying generator-free and reproducible: each
+source row is replicated REPLICAS times with key offsets that preserve
+referential integrity (BASELINE.md §B: "scale linearly").
+
+Design:
+
+* Fact/dimension keys get ``rep * KEY_OFFSET`` added on BOTH sides of
+  every FK edge (customer<-orders<-lineitem, part/supplier<-lineitem),
+  so joins produce exactly 10x the matches — never 100x cross-replica
+  matches. nation/region stay as-is (broadcast dims shared by all
+  replicas, like any real multi-tenant layout).
+* events offsets user_id/event_id: each replica is an independent user
+  space, so as-of/range joins grow linearly in events.
+* documents/embeddings reuse the scale-smoke construction
+  (tests/test_scale_smoke.py): replica 0 verbatim, replicas 1..9 get a
+  per-replica perturbation so they are NEAR-duplicates — adversarial for
+  LSH bucket sizes, which is the failure mode worth measuring.
+* Output is cached under a content-free marker: synthesis is ~a minute,
+  the bench runs per-round, and the construction is deterministic, so a
+  completed cache dir (_SUCCESS_SF1 marker) is reused verbatim.
+
+Big tables are repartitioned on write so the sf1 scans parallelize like a
+real multi-file dataset instead of inheriting sf0.1's file count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPLICAS = 10
+KEY_OFFSET = 10_000_000  # far above any sf0.1 key (max ~600k)
+DOC_OFFSET = 1_000_000  # matches tests/test_scale_smoke.py
+
+# tables copied verbatim (shared broadcast dimensions)
+_VERBATIM = ["region", "nation"]
+# table -> (columns to offset by rep*KEY_OFFSET, output partitions)
+_OFFSET_TABLES = {
+    "supplier": (["s_suppkey"], None),
+    "customer": (["c_custkey"], None),
+    "part": (["p_partkey"], None),
+    "orders": (["o_orderkey", "o_custkey"], 16),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 32),
+    "events": (["event_id", "user_id"], 16),
+}
+
+
+def _replicate_offset(df, key_cols: list[str]):
+    reps = df.sparkSession.range(REPLICAS).withColumnRenamed("id", "__rep")
+    out = df.crossJoin(F.broadcast(reps))
+    for c in key_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__rep") * F.lit(KEY_OFFSET))
+    return out.drop("__rep")
+
+
+def synthesize_sf1(spark: SparkSession, base_dir: str, out_dir: str) -> str:
+    """Materialize the 10x tier of ``base_dir`` (an sf0.1-shaped directory)
+    into ``out_dir``; returns ``out_dir``. Idempotent: a prior COMPLETED
+    synthesis (marker file) is reused; a partial one (crash mid-write) is
+    re-done table-by-table via per-table atomic overwrite."""
+    marker = os.path.join(out_dir, "_SUCCESS_SF1")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def src(t):
+        # through the catalog: events.parquet stores TIMESTAMP(NANOS) and a
+        # raw spark.read refuses the scan; load_table normalizes it to the
+        # NTZ micros every query expects (the sf1 copy is then plain NTZ)
+        from s4hanaconnector_spark.catalog import load_table
+
+        return load_table(spark, base_dir, t)
+
+    def sink(df, t, parts=None):
+        if parts:
+            df = df.repartition(parts)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+    for t in _VERBATIM:
+        sink(src(t), t)
+    for t, (keys, parts) in _OFFSET_TABLES.items():
+        sink(_replicate_offset(src(t), keys), t, parts)
+
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    docs = src("documents")
+    sink(
+        docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("rep") * DOC_OFFSET).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(" ", F.col("text"), F.lit("rep"), F.col("rep").cast("string"))
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+        "documents",
+        parts=16,
+    )
+    embs = src("embeddings")
+    sink(
+        embs.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("rep") * DOC_OFFSET).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x + F.col("rep").cast("float") * F.lit(1e-3)
+                )
+                .otherwise(x)
+                .cast("float"),
+            ).alias("embedding"),
+            "label",
+        ),
+        "embeddings",
+        parts=8,
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def default_sf1_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark-graft-sf1-v1")

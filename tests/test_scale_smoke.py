@@ -158,3 +158,118 @@ def test_similarity_auto_scales_and_flips_to_ivf(spark, big_dir, monkeypatch):
     c_small = c.filter(F.col("c_id") < 1000)
     S.topk(q, c_small, k=5, strategy="auto", brute_force_max_rows=10_000).count()
     assert not calls, "auto planner used IVF under the affordability bound"
+
+
+@pytest.mark.slow
+def test_salted_join_beats_naive_on_skewed_sf1(spark, tmp_path_factory):
+    """Declared skew stress (r5 VERDICT #2): at the sf1 tier, lineitem with
+    ~40% of all rows on ONE l_orderkey, joined to a 15k-key dimension in a
+    join+agg shape, with broadcast and AQE's skew-join rescue disabled —
+    the configuration salting exists for (stream-static joins, engines
+    without AQE). The salted plan must produce hash-identical results AND
+    beat the naive shuffle join's straggler wall clock. Numbers land in
+    SCALE_SMOKE.json -> PLANS.md."""
+    import time as _t
+
+    from s4hanaconnector_spark.operators.skew import salted_join
+    from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
+
+    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir())
+    HOT = 42
+    li = spark.read.parquet(os.path.join(sf1, "lineitem.parquet"))
+    li_skew = li.select("l_orderkey", "l_linenumber", "l_extendedprice").withColumn(
+        "l_orderkey",
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 5,
+            F.lit(HOT).cast("bigint"),
+        ).otherwise(F.col("l_orderkey")),
+    )
+    # materialize so both contenders scan the identical on-disk input, then
+    # CACHE it: the timed difference must be the join stage's straggler,
+    # not the (identical, parallel) parquet scan both plans pay
+    skew_dir = str(tmp_path_factory.mktemp("skew_sf1"))
+    li_path = os.path.join(skew_dir, "li")
+    li_skew.write.parquet(li_path)
+    big = spark.read.parquet(li_path).cache()
+    big.count()
+    # 15k-key dimension (includes the hot key): small enough to replicate
+    # 16x for salting, large enough to be a real shuffle side
+    dim = (
+        spark.read.parquet(os.path.join(sf1, "orders.parquet"))
+        .filter((F.col("o_orderkey") % 100 == 0) | (F.col("o_orderkey") == HOT))
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    dim_path = os.path.join(skew_dir, "dim")
+    dim.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def agg_shape(joined):
+        return joined.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(rev_cents).alias("rev_cents"),  # exact integer: order-free
+        )
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("l_orderkey", "n_rows", "rev_cents").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+
+    def wall(df):
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        # enough reduce tasks that the non-hot work spreads thin and the
+        # hot key's single task is the visible straggler
+        conf.set("spark.sql.shuffle.partitions", "32")
+        naive = agg_shape(big.join(dim, on="l_orderkey", how="inner"))
+        salted = agg_shape(salted_join(big, dim, on=["l_orderkey"], n=16))
+        assert tuple(checksum(naive)) == tuple(checksum(salted))
+        wall(naive), wall(salted)  # warm both plans (JIT/codegen/page cache)
+        t_naive = min(wall(naive), wall(naive))
+        t_salted = min(wall(salted), wall(salted))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+        big.unpersist()
+
+    import json as _json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
+    )
+    try:
+        with open(path) as f:
+            doc = _json.load(f)
+    except Exception:
+        doc = {}
+    doc["skew_salted_vs_naive_join"] = {
+        "naive_s": round(t_naive, 2),
+        "salted_s": round(t_salted, 2),
+        "speedup": round(t_naive / max(t_salted, 0.01), 1),
+    }
+    with open(path, "w") as f:
+        _json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"SKEW naive {t_naive:.2f}s salted {t_salted:.2f}s")
+    assert t_salted <= t_naive, (
+        f"salted join did not beat the straggler: {t_salted:.2f}s vs {t_naive:.2f}s"
+    )
