@@ -81,8 +81,89 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         doc["sf1"] = _sf1_tier(spark, headline, sf_dir, timings)
+    if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
+        doc["streaming"] = _streaming_tier(spark, sf_dir)
     print(json.dumps(doc))
     spark.stop()
+
+
+def _streaming_tier(spark, base_dir: str) -> dict:
+    """Measured streaming latency (r5 VERDICT #3): BASELINE.md's "<= 5 s per
+    1k-change micro-batch" target finally carries an artifact. Drives the
+    REAL streaming engine through the full poll composition — file-source
+    change feed (E17) -> per-batch cdc_delta against the orders table (E8)
+    -> transactional foreachBatch sink with commit markers (E16) — for 10
+    polls of 1k changes each, and reports p50/p95/max per-batch wall from
+    the engine's own progress metrics (durationMs.triggerExecution)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.catalog import load_table
+    from s4hanaconnector_spark.operators.cdc import cdc_delta
+    from s4hanaconnector_spark.queries.cdc import ORDERS_IDENTITY
+    from s4hanaconnector_spark.streaming.core import changes_stream, transactional_sink
+
+    n_polls, rows_per = 10, 1000
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    log_dir = os.path.join(base, "log")
+    os.makedirs(log_dir)
+    orders = load_table(spark, base_dir, "orders")
+    n_orders = orders.count()
+    for p in range(n_polls):
+        rows = spark.range(rows_per).select(
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("change_ts"),
+            F.lit("S4").alias("schema_name"),
+            F.lit("U").alias("change_type"),
+            ((F.col("id") + p * rows_per) % n_orders + 1).cast("string").alias("pk1"),
+            *[F.lit(None).cast("string").alias(f"pk{i}") for i in range(2, 7)],
+            (F.col("id") + p * rows_per + 1).cast("bigint").alias("transactionid"),
+            F.lit(1).cast("int").alias("transaction_seq"),
+            F.lit("orders").alias("table_name"),
+        )
+        w = os.path.join(base, f"w{p}")
+        rows.coalesce(1).write.parquet(w)
+        part = glob.glob(os.path.join(w, "part-*.parquet"))[0]
+        # one file per poll, copied in mod-time order so triggers see the
+        # polls in sequence (maxFilesPerTrigger=1 = one poll per batch)
+        shutil.copy(part, os.path.join(log_dir, f"poll{p:03d}.parquet"))
+
+    def apply_delta(batch_df, batch_id):
+        return cdc_delta(orders, batch_df, ORDERS_IDENTITY, 0, 10**12)
+
+    sink = transactional_sink(os.path.join(base, "out"), transform=apply_delta)
+    stream = changes_stream(spark, log_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(300)
+    progresses = list(q.recentProgress)
+    q.stop()
+    walls = sorted(
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in progresses
+        if p["numInputRows"] > 0
+    )
+    if not walls:  # pragma: no cover - defensive: never report an empty leg
+        return {"batches": 0, "drained": bool(drained)}
+
+    def pct(frac: float) -> float:
+        return round(walls[min(len(walls) - 1, int(frac * len(walls)))], 3)
+
+    return {
+        "batches": len(walls),
+        "rows_per_batch": rows_per,
+        "p50_sec": pct(0.5),
+        "p95_sec": pct(0.95),
+        "max_sec": round(walls[-1], 3),
+        "target_sec": 5.0,
+        "drained": bool(drained),
+    }
 
 
 def _sf1_tier(spark, headline, base_dir: str, sf01_timings: dict) -> dict:

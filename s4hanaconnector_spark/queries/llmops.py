@@ -433,10 +433,12 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rung as an oracle-checked contract — per query, how many of the true
     top-10 the 4-of-16-cell probe recovered, as exact integer counts (no
     float recall in the hash gate). The query function additionally
-    ASSERTS the aggregate recall floor (>= 60%), so a quantizer or probe
-    regression fails the gate loudly rather than shipping a silently
-    worse index; the measured number also motivates the production sizing
-    path (kmeans_centroids: sampled KMeans, ~sqrt(N) cells)."""
+    ASSERTS the aggregate recall floor (>= 80% — recalibrated r6 against
+    the measured minimum across sf0.001/0.01/0.1/sf1: 88/92/100/100%),
+    so a quantizer or probe regression fails the gate loudly rather than
+    shipping a silently worse index; the measured number also motivates
+    the production sizing path (kmeans_centroids: sampled KMeans,
+    ~sqrt(N) cells)."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
@@ -466,9 +468,9 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer cross-multiplication, no float division (determinism rules)
     # explicit raise, not a bare assert: these quality gates are a
     # production fail-loudly contract and must survive `python -O`
-    if totals["h"] * 100 < totals["e"] * 60:
+    if totals["h"] * 100 < totals["e"] * 80:
         raise AssertionError(
-            f"IVF recall regression: {totals['h']}/{totals['e']} below 60%"
+            f"IVF recall regression: {totals['h']}/{totals['e']} below 80%"
         )
     return out
 
@@ -2277,8 +2279,9 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the int8-quantized rung vs the exact float rung, as
     exact integer counts under the hash gate — quantization loss is a
     MEASURED contract, not a hope. The function asserts an aggregate
-    recall floor (>= 80%; int8 should lose far less than coarse IVF
-    probing), so a quantizer regression fails loudly."""
+    recall floor (>= 90% — recalibrated r6 against the measured minimum
+    across sf0.001/0.01/0.1/sf1: 100/100/98/100%; int8 loses far less
+    than coarse IVF probing), so a quantizer regression fails loudly."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
@@ -2303,9 +2306,9 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=False)
     totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
     # explicit raise: the gate must survive `python -O` (see IVF gate)
-    if totals["h"] * 100 < totals["e"] * 80:
+    if totals["h"] * 100 < totals["e"] * 90:
         raise AssertionError(
-            f"int8 recall regression: {totals['h']}/{totals['e']} below 80%"
+            f"int8 recall regression: {totals['h']}/{totals['e']} below 90%"
         )
     return out
 

@@ -163,7 +163,7 @@ def test_similarity_auto_scales_and_flips_to_ivf(spark, big_dir, monkeypatch):
 @pytest.mark.slow
 def test_salted_join_beats_naive_on_skewed_sf1(spark, tmp_path_factory):
     """Declared skew stress (r5 VERDICT #2): at the sf1 tier, lineitem with
-    ~40% of all rows on ONE l_orderkey, joined to a 15k-key dimension in a
+    ~50% of all rows on ONE l_orderkey, joined to a 15k-key dimension in a
     join+agg shape, with broadcast and AQE's skew-join rescue disabled —
     the configuration salting exists for (stream-static joins, engines
     without AQE). The salted plan must produce hash-identical results AND
@@ -273,3 +273,44 @@ def test_salted_join_beats_naive_on_skewed_sf1(spark, tmp_path_factory):
     assert t_salted <= t_naive, (
         f"salted join did not beat the straggler: {t_salted:.2f}s vs {t_naive:.2f}s"
     )
+
+
+@pytest.mark.slow
+def test_recall_gates_green_at_sf1(spark):
+    """Recall recalibration evidence (r5 VERDICT #7): the IVF and int8
+    recall gates — floors raised r6 to 80%/90% from the measured minima
+    across sf0.001/0.01/0.1/sf1 (88/92/100/100% and 100/100/98/100%) —
+    must hold on the sf1 corpus (20k vectors, every family of 10 being
+    near-duplicates). The query functions raise internally below their
+    floors; this test records the sf1 measured values into
+    SCALE_SMOKE.json so PLANS.md carries the evidence."""
+    import json as _json
+
+    from s4hanaconnector_spark.queries import load_all
+    from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
+
+    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir())
+    reg = load_all()
+    measured = {}
+    for name in ("similarity_ivf_recall", "similarity_int8_recall"):
+        out = reg[name].fn(spark, sf1)  # raises below the floor
+        t = out.agg(
+            F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")
+        ).collect()[0]
+        measured[name] = f"{t['h']}/{t['e']}"
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
+    )
+    try:
+        with open(path) as f:
+            doc = _json.load(f)
+    except Exception:
+        doc = {}
+    doc["recall_at_sf1"] = {
+        "ivf_recall_at_10": measured["similarity_ivf_recall"],
+        "int8_recall_at_10": measured["similarity_int8_recall"],
+        "floors": "ivf>=80%, int8>=90%",
+    }
+    with open(path, "w") as f:
+        _json.dump(doc, f, indent=1, sort_keys=True)
