@@ -95,9 +95,22 @@ def _streaming_tier(spark, base_dir: str) -> dict:
     -> transactional foreachBatch sink with commit markers (E16) — for 10
     polls of 1k changes each, and reports p50/p95/max per-batch wall from
     the engine's own progress metrics (durationMs.triggerExecution)."""
-    import glob
     import shutil
     import tempfile
+
+    n_polls, rows_per = 10, 1000
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        return _run_streaming_tier(spark, base_dir, base, n_polls, rows_per)
+    finally:
+        # no cross-run reuse (unlike the deliberately cached sf1 dir):
+        # feed files, sink output and checkpoint die with the run
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _run_streaming_tier(spark, base_dir, base, n_polls, rows_per) -> dict:
+    import glob
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -106,8 +119,6 @@ def _streaming_tier(spark, base_dir: str) -> dict:
     from s4hanaconnector_spark.queries.cdc import ORDERS_IDENTITY
     from s4hanaconnector_spark.streaming.core import changes_stream, transactional_sink
 
-    n_polls, rows_per = 10, 1000
-    base = tempfile.mkdtemp(prefix="bench_stream_")
     log_dir = os.path.join(base, "log")
     os.makedirs(log_dir)
     orders = load_table(spark, base_dir, "orders")
@@ -183,7 +194,7 @@ def _sf1_tier(spark, headline, base_dir: str, sf01_timings: dict) -> dict:
     from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
 
     t0 = _t.perf_counter()
-    sf1_dir = synthesize_sf1(spark, base_dir, default_sf1_dir())
+    sf1_dir = synthesize_sf1(spark, base_dir, default_sf1_dir(base_dir))
     synth_sec = round(_t.perf_counter() - t0, 1)
 
     budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))

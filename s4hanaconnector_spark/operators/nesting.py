@@ -137,7 +137,17 @@ def maintain_nested_docs(
     # hard-fail feeds with nullable FKs that are perfectly maintainable.
     # ``check_delete_keys=False`` skips the (delta-sized, but eager) probe
     # job for callers on a hot poll loop that enforce the contract upstream.
-    if check_delete_keys and "_change_type" in detail_batch.columns:
+    if check_delete_keys:
+        if "_change_type" not in detail_batch.columns:
+            # a keys-only batch with the change type projected away cannot
+            # be probed — refusing loudly beats silently skipping the very
+            # check that prevents stale documents (opt out explicitly if
+            # the feed genuinely has no delete legs)
+            raise ValueError(
+                "detail batch has no _change_type column, so the delete-row "
+                "join-key probe cannot run; pass check_delete_keys=False if "
+                "this feed carries no deletes"
+            )
         del_keys = detail_batch.filter(F.col("_change_type") == "D").select(
             *[F.col(r).alias(l) for l, r in zip(left_keys, right_keys)]
         )
@@ -149,7 +159,13 @@ def maintain_nested_docs(
                 "deleted details leave stale nested documents"
             )
     # NULL keys on non-delete rows never join; drop them so the broadcast
-    # semi-join below doesn't carry useless NULL probe rows.
+    # semi-join below doesn't carry useless NULL probe rows. NOTE the batch
+    # contract this implies for FK UPDATES (NULL or otherwise): a U row
+    # carries only the NEW key, so the OLD parent's document re-nests only
+    # if the old key is also visible in the batch — deliver key changes as
+    # a D(old)+I(new) pair (pk_change_expand does this when the key is in
+    # the detail PK) or derive an explicit old+new fan-out like the 2-level
+    # maintenance query does.
     changed_keys = changed_keys.filter(~null_key)
     via_detail = master.join(
         F.broadcast(changed_keys), on=left_keys, how="left_semi"

@@ -233,7 +233,7 @@ def _compact_quarantine_seen(
     import shutil
 
     tmp = seen_path + ".compact"
-    if not os.path.isdir(seen_path):  # pragma: no cover
+    if not os.path.isdir(seen_path):
         # crash landed between rmtree(seen) and rename(tmp): finish the swap
         if os.path.isdir(tmp):
             os.rename(tmp, seen_path)
@@ -318,8 +318,12 @@ def _ship_quarantine(
         cutoff = F.to_timestamp(F.lit(now_ts)) - F.expr(
             f"INTERVAL {int(retention_seconds)} SECONDS"
         )
+    # BEFORE the existence guard: compaction also owns the crash-recovery of
+    # a half-finished swap (seen dir gone, .compact intact) — guarding first
+    # would skip recovery in exactly the crash state it exists for, re-ship
+    # the whole window as duplicates, and later discard the intact state
+    _compact_quarantine_seen(spark, seen_path, expiry_cutoff=cutoff)
     if os.path.isdir(seen_path) and os.listdir(seen_path):
-        _compact_quarantine_seen(spark, seen_path, expiry_cutoff=cutoff)
         seen = spark.read.option("mergeSchema", "true").parquet(seen_path)
         if cutoff is not None and "_shipped_ts" in seen.columns:
             # expired fingerprints stop deduplicating: a re-arriving stale

@@ -709,7 +709,13 @@ def cdc_quarantine_poll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     and must be stopped by the fingerprint side-state; beyond-watermark
     txids are rescanned too and deduped the same way). Exercises the range
     keying by resume point, the bounded bad-row scan, and the persisted
-    `_quarantine_seen` dedup in one lifecycle."""
+    `_quarantine_seen` dedup in one lifecycle.
+
+    Retention is DISABLED here (``quarantine_retention_seconds=None``):
+    this query pins the pure exactly-once dedup contract, and its two
+    polls sit 27 years apart in fixture time — under the default 7-day
+    retention the second poll would legitimately RE-SHIP everything
+    (that behavior has its own oracle, ``cdc_quarantine_retention``)."""
     import os
     import tempfile
 
@@ -748,10 +754,12 @@ def cdc_quarantine_poll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, [ORDERS_MAPPING], lambda name: orders, dirty, txns,
         from_txid=0, sink=sink, now_ts=_POLL2_NOW1,
         staleness_seconds=_POLL2_STALENESS, quarantine=True,
+        quarantine_retention_seconds=None,
     )
     hi2 = poll(
         spark, [ORDERS_MAPPING], lambda name: orders, dirty, txns,
         from_txid=hi1, sink=sink, now_ts="2026-01-01 00:00:00", quarantine=True,
+        quarantine_retention_seconds=None,
     )
     if not hi2 > hi1 >= 0:
         raise AssertionError(f"polls did not advance: {hi1} -> {hi2}")

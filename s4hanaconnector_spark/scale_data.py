@@ -130,7 +130,13 @@ def synthesize_sf1(spark: SparkSession, base_dir: str, out_dir: str) -> str:
     return out_dir
 
 
-def default_sf1_dir() -> str:
+def default_sf1_dir(base_dir: str) -> str:
+    """Cache location for the 10x tier of ``base_dir`` — KEYED on the base
+    dir, so a tier synthesized from sf0.01 is never silently reused for a
+    bench run against sf0.1 (which would make the scaling-ratio contract
+    pass vacuously)."""
+    import hashlib
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "spark-graft-sf1-v1")
+    key = hashlib.md5(os.path.abspath(base_dir).encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark-graft-sf1-v1-{key}")

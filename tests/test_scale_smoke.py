@@ -174,7 +174,7 @@ def test_salted_join_beats_naive_on_skewed_sf1(spark, tmp_path_factory):
     from s4hanaconnector_spark.operators.skew import salted_join
     from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
 
-    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir())
+    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir(BASE))
     HOT = 42
     li = spark.read.parquet(os.path.join(sf1, "lineitem.parquet"))
     li_skew = li.select("l_orderkey", "l_linenumber", "l_extendedprice").withColumn(
@@ -289,7 +289,7 @@ def test_recall_gates_green_at_sf1(spark):
     from s4hanaconnector_spark.queries import load_all
     from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
 
-    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir())
+    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir(BASE))
     reg = load_all()
     measured = {}
     for name in ("similarity_ivf_recall", "similarity_int8_recall"):
