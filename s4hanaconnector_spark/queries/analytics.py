@@ -35,7 +35,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
        CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -49,7 +49,15 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E23 flagship: TPC-H Q1 shape — scan-heavy groupBy with 8 aggregates.
     Partial (map-side) aggregation makes this shuffle only
-    |groups| x |partitions| rows regardless of input size."""
+    |groups| x |partitions| rows regardless of input size.
+
+    Oracle note (found by the sf1 parity test): sum_charge is a scale-6
+    decimal whose UNSCALED value passes 2^53 around 6M rows, and DuckDB's
+    native DECIMAL->DOUBLE cast is not correctly rounded there (int->double
+    then *1e-6: two roundings, observed 1 ULP off at sf1) while Spark's
+    BigDecimal.doubleValue is. The oracle therefore round-trips that sum
+    through VARCHAR (strtod is correctly rounded) — identical below 2^53,
+    correct above."""
     l = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     )

@@ -314,3 +314,51 @@ def test_recall_gates_green_at_sf1(spark):
     }
     with open(path, "w") as f:
         _json.dump(doc, f, indent=1, sort_keys=True)
+
+
+@pytest.mark.slow
+def test_oracle_parity_at_sf1(spark):
+    """Correctness at the sf1 tier, not only the driver's sf0.01: a
+    representative slice of headline queries (scan+agg, multi-join,
+    agg-before-join, dedup, quantile threshold) hash-compared against the
+    DuckDB oracle over the SAME 6M-row synthesized tables. Guards against
+    scale-dependent divergence (overflow, float accumulation order,
+    partial-agg boundaries) that small-SF parity cannot see."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
+    from tests.parity import assert_parity
+
+    sf1 = synthesize_sf1(spark, BASE, default_sf1_dir(BASE))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1}/{t}.parquet/*.parquet')"
+        )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = [
+        "q1_pricing_summary", "q5_region_revenue", "q18_large_volume_orders",
+        "join_agg_small_qty_revenue", "dedup_fingerprint", "quantile_outlier_docs",
+    ]
+    checked = {}
+    for name in names:
+        checked[name] = assert_parity(qs[name](spark, sf1), con, osql[name], name)
+
+    import json as _json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
+    )
+    try:
+        with open(path) as f:
+            doc = _json.load(f)
+    except Exception:
+        doc = {}
+    doc["oracle_parity_at_sf1"] = {
+        "queries_green": len(checked),
+        "rows": sum(checked.values()),
+    }
+    with open(path, "w") as f:
+        _json.dump(doc, f, indent=1, sort_keys=True)
