@@ -478,3 +478,41 @@ def test_quarantine_seen_compaction_preserves_dedup(spark, tmp_path):
     shutil.move(seen, seen + ".compact")
     _compact_quarantine_seen(spark, seen, max_files=16)
     assert sorted(r["_row_md5"] for r in spark.read.parquet(seen).collect()) == got
+
+
+def test_quarantine_crash_before_fingerprint_append_reships_never_loses(spark, tmp_path):
+    """The quarantine's own crash window: DLQ data commits BEFORE the
+    fingerprint append, so a crash between the two must RE-SHIP those rows
+    under the next sequence key on the following poll (at-least-once,
+    never lost) — and once the fingerprints finally land, shipping stops."""
+    import shutil
+
+    from pyspark.sql import Row as _Row
+
+    src = _src(spark, [(1, "a")])
+    bad_row = spark.createDataFrame(
+        [
+            _Row(
+                change_ts=TS, schema_name="S4", change_type="U", pk1=None,
+                pk2=None, pk3=None, pk4=None, pk5=None, pk6=None,
+                transactionid=1000, transaction_seq=1, table_name="t",
+            )
+        ],
+        _pklog(spark, []).schema,
+    )
+    log = _pklog(spark, [("U", 1, 10)]).unionByName(bad_row)
+    out = str(tmp_path / "out")
+    sink = RangeCommitSink(out)
+    args = (spark, [MAPPING], lambda n: src, log, _txns(spark, []))
+    poll(*args, 0, sink, NOW, quarantine=True)
+    assert spark.read.parquet(os.path.join(out, "_quarantine")).count() == 1
+    # simulate the crash: the range committed but the fingerprint append
+    # never became durable
+    shutil.rmtree(os.path.join(out, "_quarantine_seen"))
+    poll(*args, 0, sink, NOW, quarantine=True)  # crash-replayed poll
+    shipped = spark.read.parquet(os.path.join(out, "_quarantine"))
+    assert shipped.count() == 2  # re-shipped under seq 1: duplicated, not lost
+    assert sink.committed("_quarantine", 0) and sink.committed("_quarantine", 1)
+    # fingerprints are durable now: a third poll ships nothing
+    poll(*args, 0, sink, NOW, quarantine=True)
+    assert spark.read.parquet(os.path.join(out, "_quarantine")).count() == 2
