@@ -341,6 +341,11 @@ def test_oracle_parity_at_sf1(spark):
     names = [
         "q1_pricing_summary", "q5_region_revenue", "q18_large_volume_orders",
         "join_agg_small_qty_revenue", "dedup_fingerprint", "quantile_outlier_docs",
+        # one per remaining family: grouping sets, histogram binning, text
+        # row-local ops at 50k docs, LSH pair generation on the adversarial
+        # near-dup corpus, watermark composition, event sessionization
+        "agg_rollup", "orders_price_histogram", "text_lang_id",
+        "dedup_minhash_lsh", "cdc_watermark", "events_sessionize",
     ]
     checked = {}
     for name in names:
