@@ -34,7 +34,7 @@ def _dec(c):
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -57,7 +57,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     then *1e-6: two roundings, observed 1 ULP off at sf1) while Spark's
     BigDecimal.doubleValue is. The oracle therefore round-trips that sum
     through VARCHAR (strtod is correctly rounded) — identical below 2^53,
-    correct above."""
+    correct above. Applied to sum_disc_price too (scale 4, unscaled
+    ~2.2e15 at sf1 — one scale tier below the same cliff). THE PATTERN
+    for any oracle: when a decimal sum's unscaled value (value x 10^scale)
+    can approach 2^53 ~ 9e15, emit CAST(CAST(sum(..) AS VARCHAR) AS
+    DOUBLE); the sf1 parity gate exists to catch crossings."""
     l = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     )

@@ -130,6 +130,13 @@ def synthesize_sf1(spark: SparkSession, base_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def sf1_table_names() -> list[str]:
+    """Every table the sf1 tier materializes — derived from the synthesis
+    declarations so consumers (DuckDB oracle views in the parity tests)
+    stay in lockstep when a table is added."""
+    return [*_VERBATIM, *_OFFSET_TABLES, "documents", "embeddings"]
+
+
 def default_sf1_dir(base_dir: str) -> str:
     """Cache location for the 10x tier of ``base_dir`` — KEYED on the base
     dir, so a tier synthesized from sf0.01 is never silently reused for a

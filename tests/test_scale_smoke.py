@@ -77,10 +77,10 @@ def _timed(spark, name, sf_dir):
     return time.perf_counter() - t0, n
 
 
-def _record(name, t_small, t_big):
-    """Persist the measurement into SCALE_SMOKE.json — plan_audit.py renders
-    PLANS.md's scale-smoke table from this file, so the doc always carries
-    the last MEASURED numbers, never a stale paste."""
+def _record_raw(name, payload: dict):
+    """Persist one measurement entry into SCALE_SMOKE.json — plan_audit.py
+    renders PLANS.md's scale-smoke tables from this file, so the doc always
+    carries the last MEASURED numbers, never a stale paste."""
     import json
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -90,13 +90,17 @@ def _record(name, t_small, t_big):
             doc = json.load(f)
     except Exception:
         doc = {}
-    doc[name] = {
+    doc[name] = payload
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+
+def _record(name, t_small, t_big):
+    _record_raw(name, {
         "t_small": round(t_small, 2),
         "t_big": round(t_big, 2),
         "ratio": round(t_big / max(t_small, 0.5), 1),
-    }
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
+    })
 
 
 # quadratic growth in |docs| would be ~100x; linear is ~10x. 30x is the
@@ -252,23 +256,11 @@ def test_salted_join_beats_naive_on_skewed_sf1(spark, tmp_path_factory):
                 conf.set(k, v)
         big.unpersist()
 
-    import json as _json
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
-    )
-    try:
-        with open(path) as f:
-            doc = _json.load(f)
-    except Exception:
-        doc = {}
-    doc["skew_salted_vs_naive_join"] = {
+    _record_raw("skew_salted_vs_naive_join", {
         "naive_s": round(t_naive, 2),
         "salted_s": round(t_salted, 2),
         "speedup": round(t_naive / max(t_salted, 0.01), 1),
-    }
-    with open(path, "w") as f:
-        _json.dump(doc, f, indent=1, sort_keys=True)
+    })
     print(f"SKEW naive {t_naive:.2f}s salted {t_salted:.2f}s")
     assert t_salted <= t_naive, (
         f"salted join did not beat the straggler: {t_salted:.2f}s vs {t_naive:.2f}s"
@@ -284,8 +276,6 @@ def test_recall_gates_green_at_sf1(spark):
     near-duplicates). The query functions raise internally below their
     floors; this test records the sf1 measured values into
     SCALE_SMOKE.json so PLANS.md carries the evidence."""
-    import json as _json
-
     from s4hanaconnector_spark.queries import load_all
     from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
 
@@ -299,21 +289,11 @@ def test_recall_gates_green_at_sf1(spark):
         ).collect()[0]
         measured[name] = f"{t['h']}/{t['e']}"
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
-    )
-    try:
-        with open(path) as f:
-            doc = _json.load(f)
-    except Exception:
-        doc = {}
-    doc["recall_at_sf1"] = {
+    _record_raw("recall_at_sf1", {
         "ivf_recall_at_10": measured["similarity_ivf_recall"],
         "int8_recall_at_10": measured["similarity_int8_recall"],
         "floors": "ivf>=80%, int8>=90%",
-    }
-    with open(path, "w") as f:
-        _json.dump(doc, f, indent=1, sort_keys=True)
+    })
 
 
 @pytest.mark.slow
@@ -327,13 +307,16 @@ def test_oracle_parity_at_sf1(spark):
     import duckdb
 
     import __spark_entry__ as entry
-    from s4hanaconnector_spark.scale_data import default_sf1_dir, synthesize_sf1
+    from s4hanaconnector_spark.scale_data import (
+        default_sf1_dir,
+        sf1_table_names,
+        synthesize_sf1,
+    )
     from tests.parity import assert_parity
 
     sf1 = synthesize_sf1(spark, BASE, default_sf1_dir(BASE))
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in sf1_table_names():  # derived from the synthesis declarations
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1}/{t}.parquet/*.parquet')"
         )
@@ -351,19 +334,7 @@ def test_oracle_parity_at_sf1(spark):
     for name in names:
         checked[name] = assert_parity(qs[name](spark, sf1), con, osql[name], name)
 
-    import json as _json
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"
-    )
-    try:
-        with open(path) as f:
-            doc = _json.load(f)
-    except Exception:
-        doc = {}
-    doc["oracle_parity_at_sf1"] = {
+    _record_raw("oracle_parity_at_sf1", {
         "queries_green": len(checked),
         "rows": sum(checked.values()),
-    }
-    with open(path, "w") as f:
-        _json.dump(doc, f, indent=1, sort_keys=True)
+    })
