@@ -2084,6 +2084,96 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_orc_roundtrip",
+    """
+SELECT l_returnflag,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem WHERE l_orderkey % 16 = 0 AND l_linenumber = 1
+GROUP BY l_returnflag, strftime(l_shipdate, '%Y-%m-%d')
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source surface (Spark-native columnar alternative to parquet —
+    the other file format an extract-based deployment of the reference
+    encounters): a deterministic lineitem subset is exported to ORC
+    in-query and read back, then aggregated. The temporal column travels
+    as ORC DATE (timezone-free by construction — ORC TIMESTAMP is
+    local-time-zone-sensitive and would shift under the driver's plain
+    session, exactly the class of drift the gate exists to catch); money
+    travels as DECIMAL. The oracle computes the same aggregate straight
+    from the parquet fixture, so parity proves the ORC round trip is
+    value-exact. Predicate pushdown and column pruning apply to ORC scans
+    like parquet (same DataSource V2 path)."""
+    import os
+    import tempfile
+
+    sub = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 16 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            "l_returnflag",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="orc_src_")
+    path = os.path.join(d, "lineitem_orc")
+    sub.write.orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        "l_returnflag", F.date_format("ship_date", "yyyy-MM-dd").alias("ship_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "source_binaryfile_ingest",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 37 = 0
+""",
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source — the ingestion front door of the multimodal
+    surface (E22): opaque files on disk become (path, length, content)
+    rows. A deterministic documents subset is materialized as one UTF-8
+    file per doc (named by doc_id), read back via
+    ``spark.read.format("binaryFile")``, and manifested as
+    (doc_id-from-filename, byte length, md5 of the raw bytes). The oracle
+    computes octet_length/md5 over the SAME text straight from the parquet
+    fixture — byte-level parity proves the filesystem round trip loses
+    nothing (multi-byte UTF-8 included: octet_length, never char length).
+    Fixture setup collects the subset driver-side — bounded by the %37
+    filter, and file creation is setup, not the measured operator; at
+    corpus scale the files already exist (that is the point of the
+    source)."""
+    import os
+    import tempfile
+
+    sub = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id", "text")
+    )
+    d = tempfile.mkdtemp(prefix="binsrc_")
+    for r in sub.collect():
+        with open(os.path.join(d, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(os.path.join(d, "*.bin"))
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@register(
     "cdc_forget_cascade",
     """
 WITH forget AS (
