@@ -733,3 +733,66 @@ def test_2level_nested_maintenance_equals_full_renest(spark, cu, cd, ou, om, od,
         )
 
     assert canon(maintained) == canon(full)
+
+
+# ---------------------------------------------------------------------------
+# DLQ fingerprint retention: ships-iff-outside-window, for random poll times
+# ---------------------------------------------------------------------------
+
+_poll_offsets = st.lists(
+    st.integers(min_value=0, max_value=20), min_size=1, max_size=4
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(offsets=_poll_offsets)
+def test_quarantine_retention_ships_iff_outside_window(spark, offsets, tmp_path_factory):
+    """For ANY sequence of poll times (day offsets, repeats and
+    out-of-order draws included), a malformed row ships on a poll exactly
+    when its latest prior ship lies STRICTLY more than the retention
+    window in the past (a stamp equal to the cutoff still dedups) — the
+    greedy model of the stamped-fingerprint contract. Catches boundary
+    regressions (>= vs >), stamp-maxing mistakes after re-ships, and
+    accidental dedup loss across compactions."""
+    import datetime as _dt
+    import os
+
+    from tests.test_poll import MAPPING, _pklog, _src, _txns
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+
+    R_DAYS = 7
+    times = sorted(set(offsets))  # poll times advance; duplicates collapse
+    base = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = _src(spark, [(1, "a")])
+    bad = spark.createDataFrame(
+        [
+            (base, "S4", "U", None, None, None, None, None, None, None, 1, "t"),
+        ],
+        _pklog(spark, []).schema,
+    )
+    log = _pklog(spark, [("U", 1, 10)]).unionByName(bad)
+    out = str(tmp_path_factory.mktemp("q_ret_prop"))
+    sink = RangeCommitSink(out)
+
+    expected_ships, last_ship = 0, None
+    for t_days in times:
+        now = (base + _dt.timedelta(days=t_days)).strftime("%Y-%m-%d %H:%M:%S")
+        poll(
+            spark, [MAPPING], lambda n: src, log, _txns(spark, []),
+            0, sink, now, quarantine=True,
+            quarantine_retention_seconds=R_DAYS * 86400,
+        )
+        if last_ship is None or (t_days - last_ship) > R_DAYS:
+            expected_ships += 1
+            last_ship = t_days
+    dlq_dir = os.path.join(out, "_quarantine")
+    got = (
+        spark.read.parquet(dlq_dir).count() if os.path.isdir(dlq_dir) else 0
+    )
+    assert got == expected_ships, (
+        f"poll days {times}: expected {expected_ships} ships, got {got}"
+    )
