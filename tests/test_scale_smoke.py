@@ -329,6 +329,9 @@ def test_oracle_parity_at_sf1(spark):
         # near-dup corpus, watermark composition, event sessionization
         "agg_rollup", "orders_price_histogram", "text_lang_id",
         "dedup_minhash_lsh", "cdc_watermark", "events_sessionize",
+        # derived partsupp bridge + 6-way join; window ranking over 1.5M
+        # orders (the 449k-row result is the largest cross-engine compare)
+        "q9_product_profit", "window_topk_per_customer",
     ]
     checked = {}
     for name in names:
