@@ -87,10 +87,24 @@ def maintain_nested_docs(
     detail_cols: list[str] | None = None,
     sort_detail_by: list[str] | None = None,
     check_delete_keys: bool = True,
+    strict_update_keys: bool = False,
 ) -> DataFrame:
     """Incrementally maintain a materialized nested-document table under
     master+detail CDC batches: re-nest ONLY the documents whose master row
     changed or whose detail set changed, keep every other document as-is.
+
+    BATCH CONTRACT for detail-side key changes (r6 ADVICE): a U row carries
+    only its NEW join key, so the OLD parent's document re-nests only if
+    the old key is also visible in the batch — deliver key changes as a
+    D(old)+I(new) pair (``pk_change_expand`` does this when the key is in
+    the detail PK). In particular an FK->NULL UPDATE delivered as a bare U
+    row is SILENTLY incomplete under the default settings: the NULL key is
+    dropped from the probe set (NULL never joins) and the detached detail's
+    old parent keeps its stale nested document. Feeds that cannot guarantee
+    D+I delivery must pass ``strict_update_keys=True``, which rejects
+    non-delete batch rows carrying NULL join keys instead of maintaining
+    from them; feeds with genuinely-nullable FKs (orphaned details are a
+    legal steady state) keep the default and own the contract upstream.
 
     This is the composition the reference implies but never ships: its
     latent BO model (tmp JSON:76-160, EditBusinessObject.view:72-105)
@@ -159,13 +173,27 @@ def maintain_nested_docs(
                 "deleted details leave stale nested documents"
             )
     # NULL keys on non-delete rows never join; drop them so the broadcast
-    # semi-join below doesn't carry useless NULL probe rows. NOTE the batch
-    # contract this implies for FK UPDATES (NULL or otherwise): a U row
-    # carries only the NEW key, so the OLD parent's document re-nests only
-    # if the old key is also visible in the batch — deliver key changes as
-    # a D(old)+I(new) pair (pk_change_expand does this when the key is in
-    # the detail PK) or derive an explicit old+new fan-out like the 2-level
-    # maintenance query does.
+    # semi-join below doesn't carry useless NULL probe rows. The batch
+    # contract this implies for FK UPDATES (incl. FK->NULL detachment) is
+    # spelled out in the function docstring; strict mode makes it a runtime
+    # error for feeds that cannot guarantee D(old)+I(new) delivery.
+    if strict_update_keys:
+        nondel = (
+            detail_batch.filter(F.col("_change_type") != "D")
+            if "_change_type" in detail_batch.columns
+            else detail_batch
+        )
+        nondel_keys = nondel.select(
+            *[F.col(r).alias(l) for l, r in zip(left_keys, right_keys)]
+        )
+        if not nondel_keys.filter(null_key).isEmpty():
+            raise ValueError(
+                "strict_update_keys: detail batch carries non-delete rows "
+                f"with NULL join-key values ({left_keys}) — an FK->NULL "
+                "update delivered as a bare U row leaves the OLD parent's "
+                "nested document stale; deliver key changes as D(old)+I(new) "
+                "or disable strict mode if orphaned details are legal here"
+            )
     changed_keys = changed_keys.filter(~null_key)
     via_detail = master.join(
         F.broadcast(changed_keys), on=left_keys, how="left_semi"

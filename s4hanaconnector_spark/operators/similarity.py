@@ -162,15 +162,56 @@ def ivf_topk(
             .select(F.col(c_id).alias("__cent_id"), F.col(vec).alias("__cent"))
         )
 
+    # Cell assignment is a ROW-LOCAL argmax over the (tiny, already
+    # driver-affordable) centroid table — zero shuffle. The previous shape
+    # (broadcast crossJoin -> row_number window partitioned by the row id)
+    # pushed |corpus| x n_centroids rows through a full shuffle-sort just to
+    # keep one row per id; at the x10 bench tier that window dominated the
+    # query. Semantics are pinned identical: affinity rounded to
+    # ``round_digits`` BEFORE ranking, ties to the lowest cent_id, NaN
+    # affinities (zero-norm vectors) rank first exactly as the window's
+    # DESC NaN-greatest order did.
+    cent_rows = sorted(
+        (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in cent.collect()
+    )
+    import math as _m
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(_m.sqrt(sum(x * x for x in cv))).alias("cnorm"),
+            )
+            for cid, cv in cent_rows
+        ]
+    )
+
     def assign(df: DataFrame, id_col: str, keep_rn: int) -> DataFrame:
-        aff = F.round(cosine(F.col(vec), F.col("__cent")), round_digits)
-        w = W.partitionBy(id_col).orderBy(F.desc("__aff"), F.asc("__cent_id"))
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .select(id_col, vec, F.col("__cent_id"), aff.alias("__aff"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= keep_rn)
-            .select(id_col, vec, F.col("__cent_id").alias("__cell"))
+        # materialize the row norm FIRST: higher-order lambdas re-evaluate
+        # referenced subtrees per element (repo-wide perf rule), so _norm
+        # inside the transform would recompute per centroid
+        with_norm = df.select(
+            id_col, vec, _norm(F.col(vec)).alias("__vnorm"), cent_lit.alias("__cents")
+        )
+        aff = lambda c: F.round(  # noqa: E731
+            _dot(F.col(vec), c["cv"]) / (F.col("__vnorm") * c["cnorm"]), round_digits
+        )
+        ranked = F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                # ascending struct sort on (-aff, cid): max affinity first,
+                # ties to lowest cent_id; NaN -> +inf reproduces the window's
+                # DESC NaN-first placement
+                lambda c: F.struct(
+                    (-F.nanvl(aff(c), F.lit(float("inf")))).alias("negaff"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        picked = F.slice(ranked, 1, keep_rn)
+        return with_norm.select(
+            id_col, vec, F.explode(F.transform(picked, lambda s: s["cid"])).alias("__cell")
         )
 
     cells = assign(corpus.select(c_id, vec), c_id, 1)
@@ -178,7 +219,10 @@ def ivf_topk(
 
     cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
     scored = (
-        probes.join(cells, on="__cell")
+        # probes = |queries| x n_probe rows -> broadcast side; the corpus
+        # cells therefore never shuffle (a shuffled join on __cell would
+        # also skew badly: only n_centroids distinct keys)
+        cells.join(F.broadcast(probes), on="__cell")
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, cos.alias("cosine"))
     )
@@ -329,6 +373,39 @@ def quantized_topk(
     )
 
 
+def _estimate_corpus_rows(corpus: DataFrame, bound: int) -> int:
+    """Row estimate for the auto planner. Fast path: sum the parquet footer
+    row counts of the plan's input files — one driver-side metadata read per
+    file, no scan, early-exit once past ``bound``. This is exact for a bare
+    scan and an upper bound when filters sit above it (safe direction for
+    affordability). Non-file plans (in-memory, shuffles between the scan and
+    the top) fall back to a bounded limit probe — bounded work at any corpus
+    size because ``limit`` short-circuits the scan."""
+    try:
+        files = corpus.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        files = []
+    if files and all(f.endswith(".parquet") for f in files):
+        try:
+            from urllib.parse import urlparse
+
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = urlparse(f).path if "://" in f or f.startswith("file:") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+                if total > bound:
+                    return total
+            return total
+        except Exception:
+            pass
+    try:
+        return corpus.limit(bound + 1).count()
+    except Exception:  # pragma: no cover - defensive
+        return bound + 1
+
+
 def topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -350,18 +427,18 @@ def topk(
       * ``"auto"``  — size-based: exact while the corpus row estimate is
         within ``brute_force_max_rows`` (the cross-join is |q| x |corpus|
         row-local work and exact beats approximate whenever affordable),
-        IVF beyond it. The estimate is the parquet row-count statistic when
-        available (one metadata read, no scan); an un-countable in-memory
-        plan falls back to a bounded limit probe.
+        IVF beyond it. The estimate is the parquet footer row-count
+        statistic when the plan scans parquet files (driver-side metadata
+        read, no executor scan; an UPPER bound when filters sit above the
+        scan — conservative: it can only steer toward IVF, never toward an
+        unaffordable brute pass); any non-file plan falls back to a bounded
+        ``limit(bound+1).count()`` probe.
 
     At 100 TB nobody should hand-pick the rung per corpus; pipelines call
     this and get the exact answer when it is cheap and the indexed answer
     when exactness would be a job-killer cross-join."""
     if strategy == "auto":
-        try:
-            est = corpus.limit(brute_force_max_rows + 1).count()
-        except Exception:
-            est = brute_force_max_rows + 1
+        est = _estimate_corpus_rows(corpus, brute_force_max_rows)
         strategy = "brute" if est <= brute_force_max_rows else "ivf"
     if strategy == "brute":
         return brute_force_topk(queries, corpus, k, q_id=q_id, c_id=c_id, vec=vec)

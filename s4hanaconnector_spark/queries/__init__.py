@@ -28,6 +28,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side-effect: registration) and return the
     full registry."""
     from s4hanaconnector_spark.queries import analytics as _an  # noqa: F401
+    from s4hanaconnector_spark.queries import jdbc_derby as _jd  # noqa: F401
     from s4hanaconnector_spark.queries import llmops as _llm  # noqa: F401
     from s4hanaconnector_spark.queries import partsupp as _ps  # noqa: F401
     from s4hanaconnector_spark.queries import surface as _surf  # noqa: F401

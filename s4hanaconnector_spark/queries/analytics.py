@@ -19,6 +19,7 @@ from s4hanaconnector_spark.operators.relational import (
     top_k_per_group,
 )
 from s4hanaconnector_spark.queries.registry import register, t
+from s4hanaconnector_spark.sources.partsupp import PARTSUPP_CTE
 
 # exact-decimal helpers (Spark side)
 _D = "decimal(18,2)"
@@ -1094,14 +1095,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    """
-SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit, count(*) AS n
+    f"""
+WITH {PARTSUPP_CTE}
+SELECT nation, o_year, CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE) AS sum_profit,
+       count(*) AS n
 FROM (
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
            CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))
-           - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(8,2)) AS amount
+           - CAST(ps.ps_supplycost_cents AS DECIMAL(18,0)) * CAST('0.01' AS DECIMAL(3,2))
+             * CAST(l.l_quantity AS DECIMAL(8,2)) AS amount
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -1111,15 +1116,22 @@ GROUP BY nation, o_year
 """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (adapted: retailprice stands in for ps_supplycost —
-    the fixture has no partsupp table): profit on 'red' parts by supplier
-    nation and order year. part-name filter broadcasts into lineitem before
-    the lineitem<->orders shuffle; amount stays exact decimal until the
-    final cast."""
-    p = (
-        t(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%red%"))
-        .select("p_partkey", "p_retailprice")
+    """TPC-H Q9 (true 6-way shape, r6 VERDICT wrong #2): profit on 'red'
+    parts by supplier nation and order year, with ps_supplycost from the
+    derived partsupp bridge (sources/partsupp.py — row-local explode,
+    identical in both engines). The cost stays exact: integer cents * a
+    DECIMAL(3,2) 0.01 literal (multiplication, never division — the two
+    engines' decimal-division scale rules differ); the sum crosses to
+    DOUBLE via VARCHAR in the oracle (DuckDB's DECIMAL->DOUBLE cast is
+    1 ULP off past 2^53 — the r6 sf1 gate finding). Plan: part-name filter
+    and the 4-rows-per-part bridge broadcast into lineitem before the
+    lineitem<->orders shuffle."""
+    from s4hanaconnector_spark.operators.relational import broadcast_if_small
+    from s4hanaconnector_spark.sources.partsupp import derive_partsupp
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = derive_partsupp(spark, sf_dir).join(
+        F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey")
     )
     ns = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = (
@@ -1128,20 +1140,31 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplycost = F.col("ps_supplycost_cents").cast("decimal(18,0)") * F.lit(
+        "0.01"
+    ).cast("decimal(3,2)")
     l = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            # grows as 4 x |red parts| — a dimension-class set, but derived:
+            # size-guarded hint, AQE decides from the true size beyond it
+            broadcast_if_small(
+                ps.select("ps_partkey", "ps_suppkey", supplycost.alias("supplycost"))
+            ),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
-    amount = _dec("l_extendedprice") * disc - _dec("p_retailprice") * F.col(
+    amount = _dec("l_extendedprice") * disc - F.col("supplycost") * F.col(
         "l_quantity"
     ).cast("decimal(8,2)")
     j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount")
     )
     return j.groupBy("nation", "o_year").agg(
-        F.sum("amount").cast("double").alias("sum_profit"),
+        F.sum("amount").cast("string").cast("double").alias("sum_profit"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -138,12 +138,22 @@ def sf1_table_names() -> list[str]:
 
 
 def default_sf1_dir(base_dir: str) -> str:
-    """Cache location for the 10x tier of ``base_dir`` — KEYED on the base
-    dir, so a tier synthesized from sf0.01 is never silently reused for a
-    bench run against sf0.1 (which would make the scaling-ratio contract
-    pass vacuously)."""
+    """Cache location for the 10x tier of ``base_dir``.
+
+    The key folds in (r6 ADVICE):
+      * the base dir — a tier synthesized from sf0.01 is never silently
+        reused for a bench run against sf0.1 (which would make the
+        scaling-ratio contract pass vacuously);
+      * the synthesis parameters (REPLICAS, KEY_OFFSET, table list) — a
+        logic change self-invalidates the cache instead of relying on a
+        hand-bumped version suffix;
+      * the uid in the path — on a shared host another user can neither
+        pre-poison the marker-gated cache nor collide with it.
+    """
     import hashlib
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(base_dir).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark-graft-sf1-v1-{key}")
+    params = f"{REPLICAS}|{KEY_OFFSET}|{','.join(sf1_table_names())}"
+    key = hashlib.md5(f"{os.path.abspath(base_dir)}|{params}".encode()).hexdigest()[:8]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"spark-graft-sf1-u{uid}-{key}")

@@ -2,6 +2,10 @@
 partitioned JDBC source (reference: parallel initial load over N JDBC
 connections, S4HanaProducer.java:533-580)."""
 
+from s4hanaconnector_spark.sources.derby import (  # noqa: F401
+    qident,
+    stage_table,
+)
 from s4hanaconnector_spark.sources.jdbc import (  # noqa: F401
     DEFAULT_NUM_PARTITIONS,
     JdbcSourceConfig,

@@ -79,13 +79,47 @@ class JdbcSourceConfig:
         """One-row min/max probe for the partition column — the analogue of
         the reference's partition-count discovery (S4HanaProducer.java:510-529).
         Run it through the same JDBC source (numPartitions=1) before the
-        partitioned read."""
+        partitioned read.
+
+        Two rules learned by EXECUTING this against embedded Derby (they held
+        only as prose until then):
+          * the subquery alias must start with a letter — ``AS __bounds`` is
+            rejected (Derby ERROR 42X01; leading ``_`` is non-standard);
+          * the column must be quoted: Spark's JDBC writer creates
+            case-sensitive quoted columns, and unquoted references fold to
+            uppercase and miss them — exactly why the reference quotes every
+            identifier in its generated SQL (S4HanaTableMapping.java:740-761).
+        """
         if self.partition_column is None:
             raise ValueError("no partition_column configured")
-        c = self.partition_column
+        c = '"' + self.partition_column.replace('"', '""') + '"'
         return (
-            f"(SELECT min({c}) AS lo, max({c}) AS hi FROM {self.table}) AS __bounds"
+            f"(SELECT min({c}) AS lo, max({c}) AS hi FROM {self.table}) AS bounds_probe"
         )
+
+    def discover_bounds(self, spark: SparkSession) -> tuple[int, int]:
+        """Execute the bounds probe over the live connection and return
+        (lo, hi) — the runtime half of the reference's partition discovery.
+        One row, one connection; positional access because engines fold
+        unquoted aliases to their own case (Derby: LO/HI)."""
+        row = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.bounds_query())
+            .options(**self.properties)
+            .load()
+            .collect()[0]
+        )
+        return row[0], row[1]
+
+    def with_discovered_bounds(self, spark: SparkSession) -> "JdbcSourceConfig":
+        """Copy of this config with lower/upper bounds filled from the live
+        probe — probe + partitioned load is the reference's full initial-load
+        sequence (S4HanaProducer.java:510-580)."""
+        lo, hi = self.discover_bounds(spark)
+        from dataclasses import replace
+
+        return replace(self, lower_bound=lo, upper_bound=hi)
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.predicates and self.partition_column is not None:
@@ -125,4 +159,6 @@ def prepare_pushdown_query(
     """
     cols = ", ".join(columns) if columns else "*"
     pred = f" WHERE {where}" if where else ""
-    return f"(SELECT {cols} FROM {table}{pred}) AS __pushdown"
+    # letter-leading alias: leading '_' is non-standard and rejected by
+    # strict engines (see bounds_query)
+    return f"(SELECT {cols} FROM {table}{pred}) AS pushdown_q"

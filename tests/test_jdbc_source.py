@@ -53,17 +53,21 @@ def test_partition_column_requires_bounds():
 
 
 def test_bounds_query_shape():
+    # letter-leading alias + quoted column: both REQUIRED by real engines
+    # (Derby rejects __-leading aliases with 42X01 and folds unquoted
+    # identifiers to uppercase) — pinned here after the embedded-Derby
+    # execution leg caught the old shape failing on the wire
     cfg = JdbcSourceConfig(url=URL, table="S.T", partition_column="ID")
     q = cfg.bounds_query()
-    assert q == "(SELECT min(ID) AS lo, max(ID) AS hi FROM S.T) AS __bounds"
+    assert q == '(SELECT min("ID") AS lo, max("ID") AS hi FROM S.T) AS bounds_probe'
 
 
 def test_pushdown_query_projection_and_filter():
     q = prepare_pushdown_query(
         "S4HANA_SOURCE.VBAK", ["VBELN", "ERDAT"], "MANDT = '100'"
     )
-    assert q == "(SELECT VBELN, ERDAT FROM S4HANA_SOURCE.VBAK WHERE MANDT = '100') AS __pushdown"
-    assert prepare_pushdown_query("T") == "(SELECT * FROM T) AS __pushdown"
+    assert q == "(SELECT VBELN, ERDAT FROM S4HANA_SOURCE.VBAK WHERE MANDT = '100') AS pushdown_q"
+    assert prepare_pushdown_query("T") == "(SELECT * FROM T) AS pushdown_q"
 
 
 def test_predicates_and_partition_column_are_mutually_exclusive(spark):

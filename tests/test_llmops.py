@@ -487,6 +487,33 @@ def test_similarity_topk_auto_plans_by_size(spark, sf_dir):
     assert rows and all(r["rn"] <= 5 for r in rows)
 
 
+def test_topk_auto_estimate_paths(spark, sf_dir):
+    """Pin both estimate paths of the auto planner (r6 VERDICT wrong #3):
+    a parquet-backed plan is sized from footer statistics (exact for a bare
+    scan, an UPPER bound above filters — the safe direction), and a
+    non-file plan falls back to the bounded limit probe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import _estimate_corpus_rows
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = emb.count()
+    # bare scan: footer stats are exact
+    assert _estimate_corpus_rows(emb, bound=10**6) == exact
+    # filter above the scan: still the footer total (upper bound >= actual)
+    filtered = emb.filter(F.col("vec_id") % 2 == 0)
+    est = _estimate_corpus_rows(filtered, bound=10**6)
+    assert est == exact and est >= filtered.count()
+    # early exit once past the bound: never reads more footers than needed
+    assert _estimate_corpus_rows(emb, bound=1) >= 2
+    # non-file plan: limit probe, capped at bound+1
+    mem = spark.range(500).select(F.col("id").alias("c_id"))
+    assert _estimate_corpus_rows(mem, bound=100) == 101
+    assert _estimate_corpus_rows(mem, bound=10**6) == 500
+
+
 class TestIncrementalDedup:
     def test_statuses_and_canonicals(self, spark):
         from s4hanaconnector_spark.operators.dedup import incremental_dedup

@@ -172,3 +172,34 @@ def test_maintain_nested_docs_allows_null_fk_on_upserts(spark):
     )
     full = nest(m, d, jc, "items", detail_cols=["did", "q"])
     assert sorted(map(str, out.collect())) == sorted(map(str, full.collect()))
+
+
+def test_maintain_nested_docs_strict_mode_rejects_null_fk_updates(spark):
+    """strict_update_keys (r6 ADVICE): a feed that cannot guarantee
+    D(old)+I(new) delivery of key changes opts into rejecting non-delete
+    rows with NULL join keys — the FK->NULL detachment that would otherwise
+    silently leave the OLD parent's document stale. The same batch passes
+    under the default (orphaned details legal, contract owned upstream)."""
+    import pytest
+
+    from s4hanaconnector_spark.operators.nesting import maintain_nested_docs, nest
+
+    jc = [{"left": "k", "right": "k"}]
+    m = spark.createDataFrame([(1,)], "k bigint")
+    d = spark.createDataFrame([(None, 10, 1.0)], "k bigint, did bigint, q double")
+    snap = nest(m, d, jc, "items", detail_cols=["did", "q"])
+    # detail 10 was detached from parent 1: delivered as a bare U with NULL FK
+    batch = spark.createDataFrame(
+        [("U", 10, None, 1.0)], "_change_type string, did bigint, k bigint, q double"
+    )
+    empty_mb = spark.createDataFrame([], "_change_type string, k bigint")
+    kw = dict(
+        master_pk=["k"], joincondition=jc, schemafield="items",
+        detail_cols=["did", "q"],
+    )
+    with pytest.raises(ValueError, match="strict_update_keys"):
+        maintain_nested_docs(
+            snap, m, d, empty_mb, batch, strict_update_keys=True, **kw
+        ).collect()
+    # default mode maintains (treats the row as an orphaned detail)
+    maintain_nested_docs(snap, m, d, empty_mb, batch, **kw).collect()

@@ -329,9 +329,13 @@ def test_oracle_parity_at_sf1(spark):
         # near-dup corpus, watermark composition, event sessionization
         "agg_rollup", "orders_price_histogram", "text_lang_id",
         "dedup_minhash_lsh", "cdc_watermark", "events_sessionize",
-        # derived partsupp bridge + 6-way join; window ranking over 1.5M
+        # TRUE q9 partsupp bridge (ps_supplycost from derive_partsupp) + 6-way
+        # join; window ranking over 1.5M
         # orders (the 449k-row result is the largest cross-engine compare)
         "q9_product_profit", "window_topk_per_customer",
+        # stateful streaming lifecycle at 10x (r6 VERDICT #8): real engine,
+        # dropDuplicatesWithinWatermark state over the full events feed
+        "streaming_stateful_dedup",
     ]
     checked = {}
     for name in names:

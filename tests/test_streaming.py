@@ -8,6 +8,7 @@ import datetime
 import glob
 import json
 import os
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import Row
@@ -558,7 +559,40 @@ def _state_totals(progresses, min_batches):
     return totals
 
 
-def test_stateful_dedup_state_plateaus_under_churn(spark, tmp_path):
+# Both plateau proofs run under BOTH state-store providers (r6 VERDICT #4):
+# the default HDFS-backed store holds keyed state on-heap per executor; at
+# 100 TB keyed-state scale the production provider is RocksDB (off-heap,
+# spillable), and an eviction bound proven only on-heap could silently rely
+# on provider behavior. rocksdbjni ships in the PySpark distribution.
+STATE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def state_provider(spark, provider: str):
+    """Run a streaming query under an explicit state-store provider; always
+    restore the prior conf (provider is read at query START, so setting it
+    around .start() is sufficient and leaks nothing)."""
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, STATE_PROVIDERS[provider])
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
+
+
+@pytest.mark.parametrize("provider", list(STATE_PROVIDERS))
+def test_stateful_dedup_state_plateaus_under_churn(spark, tmp_path, provider):
     """dropDuplicatesWithinWatermark: 12 polls x 200 brand-new keys each,
     event time advancing 1 h/poll, TTL 30 min. Watermark eviction must hold
     live state to ~2 polls' worth of keys (the 1-batch watermark lag), not
@@ -577,22 +611,24 @@ def test_stateful_dedup_state_plateaus_under_churn(spark, tmp_path):
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
     deduped = stateful_dedup(stream, ["user_id"], "ts", "30 minutes")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: df.count())
-        .option("checkpointLocation", str(tmp_path / "churn_dedup_ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    progresses = list(q.recentProgress)
-    q.stop()
+    with state_provider(spark, provider):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "churn_dedup_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        progresses = list(q.recentProgress)
+        q.stop()
     totals = _state_totals(progresses, min_batches=10)
     assert max(totals) <= 3 * keys, f"state not bounded: {totals}"
     assert totals[-1] <= 3 * keys
     # sanity: the churn really was cumulative-scale
     assert n_polls * keys > 3 * max(totals)
 
-def test_stateful_latest_by_key_ttl_state_plateaus(spark, tmp_path):
+@pytest.mark.parametrize("provider", list(STATE_PROVIDERS))
+def test_stateful_latest_by_key_ttl_state_plateaus(spark, tmp_path, provider):
     """applyInPandasWithState frontier with processing-time TTL: 10 polls x
     100 brand-new keys. Each poll's keys time out (ttl_ms=1) before the
     next poll runs, so hasTimedOut -> state.remove() must keep live state
@@ -651,12 +687,13 @@ def test_stateful_latest_by_key_ttl_state_plateaus(spark, tmp_path):
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
         )
         latest = stateful_latest_by_key(stream, ["pk"], "transactionid", ttl_ms=1)
-        q = (
-            latest.writeStream.outputMode("update")
-            .foreachBatch(lambda df, bid: df.count())
-            .option("checkpointLocation", str(tmp_path / "churn_latest_ckpt"))
-            .start()
-        )
+        with state_provider(spark, provider):
+            q = (
+                latest.writeStream.outputMode("update")
+                .foreachBatch(lambda df, bid: df.count())
+                .option("checkpointLocation", str(tmp_path / "churn_latest_ckpt"))
+                .start()
+            )
         deadline = time.monotonic() + 240
         while time.monotonic() < deadline:
             if sum(1 for p in captured if p["numInputRows"] > 0) >= n_polls:
