@@ -313,6 +313,96 @@ def _gallery_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# The poll lifecycle over a REAL JDBC wire: the reference's actual operating
+# mode is "poll PKLOG + source table over a database connection"
+# (S4HanaProducer.java:391-469); until this query, poll() had only ever read
+# parquet-backed feeds. Everything the poll touches — PKLOG, the in-flight
+# transaction view, and the partitioned source-table read — comes back
+# through the embedded-Derby driver here.
+# ---------------------------------------------------------------------------
+
+
+# faithful widths for PKLOG's comparison-bearing string columns (the
+# reference declares nvarchar(256) PK slots, S4HanaProducer.java:104-109);
+# pk2..pk6 deliberately OMITTED -> CLOB default (all-NULL here, and NULL
+# strings only cross the wire into CLOB — see the gallery module docstring)
+_PKLOG_DDL = (
+    "schema_name VARCHAR(30), change_type VARCHAR(1), "
+    "pk1 VARCHAR(256), table_name VARCHAR(128)"
+)
+
+
+def _poll_oracle() -> str:
+    # identical contract to cdc_poll_roundtrip: the wire is the variable
+    # under test, not the delta semantics — reuse its registered oracle
+    from s4hanaconnector_spark.queries import cdc as _cdc  # noqa: F401  (forces registration)
+    from s4hanaconnector_spark.queries.registry import REGISTRY
+
+    return REGISTRY["cdc_poll_roundtrip"].oracle
+
+
+@register("cdc_poll_jdbc_wire", _poll_oracle())
+def cdc_poll_jdbc_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 executed over a real JDBC wire (INTEGRATION.md §1): one FULL
+    poll() — watermark over a Derby-read transaction view, impacted-table
+    fan-out over a Derby-read PKLOG, the broadcast delta against a 10-way
+    range-partitioned Derby read of the source table, and the exactly-once
+    RangeCommitSink — then the committed range is read back and
+    hash-compared against the same reference delta SQL that gates the
+    parquet-fed cdc_poll_roundtrip.
+
+    PKLOG DDL splits the string columns two ways (both execution findings):
+    the comparison-bearing ones (schema_name/change_type/pk1/table_name —
+    Spark pushes their equality filters into Derby, and Derby cannot compare
+    CLOB with a literal, ERROR 42818) get faithful VARCHAR widths mirroring
+    the reference's nvarchar(256) PKLOG (S4HanaProducer.java:104-109); the
+    all-NULL pk2..pk6 ride the CLOB default, because setNull(Types.CLOB) is
+    rejected against VARCHAR (module docstring) and IS NULL on CLOB is
+    fine."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+    from s4hanaconnector_spark.queries.cdc import ORDERS_MAPPING
+    from s4hanaconnector_spark.sources.pklog import (
+        synthetic_pklog,
+        synthetic_transactions,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    orders_url = _staged_orders_url(spark, sf_dir)
+    pklog_url = stage_table(
+        spark, sf_dir, "PKLOG", synthetic_pklog(orders), create_types=_PKLOG_DDL
+    )
+    txn_url = stage_table(
+        spark, sf_dir, "TXNS", synthetic_transactions(orders)
+    )
+
+    cfg = _cfg(orders_url, partition_column="o_orderkey", num_partitions=10)
+    orders_jdbc = cfg.with_discovered_bounds(spark).load(spark)
+    pklog_jdbc = _cfg(pklog_url, table="PKLOG").load(spark)
+    txns_jdbc = _cfg(txn_url, table="TXNS").load(spark)
+
+    out_dir = tempfile.mkdtemp(prefix="cdc_poll_jdbc_")
+    sink = RangeCommitSink(out_dir)
+    hi = poll(
+        spark,
+        [ORDERS_MAPPING],
+        lambda name: orders_jdbc,
+        pklog_jdbc,
+        txns_jdbc,
+        from_txid=0,
+        sink=sink,
+        now_ts="2026-01-01 00:00:00",
+    )
+    if not sink.committed(ORDERS_MAPPING.name, hi):
+        raise AssertionError(f"jdbc-wire poll range {hi} never committed")
+    return spark.read.parquet(
+        os.path.join(out_dir, ORDERS_MAPPING.name, f"txid_hi={hi}")
+    )
+
+
 @register("source_jdbc_type_gallery", _gallery_oracle())
 def source_jdbc_type_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19/E15 executed on a real wire: every branch of the reference's

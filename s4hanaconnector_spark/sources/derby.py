@@ -72,8 +72,14 @@ def derby_url(db_dir: str, create: bool = True) -> str:
     return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
 
 
-def _fingerprint(sf_dir: str, table: str, salt: str = "") -> str:
-    key = f"{_STAGING_VERSION}|{os.path.abspath(sf_dir)}|{table}|{salt}"
+def _fingerprint(
+    sf_dir: str, table: str, salt: str = "", create_types: str | None = None
+) -> str:
+    # create_types is part of the key: the same logical table staged with a
+    # different DDL (e.g. VARCHAR vs CLOB strings) is a DIFFERENT database —
+    # reusing the cached one would resurrect the exact wire errors the DDL
+    # change fixed
+    key = f"{_STAGING_VERSION}|{os.path.abspath(sf_dir)}|{table}|{salt}|{create_types}"
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
@@ -94,7 +100,10 @@ def stage_table(
     process-private directory instead of waiting on the lock.
     """
     ensure_derby_home(spark)
-    db_dir = os.path.join(_user_cache_root(), f"{table}-{_fingerprint(sf_dir, table, salt)}")
+    db_dir = os.path.join(
+        _user_cache_root(),
+        f"{table}-{_fingerprint(sf_dir, table, salt, create_types)}",
+    )
     marker = db_dir + ".SUCCESS_DERBY"
     if os.path.exists(marker):
         return derby_url(db_dir, create=False)

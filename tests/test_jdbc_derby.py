@@ -15,7 +15,7 @@ from s4hanaconnector_spark.queries.jdbc_derby import (
     _staged_orders_url,
     read_gallery,
 )
-from s4hanaconnector_spark.sources.derby import qident, stage_table
+from s4hanaconnector_spark.sources.derby import DRIVER, qident, stage_table
 from s4hanaconnector_spark.types import hana_to_spark
 
 
@@ -80,6 +80,98 @@ def test_gallery_wire_types_match_hana_map(spark, sf_dir):
             expected = "timestamp_ntz"
         actual = g.schema[name].dataType.simpleString()
         assert actual == expected, f"{name} ({decl}): wire {actual} != map {expected}"
+
+
+def test_incremental_two_poll_over_jdbc(spark, sf_dir, tmp_path):
+    """The reference's steady-state loop EXECUTED over a real wire: poll,
+    new triggers fire (rows appended to PKLOG through the same JDBC writer),
+    poll again from the returned watermark. The second poll must pick up
+    exactly the new range, and applying per-PK latest over the two committed
+    ranges must equal the one-shot delta over the whole feed — the consumer-
+    visible equivalence that makes incremental polling lossless."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from s4hanaconnector_spark.operators.cdc import cdc_delta
+    from s4hanaconnector_spark.poll import RangeCommitSink, poll
+    from s4hanaconnector_spark.queries.cdc import ORDERS_MAPPING
+    from s4hanaconnector_spark.sources.pklog import (
+        synthetic_pklog,
+        synthetic_transactions,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    full = synthetic_pklog(orders)
+    split = 1025
+    from s4hanaconnector_spark.queries.jdbc_derby import _PKLOG_DDL
+
+    salt = f"incpoll-{uuid.uuid4().hex[:8]}"  # never reuse the cached DB: this test APPENDS
+    url = stage_table(
+        spark, sf_dir, "PKLOGINC", full.filter(F.col("transactionid") <= split),
+        create_types=_PKLOG_DDL, salt=salt,
+    )
+    txn_url = stage_table(
+        spark, sf_dir, "TXNSINC", synthetic_transactions(orders), salt=salt
+    )
+    orders_url = _staged_orders_url(spark, sf_dir)
+    orders_jdbc = (
+        _cfg(orders_url, partition_column="o_orderkey", num_partitions=10)
+        .with_discovered_bounds(spark)
+        .load(spark)
+    )
+    txns_jdbc = _cfg(txn_url, table="TXNSINC").load(spark)
+    sink = RangeCommitSink(str(tmp_path / "out"))
+
+    def run_poll(from_txid):
+        return poll(
+            spark,
+            [ORDERS_MAPPING],
+            lambda name: orders_jdbc,
+            _cfg(url, table="PKLOGINC").load(spark),
+            txns_jdbc,
+            from_txid=from_txid,
+            sink=sink,
+            now_ts="2026-01-01 00:00:00",
+        )
+
+    hi1 = run_poll(0)
+    assert hi1 == split  # first poll drains exactly the staged prefix
+
+    # the triggers fire again: append the remaining feed over the same wire
+    (
+        full.filter(F.col("transactionid") > split)
+        .write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "PKLOGINC")
+        .option("driver", DRIVER)
+        .save()
+    )
+    hi2 = run_poll(hi1)
+    assert hi2 > hi1
+
+    r1 = spark.read.parquet(str(tmp_path / "out" / "orders" / f"txid_hi={hi1}"))
+    r2 = spark.read.parquet(str(tmp_path / "out" / "orders" / f"txid_hi={hi2}"))
+    # range discipline: each committed range carries only its own txids
+    assert r1.agg(F.max("_transactionid")).collect()[0][0] <= hi1
+    assert r2.agg(F.min("_transactionid")).collect()[0][0] > hi1
+    # consumer equivalence: latest-per-PK over both ranges == one-shot delta
+    one_shot = cdc_delta(
+        orders, full, ORDERS_MAPPING, 0, hi2, strategy="broadcast"
+    )
+    one_shot_cols = one_shot.columns
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_transactionid").desc())
+    merged = (
+        r1.unionByName(r2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+        .select(*one_shot_cols)
+    )
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in one_shot.collect()}
+    assert a == b
 
 
 def test_null_string_vs_varchar_is_the_only_broken_cell(spark, sf_dir):
