@@ -476,6 +476,80 @@ def apply_changes(
 
 
 # ---------------------------------------------------------------------------
+# E13 extensions — log compaction + consumer-side time travel
+# ---------------------------------------------------------------------------
+def compact_changes(
+    changes: DataFrame,
+    pk_names: list[str],
+    ord_cols: list[str] | None = None,
+    drop_tombstones: bool = False,
+) -> DataFrame:
+    """Kafka-log-compaction equivalent: fold an emitted change stream —
+    typically the union of many committed ranges — down to the NEWEST record
+    per PK, preserving 'D' tombstones.
+
+    The reference's topics are exactly this structure: "data in Kafka is a
+    1:1 copy of the ABAP table structure" (README.md:82) with one producer
+    per topic for transactional consistency (README.md:74), and Kafka's own
+    log compaction is what keeps the topic a bounded 1:1 copy rather than an
+    unbounded history. This operator is that compaction pass re-expressed
+    for range-committed parquet topics.
+
+    Shape at scale: ONE hash aggregation — ``max_by`` over a packed struct
+    ordered by ``ord_cols`` — with map-side partial aggregation, no window
+    sort and no re-join. Compacting a week of ranges shuffles each row once
+    on its (short) PK.
+
+    ``drop_tombstones=True`` is the materializing-consumer variant (a reader
+    building current state can discard deletes); compactors that feed OTHER
+    consumers must keep tombstones, else a downstream copy never learns the
+    key died — the same rule Kafka applies via ``delete.retention.ms``.
+    """
+    ord_cols = list(ord_cols or ["_transactionid"])
+    others = [c for c in changes.columns if c not in pk_names]
+    packed = changes.groupBy(*pk_names).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in ord_cols]),
+        ).alias("_latest")
+    )
+    out = packed.select(
+        *pk_names, *[F.col(f"_latest.{c}").alias(c) for c in others]
+    )
+    if drop_tombstones and "_change_type" in changes.columns:
+        out = out.filter(F.col("_change_type") != "D")
+    return out
+
+
+def snapshot_at(
+    snapshot: DataFrame,
+    source: DataFrame,
+    pklog: DataFrame,
+    mapping: TableMapping,
+    as_of_txid: int,
+    schema_name: str = "S4",
+) -> DataFrame:
+    """Consumer-side time travel: the table state a materializing consumer
+    would hold after applying every change with ``transactionid <=
+    as_of_txid`` onto its (possibly stale) ``snapshot`` — i.e. replaying the
+    compacted topic up to an offset, which is exactly how the reference's
+    consumers reconstruct state from the initial load plus the change topic
+    (S4HanaProducer.java:442,619-625 emit; this is the read side).
+
+    Pure composition of the engine's own operators — delta over (0, T]
+    (E8), then MERGE (E13): declarative end to end, so Catalyst fuses the
+    range filter into the log scan and the apply stays two PK-keyed hash
+    joins. The mapping's output columns must cover the snapshot's schema
+    (identity-shaped, like the topic a 1:1 consumer materializes); a
+    renaming mapping would trip apply_changes' straggler recovery and
+    backfill "missing" columns from the stale snapshot."""
+    batch = cdc_delta(
+        source, pklog, mapping, 0, as_of_txid, schema_name=schema_name
+    )
+    return apply_changes(snapshot, batch, mapping.pkcolumns)
+
+
+# ---------------------------------------------------------------------------
 # O16-O18 / E9 — initial load
 # ---------------------------------------------------------------------------
 def initial_load(

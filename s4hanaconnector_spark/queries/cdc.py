@@ -295,6 +295,68 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.apply_changes(orders, batch, ["o_orderkey"])
 
 
+# the mid-feed split/as-of point for the compaction and time-travel queries:
+# inside the synthetic txid range (1000..1057), so both sides are non-empty
+_SPLIT_TXID = 1025
+
+
+@register(
+    "cdc_log_compaction",
+    _DELTA_ORACLE.replace(
+        f"_transactionid > {LO} AND _transactionid <= {HI}",
+        "_transactionid > 0",
+    ),
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-log-compaction equivalent over range-committed emissions
+    (README.md:74-82 — the topic stays a bounded 1:1 table copy only
+    because Kafka compacts it): two separately-emitted delta ranges are
+    folded to the newest record per PK in one max_by hash aggregation,
+    tombstones preserved. The oracle is the ONE-SHOT delta over the full
+    range — compaction of incremental emissions must be indistinguishable
+    from never having split the feed."""
+    orders = t(spark, sf_dir, "orders")
+    pklog = synthetic_pklog(orders)
+    r1 = C.cdc_delta(orders, pklog, ORDERS_MAPPING, 0, _SPLIT_TXID)
+    r2 = C.cdc_delta(orders, pklog, ORDERS_MAPPING, _SPLIT_TXID, 10**9)
+    return C.compact_changes(r1.unionByName(r2), ["o_orderkey"])
+
+
+@register(
+    "cdc_snapshot_time_travel",
+    _DELTA_ORACLE_BODY.replace(
+        f"_transactionid > {LO} AND _transactionid <= {HI}",
+        f"_transactionid > 0 AND _transactionid <= {_SPLIT_TXID}",
+    )
+    + f"""
+, delta AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+),
+snap AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+SELECT s.* FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = s.o_orderkey)
+UNION ALL
+SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM delta WHERE _change_type <> 'D'
+""",
+)
+def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side time travel (the read half of the reference's emit,
+    S4HanaProducer.java:442,619-625): a STALE materialization (every third
+    key missing) replays the change topic up to ``as_of_txid`` and must
+    land on the state the one-shot SQL reconstruction defines — changed
+    keys refreshed/inserted from the source, tombstoned keys absent,
+    untouched stale rows carried through."""
+    orders = t(spark, sf_dir, "orders")
+    stale = orders.filter(F.col("o_orderkey") % 3 != 0)
+    pklog = synthetic_pklog(orders)
+    return C.snapshot_at(stale, orders, pklog, ORDERS_IDENTITY, _SPLIT_TXID)
+
+
 @register(
     "cdc_pk_change_expand",
     """

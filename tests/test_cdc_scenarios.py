@@ -603,3 +603,33 @@ def test_maintain_from_images_null_group_is_a_real_group(spark):
     }
     # NULL group emptied out and dropped; 'a' gained the moved row
     assert out == {"a": (3, 50.0)}
+
+
+def test_compact_changes_tombstones_and_seq_tiebreak(spark):
+    """compact_changes keeps the newest record per PK (multi-column order:
+    txid then seq — the two rows a PK-update trigger emits in ONE
+    transaction differ only in seq, S4HanaTableMapping.java:194-220),
+    preserves 'D' tombstones by default, and drops them only for the
+    materializing-consumer variant."""
+    feed = spark.createDataFrame(
+        [
+            ("A", 10, 1, 1, "old"),
+            ("A", 12, 1, 1, "mid"),
+            ("D", 12, 2, 1, "dead"),   # newest for key 1 is the seq-2 delete
+            ("A", 11, 1, 2, "live"),
+            ("D", 9, 1, 3, "gone"),    # key 3's only record is a tombstone
+        ],
+        "_change_type string, _transactionid bigint, transaction_seq int, k bigint, v string",
+    )
+    out = {
+        r["k"]: (r["_change_type"], r["_transactionid"], r["v"])
+        for r in C.compact_changes(
+            feed, ["k"], ord_cols=["_transactionid", "transaction_seq"]
+        ).collect()
+    }
+    assert out == {1: ("D", 12, "dead"), 2: ("A", 11, "live"), 3: ("D", 9, "gone")}
+    dropped = C.compact_changes(
+        feed, ["k"], ord_cols=["_transactionid", "transaction_seq"],
+        drop_tombstones=True,
+    )
+    assert {r["k"] for r in dropped.collect()} == {2}
