@@ -504,13 +504,38 @@ def compact_changes(
     building current state can discard deletes); compactors that feed OTHER
     consumers must keep tombstones, else a downstream copy never learns the
     key died — the same rule Kafka applies via ``delete.retention.ms``.
+
+    The default ordinal mirrors :func:`latest_per_pk` exactly — txid, then
+    within-transaction seq, then the delete-wins change-type rank — because
+    a consumer materializing from the COMPACTED topic and one applying the
+    RAW feed must land on the same row per PK; a txid-only ordinal would
+    pick a nondeterministic survivor for the two same-txid rows a PK-update
+    trigger emits (S4HanaTableMapping.java:194-220).
     """
-    ord_cols = list(ord_cols or ["_transactionid"])
+    if ord_cols is None:
+        ord_exprs: list[Column] = []
+        if "_transactionid" in changes.columns:
+            ord_exprs.append(F.col("_transactionid"))
+        if "transaction_seq" in changes.columns:
+            ord_exprs.append(F.col("transaction_seq"))
+        if "_change_type" in changes.columns:
+            ord_exprs.append(
+                F.when(F.col("_change_type") == "D", 3)
+                .when(F.col("_change_type") == "U", 2)
+                .when(F.col("_change_type") == "I", 1)
+                .otherwise(0)
+            )
+        if not ord_exprs:
+            raise ValueError(
+                "compact_changes: no CDC ordinal columns found; pass ord_cols"
+            )
+    else:
+        ord_exprs = [F.col(c) for c in ord_cols]
     others = [c for c in changes.columns if c not in pk_names]
     packed = changes.groupBy(*pk_names).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in others]),
-            F.struct(*[F.col(c) for c in ord_cols]),
+            F.struct(*ord_exprs),
         ).alias("_latest")
     )
     out = packed.select(

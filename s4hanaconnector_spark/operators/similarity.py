@@ -89,6 +89,7 @@ def kmeans_centroids(
     n_centroids: int | None = None,
     sample_fraction: float = 1.0,
     seed: int = 42,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """PRODUCTION coarse quantizer: spark.ml KMeans over a corpus sample.
     Returns ``(cent_id, <vec>)`` ready for :func:`ivf_topk`'s ``centroids``
@@ -114,7 +115,13 @@ def kmeans_centroids(
 
         n_centroids = max(2, int(math.isqrt(corpus.count())))
     train = sample.select(array_to_vector(F.col("__v")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    if max_iter is not None:
+        # a coarse quantizer needs cell BOUNDARIES, not converged centers —
+        # capped iterations are the standard IVF build economy (recall is
+        # gated downstream by similarity_ivf_recall either way)
+        km = km.setMaxIter(max_iter)
+    model = km.fit(train)
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -445,6 +452,7 @@ def topk(
     if strategy == "ivf":
         n_cent = ivf_kwargs.pop("n_centroids", None)
         cents = ivf_kwargs.pop("centroids", None)
+        n_rows: int | None = None
         if n_cent is None:
             if cents is not None:
                 # caller-supplied centroids define the cell count — a full
@@ -454,9 +462,24 @@ def topk(
                 # TABLE is sqrt(N) rows
                 n_cent = cents.count()
             else:
-                n_cent = max(4, int(corpus.count() ** 0.5))
+                n_rows = corpus.count()
+                n_cent = max(4, int(n_rows ** 0.5))
         if cents is None:
-            cents = kmeans_centroids(corpus, vec=vec, n_centroids=n_cent)
+            # Bound the quantizer FIT, not just its result: a full-corpus
+            # KMeans at default iterations is O(N x n_cent x d x iters) —
+            # the x100 scaling ladder measured it at 112x wall for 10x data
+            # before this cap. ~100 training rows per centroid and 10
+            # iterations give the same cell structure (recall stays gated by
+            # similarity_ivf_recall) at a build cost bounded by the SAMPLE,
+            # not the corpus — the "fit on a sample" rule kmeans_centroids
+            # documents, now actually applied by the planner.
+            if n_rows is None:
+                n_rows = corpus.count()
+            frac = min(1.0, (100.0 * n_cent) / max(n_rows, 1))
+            cents = kmeans_centroids(
+                corpus, vec=vec, n_centroids=n_cent,
+                sample_fraction=frac, max_iter=10,
+            )
         return ivf_topk(
             queries, corpus, k, n_centroids=n_cent, centroids=cents,
             q_id=q_id, c_id=c_id, vec=vec, **ivf_kwargs,

@@ -1,6 +1,7 @@
-"""Seeded sf1-tier synthesis (r5 VERDICT #1): a deterministic ~10x replica
-of the sf0.1 test tables, used by the bench's second tier, the skew stress
-and the sf1 recall recalibration.
+"""Seeded scale-tier synthesis (r5 VERDICT #1): a deterministic ~Nx replica
+of the sf0.1 test tables — 10x for the bench's second tier, the skew stress
+and the sf1 recall recalibration; 100x for the two-decade scaling ladder
+(tests/test_scale_smoke.py::test_x100_scaling_ladder).
 
 Why synthesize instead of shipping data: at sf0.1 every headline query is
 sub-second, so the bench gate measures Spark job overhead, not plan
@@ -55,8 +56,8 @@ _OFFSET_TABLES = {
 }
 
 
-def _replicate_offset(df, key_cols: list[str]):
-    reps = df.sparkSession.range(REPLICAS).withColumnRenamed("id", "__rep")
+def _replicate_offset(df, key_cols: list[str], replicas: int = REPLICAS):
+    reps = df.sparkSession.range(replicas).withColumnRenamed("id", "__rep")
     out = df.crossJoin(F.broadcast(reps))
     for c in key_cols:
         out = out.withColumn(c, F.col(c) + F.col("__rep") * F.lit(KEY_OFFSET))
@@ -68,6 +69,18 @@ def synthesize_sf1(spark: SparkSession, base_dir: str, out_dir: str) -> str:
     into ``out_dir``; returns ``out_dir``. Idempotent: a prior COMPLETED
     synthesis (marker file) is reused; a partial one (crash mid-write) is
     re-done table-by-table via per-table atomic overwrite."""
+    return synthesize_tier(spark, base_dir, out_dir, REPLICAS)
+
+
+def synthesize_tier(
+    spark: SparkSession, base_dir: str, out_dir: str, replicas: int
+) -> str:
+    """Materialize an arbitrary ``replicas``x tier of ``base_dir`` — the
+    general form behind :func:`synthesize_sf1` (replicas=10) and the x100
+    scaling-ladder rung (replicas=100). Key offsets are ``rep * KEY_OFFSET``
+    on both sides of every FK edge, so even at replicas=100 the largest key
+    stays < 1e9 (bigint-safe) and joins grow exactly linearly — never
+    cross-replica. Same completion-marker idempotency as the 10x tier."""
     marker = os.path.join(out_dir, "_SUCCESS_SF1")
     if os.path.exists(marker):
         return out_dir
@@ -81,17 +94,21 @@ def synthesize_sf1(spark: SparkSession, base_dir: str, out_dir: str) -> str:
 
         return load_table(spark, base_dir, t)
 
+    # output file counts scale with the tier so the bigger scans parallelize
+    # like a real multi-file dataset (x10 keeps its committed counts)
+    scale_up = max(1, replicas // REPLICAS)
+
     def sink(df, t, parts=None):
         if parts:
-            df = df.repartition(parts)
+            df = df.repartition(parts * scale_up)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
 
     for t in _VERBATIM:
         sink(src(t), t)
     for t, (keys, parts) in _OFFSET_TABLES.items():
-        sink(_replicate_offset(src(t), keys), t, parts)
+        sink(_replicate_offset(src(t), keys, replicas), t, parts)
 
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
     docs = src("documents")
     sink(
         docs.crossJoin(F.broadcast(reps)).select(
@@ -138,13 +155,18 @@ def sf1_table_names() -> list[str]:
 
 
 def default_sf1_dir(base_dir: str) -> str:
-    """Cache location for the 10x tier of ``base_dir``.
+    """Cache location for the 10x tier of ``base_dir``."""
+    return default_tier_dir(base_dir, REPLICAS)
+
+
+def default_tier_dir(base_dir: str, replicas: int) -> str:
+    """Cache location for a ``replicas``x tier of ``base_dir``.
 
     The key folds in (r6 ADVICE):
       * the base dir — a tier synthesized from sf0.01 is never silently
         reused for a bench run against sf0.1 (which would make the
         scaling-ratio contract pass vacuously);
-      * the synthesis parameters (REPLICAS, KEY_OFFSET, table list) — a
+      * the synthesis parameters (replicas, KEY_OFFSET, table list) — a
         logic change self-invalidates the cache instead of relying on a
         hand-bumped version suffix;
       * the uid in the path — on a shared host another user can neither
@@ -153,7 +175,7 @@ def default_sf1_dir(base_dir: str) -> str:
     import hashlib
     import tempfile
 
-    params = f"{REPLICAS}|{KEY_OFFSET}|{','.join(sf1_table_names())}"
+    params = f"{replicas}|{KEY_OFFSET}|{','.join(sf1_table_names())}"
     key = hashlib.md5(f"{os.path.abspath(base_dir)}|{params}".encode()).hexdigest()[:8]
     uid = os.getuid() if hasattr(os, "getuid") else 0
     return os.path.join(tempfile.gettempdir(), f"spark-graft-sf1-u{uid}-{key}")

@@ -78,8 +78,11 @@ def _fingerprint(
     # create_types is part of the key: the same logical table staged with a
     # different DDL (e.g. VARCHAR vs CLOB strings) is a DIFFERENT database —
     # reusing the cached one would resurrect the exact wire errors the DDL
-    # change fixed
-    key = f"{_STAGING_VERSION}|{os.path.abspath(sf_dir)}|{table}|{salt}|{create_types}"
+    # change fixed. Appended only when set, so DDL-less tables keep their
+    # pre-existing cache keys (no mass re-stage + orphaned dirs).
+    key = f"{_STAGING_VERSION}|{os.path.abspath(sf_dir)}|{table}|{salt}"
+    if create_types is not None:
+        key += f"|{create_types}"
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 

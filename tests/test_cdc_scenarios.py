@@ -633,3 +633,19 @@ def test_compact_changes_tombstones_and_seq_tiebreak(spark):
         drop_tombstones=True,
     )
     assert {r["k"] for r in dropped.collect()} == {2}
+    # DEFAULT ordinal must agree with latest_per_pk (txid, seq, D-wins rank)
+    # so compacted-topic consumers and raw-feed appliers keep the same row —
+    # a txid-only default would pick the seq-1 row here nondeterministically
+    out_default = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in C.compact_changes(feed, ["k"]).collect()
+    }
+    assert out_default == {1: ("D", "dead"), 2: ("A", "live"), 3: ("D", "gone")}
+    # same-txid same-seq tie resolves delete-wins via the change-type rank
+    tie = spark.createDataFrame(
+        [("U", 10, 1, 7, "upd"), ("D", 10, 1, 7, "del")],
+        "_change_type string, _transactionid bigint, transaction_seq int, k bigint, v string",
+    )
+    assert C.compact_changes(tie, ["k"]).collect()[0]["_change_type"] == "D"
+    with pytest.raises(ValueError, match="no CDC ordinal"):
+        C.compact_changes(feed.select("k", "v"), ["k"])

@@ -89,8 +89,6 @@ def test_incremental_two_poll_over_jdbc(spark, sf_dir, tmp_path):
     exactly the new range, and applying per-PK latest over the two committed
     ranges must equal the one-shot delta over the whole feed — the consumer-
     visible equivalence that makes incremental polling lossless."""
-    import uuid
-
     from pyspark.sql import Window
 
     from s4hanaconnector_spark.operators.cdc import cdc_delta
@@ -105,22 +103,32 @@ def test_incremental_two_poll_over_jdbc(spark, sf_dir, tmp_path):
     full = synthetic_pklog(orders)
     split = 1025
     from s4hanaconnector_spark.queries.jdbc_derby import _PKLOG_DDL
+    from s4hanaconnector_spark.sources.derby import (
+        _write,
+        derby_url,
+        ensure_derby_home,
+    )
 
-    salt = f"incpoll-{uuid.uuid4().hex[:8]}"  # never reuse the cached DB: this test APPENDS
-    url = stage_table(
-        spark, sf_dir, "PKLOGINC", full.filter(F.col("transactionid") <= split),
-        create_types=_PKLOG_DDL, salt=salt,
+    # the append-target DB lives under the test's tmp_path, NOT the shared
+    # per-user staging cache: this test MUTATES its PKLOG between polls, and
+    # a uuid-salted cache entry per run would leak one orders-sized Derby
+    # database into /tmp on every run. The read-only transaction view reuses
+    # the query path's shared staged TXNS.
+    ensure_derby_home(spark)
+    pklog_db = str(tmp_path / "pkloginc")
+    _write(
+        full.filter(F.col("transactionid") <= split),
+        derby_url(pklog_db), "PKLOGINC", _PKLOG_DDL,
     )
-    txn_url = stage_table(
-        spark, sf_dir, "TXNSINC", synthetic_transactions(orders), salt=salt
-    )
+    url = derby_url(pklog_db, create=False)
+    txn_url = stage_table(spark, sf_dir, "TXNS", synthetic_transactions(orders))
     orders_url = _staged_orders_url(spark, sf_dir)
     orders_jdbc = (
         _cfg(orders_url, partition_column="o_orderkey", num_partitions=10)
         .with_discovered_bounds(spark)
         .load(spark)
     )
-    txns_jdbc = _cfg(txn_url, table="TXNSINC").load(spark)
+    txns_jdbc = _cfg(txn_url, table="TXNS").load(spark)
     sink = RangeCommitSink(str(tmp_path / "out"))
 
     def run_poll(from_txid):

@@ -296,6 +296,159 @@ def test_recall_gates_green_at_sf1(spark):
     })
 
 
+# --------------------------------------------------------------------------
+# x100 scaling ladder: two decades of data growth under ONE session
+# --------------------------------------------------------------------------
+
+# linear-output queries across the operator families (scan+agg, multi-join,
+# join+having, window ranking, sessionization, row-local text, exact dedup,
+# CDC delta). Two deliberate exclusions from the x100 rung:
+#   * the LSH rungs — the tier's near-dup construction puts all N replicas
+#     of a document in one similarity family, so the TRUE pair count (the
+#     op's output) grows as N^2 by construction; a wall ratio would measure
+#     the problem, not the plan (their linearity evidence is the x10 rung,
+#     where family growth is the adversarial point);
+#   * similarity_topk_auto — past the affordability bound its wall INCLUDES
+#     an IVF index build whose assignment pass is O(N * sqrt(N) * d) by
+#     construction (sqrt(N) centroids). The production shape — a FIXED
+#     prebuilt index probed as data grows — is measured below as the
+#     similarity_ivf_probe ladder entry, which is linear.
+_LADDER = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_volume_orders",
+    "window_topk_per_customer",
+    "events_sessionize",
+    "text_lang_id",
+    "dedup_fingerprint",
+    "cdc_delta",
+]
+
+
+def _ladder_entry(ladder: dict, name: str, t10: float, t100: float, n100: int):
+    """Record one rung (BEFORE its assert — a later failure must not discard
+    measured evidence), then gate it. alpha is the fitted scaling exponent
+    from the RAW ratio; it is omitted when the x10 wall sits under the 0.5 s
+    noise floor (a floored denominator would understate the exponent)."""
+    import math
+
+    r = t100 / max(t10, 0.5)
+    entry = {
+        "t_x10": round(t10, 2),
+        "t_x100": round(t100, 2),
+        "ratio": round(r, 1),
+        "rows_x100": n100,
+    }
+    if t10 >= 0.5:
+        entry["alpha"] = round(math.log10(max(t100 / t10, 0.1)), 2)
+    ladder[name] = entry
+    _record_raw("scaling_ladder_x100", ladder)
+    print(f"LADDER {name}: x10 {t10:.2f}s -> x100 {t100:.2f}s ({r:.1f}x)")
+    assert r < LINEAR_SLACK, (
+        f"{name}: x10 {t10:.2f}s -> x100 {t100:.2f}s (ratio {r:.1f}x) — "
+        "super-linear across the second decade"
+    )
+
+
+@pytest.mark.slow
+def test_x100_scaling_ladder(spark):
+    """Two-decade scaling ladder (r7): every query runs at the x10 tier and
+    a synthesized x100 tier (60M lineitem / 15M orders / 10M events / 500k
+    docs / 200k vectors) under the SAME session, and the x100/x10 wall ratio
+    must stay ≲ linear (fail line 30x for 10x more data — same slack
+    rationale as LINEAR_SLACK). Also records the fitted scaling exponent
+    alpha = log10(t100/t10): ~1 linear, ~2 quadratic. This is the direct
+    measurement behind the 100 TB claim: a plan whose cost is linear across
+    sf0.1 -> x10 -> x100 has no hidden quadratic rung waiting at cluster
+    scale. (This gate's first run caught a real one: topk('auto') was
+    fitting its KMeans quantizer on the FULL corpus at default iterations —
+    112x wall for 10x data — now bounded to a ~100-rows-per-centroid sample
+    and measured here as the fixed-index probe rung.)"""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from s4hanaconnector_spark.scale_data import (
+        default_tier_dir,
+        synthesize_tier,
+    )
+
+    x10 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 10), 10)
+    x100 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 100), 100)
+
+    ladder = {}
+    for name in _LADDER:
+        t10, _n10 = _timed(spark, name, x10)
+        t100, n100 = _timed(spark, name, x100)
+        assert n100 > 0, f"{name} produced no rows at x100"
+        _ladder_entry(ladder, name, t10, t100, n100)
+
+    # the production similarity shape: ONE index (built once on the x10
+    # corpus, sampled KMeans, bounded iterations), probed as data grows —
+    # assignment against a FIXED centroid table is O(N), so this rung must
+    # ladder linearly where the rebuild-per-query auto rung cannot
+    def emb(d):
+        e = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        return (
+            e.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            ),
+            e.select(F.col("vec_id").alias("c_id"), "embedding"),
+        )
+
+    q10, c10 = emb(x10)
+    cents = kmeans_centroids(
+        c10, vec="embedding", n_centroids=141, sample_fraction=0.7, max_iter=10
+    ).localCheckpoint()
+
+    def probe(d):
+        q, c = emb(d)
+        df = ivf_topk(q, c, k=10, n_probe=4, centroids=cents)
+        t0 = _t.perf_counter()
+        n = df.count()
+        return _t.perf_counter() - t0, n
+
+    t10, _ = probe(x10)
+    t100, n100 = probe(x100)
+    assert n100 > 0
+    _ladder_entry(ladder, "similarity_ivf_probe_fixed_index", t10, t100, n100)
+
+
+@pytest.mark.slow
+def test_oracle_parity_at_x100(spark):
+    """Hash parity vs DuckDB at the x100 tier (60M-row lineitem): the
+    scale-dependent-divergence gate (overflow, float accumulation order,
+    partial-agg boundaries) one more decade up from the sf1 sweep."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from s4hanaconnector_spark.scale_data import (
+        default_tier_dir,
+        sf1_table_names,
+        synthesize_tier,
+    )
+    from tests.parity import assert_parity
+
+    x100 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 100), 100)
+    con = duckdb.connect()
+    for t in sf1_table_names():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{x100}/{t}.parquet/*.parquet')"
+        )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    checked = {}
+    for name in ["q1_pricing_summary", "dedup_fingerprint", "cdc_watermark"]:
+        checked[name] = assert_parity(qs[name](spark, x100), con, osql[name], name)
+    _record_raw("oracle_parity_at_x100", {
+        "queries_green": len(checked),
+        "rows": sum(checked.values()),
+    })
+
+
 @pytest.mark.slow
 def test_oracle_parity_at_sf1(spark):
     """Correctness at the sf1 tier, not only the driver's sf0.01: a
