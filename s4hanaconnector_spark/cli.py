@@ -59,6 +59,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "--mode", choices=["backward", "forward", "full"], default="backward"
     )
 
+    cmp_ = sub.add_parser(
+        "compact",
+        help="Kafka-style log compaction of a RangeCommitSink topic: fold "
+        "every COMMITTED range to the newest record per PK (tombstones kept "
+        "unless --drop-tombstones) and write one compacted parquet base",
+    )
+    cmp_.add_argument("sink_dir", help="the RangeCommitSink out_dir")
+    cmp_.add_argument("name", help="mapping/topic name inside the sink")
+    cmp_.add_argument("--pks", required=True, help="comma-separated PK columns")
+    cmp_.add_argument("--dest", required=True, help="output parquet directory")
+    cmp_.add_argument("--drop-tombstones", action="store_true")
+
     chk = sub.add_parser(
         "checksum",
         help="order-independent content checksum of a fixture table "
@@ -132,6 +144,32 @@ def main(argv: list[str] | None = None, out=None) -> int:
         for issue in issues:
             print(issue, file=out)
         return 1 if issues else 0
+
+    if args.cmd == "compact":
+        from s4hanaconnector_spark.operators.cdc import compact_changes
+        from s4hanaconnector_spark.poll import RangeCommitSink
+        from s4hanaconnector_spark.session import get_spark
+
+        spark = get_spark()
+        sink = RangeCommitSink(args.sink_dir)
+        keys = sink.committed_keys(args.name)
+        if not keys:
+            print(f"no committed ranges for {args.name!r} in {args.sink_dir}", file=out)
+            return 2
+        compacted = compact_changes(
+            sink.read_committed(spark, args.name),
+            args.pks.split(","),
+            drop_tombstones=args.drop_tombstones,
+        )
+        compacted.write.mode("overwrite").parquet(args.dest)
+        n = spark.read.parquet(args.dest).count()
+        print(
+            json.dumps(
+                {"ranges": len(keys), "txid_hi": max(keys), "rows": n, "dest": args.dest}
+            ),
+            file=out,
+        )
+        return 0
 
     if args.cmd == "checksum":
         from pyspark.sql import functions as F

@@ -182,6 +182,38 @@ class RangeCommitSink:
                     best = v
         return best
 
+    def committed_keys(self, name: str) -> list[int]:
+        """Every committed range key for ``name``, ascending — the sink-side
+        manifest a compactor or consumer replays. Same marker re-validation
+        as :meth:`last_committed` (truncated markers read as uncommitted)."""
+        import re as _re
+
+        pat = _re.compile(_re.escape(name) + r"\.(\d+)\.json$")
+        out: list[int] = []
+        try:
+            entries = os.listdir(self.log.dir)
+        except FileNotFoundError:  # pragma: no cover
+            return out
+        for e in entries:
+            m = pat.fullmatch(e)
+            if m and self.log.committed(f"{name}.{int(m.group(1))}"):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
+        """One DataFrame over every COMMITTED range of ``name`` — orphan
+        (uncommitted, crash-window) range directories are invisible, exactly
+        like a read_committed Kafka consumer skipping aborted transactions.
+        Feed this to ``operators.cdc.compact_changes`` for the log-compaction
+        pass, or to ``apply_changes``/``snapshot_at`` consumers."""
+        keys = self.committed_keys(name)
+        if not keys:
+            raise FileNotFoundError(f"no committed ranges for {name!r} in {self.out_dir}")
+        paths = [
+            os.path.join(self.out_dir, name, f"txid_hi={k}") for k in keys
+        ]
+        return spark.read.parquet(*paths)
+
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):
             return 0

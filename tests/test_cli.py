@@ -122,3 +122,42 @@ def test_cli_checksum_is_deterministic(spark, capsys_out=None):
         outs.append(_json.loads(buf.getvalue()))
     assert outs[0] == outs[1]
     assert outs[0]["n_rows"] == 5 and outs[0]["checksum"].isdigit()
+
+
+def test_cli_compact_folds_committed_ranges(spark, tmp_path):
+    """`compact` — the operational log-compaction pass: two committed ranges
+    in, one latest-per-PK parquet base out, with the summary line reporting
+    the range count and frontier."""
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.poll import RangeCommitSink
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    mk = lambda ct, pk, tx, v: Row(
+        _change_type=ct, _transactionid=tx, id=pk, val=v
+    )
+    df1 = spark.createDataFrame(
+        [mk("A", 1, 10, "old"), mk("A", 2, 10, "b")],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    df2 = spark.createDataFrame(
+        [mk("D", 1, 20, None)],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    sink.write("t", 10, df1)
+    sink.write("t", 20, df2)
+
+    dest = str(tmp_path / "compacted")
+    rc, out = _run(
+        ["compact", str(tmp_path / "out"), "t", "--pks", "id", "--dest", dest]
+    )
+    assert rc == 0
+    doc = json.loads(out.strip().splitlines()[-1])
+    assert doc == {"ranges": 2, "txid_hi": 20, "rows": 2, "dest": dest}
+    rows = {r["id"]: r["_change_type"] for r in spark.read.parquet(dest).collect()}
+    assert rows == {1: "D", 2: "A"}  # key 1's newest record is the tombstone
+    # unknown topic is a clean error, not a traceback
+    rc, _ = _run(
+        ["compact", str(tmp_path / "out"), "nope", "--pks", "id", "--dest", dest]
+    )
+    assert rc == 2

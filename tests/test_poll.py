@@ -516,3 +516,48 @@ def test_quarantine_crash_before_fingerprint_append_reships_never_loses(spark, t
     # fingerprints are durable now: a third poll ships nothing
     poll(*args, 0, sink, NOW, quarantine=True)
     assert spark.read.parquet(os.path.join(out, "_quarantine")).count() == 2
+
+
+def test_read_committed_and_compaction_over_sink(spark, tmp_path):
+    """The consumer-side topic operations over a REAL sink directory: two
+    advancing polls commit two ranges, a crash leaves one ORPHAN
+    (marker-less) range dir, then read_committed must see exactly the
+    committed ranges (aborted-transaction invisibility) and compact_changes
+    over them must equal the one-shot delta over the full feed — the
+    lossless-compaction contract."""
+    from s4hanaconnector_spark.operators.cdc import cdc_delta, compact_changes
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    load = lambda name: src
+
+    log = _pklog(
+        spark,
+        [("U", 1, 10), ("U", 2, 11), ("U", 1, 15), ("D", 9, 16), ("U", 4, 20)],
+    )
+    hi1 = poll(spark, [MAPPING], load, log, _txns(spark, [16]), 0, sink, NOW)
+    assert hi1 == 15
+    hi2 = poll(spark, [MAPPING], load, log, _txns(spark, []), hi1, sink, NOW)
+    assert hi2 == 20
+
+    # crash window: a data dir for a THIRD range exists but its marker never
+    # landed — read_committed must not see it
+    orphan = tmp_path / "out" / "t" / "txid_hi=99"
+    src.limit(1).selectExpr(
+        "'A' AS _change_type", "CAST(99 AS BIGINT) AS _transactionid",
+        "id", "val",
+    ).write.parquet(str(orphan))
+
+    assert sink.committed_keys("t") == [15, 20]
+    committed = sink.read_committed(spark, "t")
+    assert committed.filter("_transactionid = 99").count() == 0
+
+    compacted = compact_changes(committed, ["id"])
+    one_shot = cdc_delta(src, log, MAPPING, 0, hi2)
+    a = {tuple(r) for r in compacted.select(*one_shot.columns).collect()}
+    b = {tuple(r) for r in one_shot.collect()}
+    assert a == b
+    # the materializing variant drops the txid-16 tombstone for pk 9
+    assert compact_changes(committed, ["id"], drop_tombstones=True).filter(
+        "_change_type = 'D'"
+    ).count() == 0
