@@ -344,7 +344,16 @@ def _ivf_build_probe(spark, base_dir: str, x10_dir: str | None) -> dict:
 
     c_base = corpus(base_dir)
     t0 = time.perf_counter()
-    cents = kmeans_centroids(c_base, vec="embedding")
+    # the same bounded fit the auto planner runs (~100 training rows per
+    # centroid, 10 iterations) so build_sec measures the production build,
+    # not an unbounded full-corpus KMeans the planner never executes
+    n_rows = c_base.count()
+    n_cent = max(4, int(n_rows**0.5))
+    cents = kmeans_centroids(
+        c_base, vec="embedding", n_centroids=n_cent,
+        sample_fraction=min(1.0, (100.0 * n_cent) / max(n_rows, 1)),
+        max_iter=10,
+    )
     cents = cents.localCheckpoint()  # materialize: build cost ends here
     build_sec = round(time.perf_counter() - t0, 3)
 
