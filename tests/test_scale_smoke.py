@@ -157,11 +157,23 @@ def test_similarity_auto_scales_and_flips_to_ivf(spark, big_dir, monkeypatch):
     out = S.topk(q, c, k=5, strategy="auto", brute_force_max_rows=10_000)
     assert out.count() > 0
     assert calls, "auto planner did not flip to IVF past the affordability bound"
-    # and below the bound it must stay exact (no IVF call)
+    # below the bound it must stay exact (no IVF call) — a bare file-backed
+    # corpus, where the parquet-footer estimate is exact
     calls.clear()
-    c_small = c.filter(F.col("c_id") < 1000)
+    base_emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    c_small = base_emb.select(F.col("vec_id").alias("c_id"), "embedding")
     S.topk(q, c_small, k=5, strategy="auto", brute_force_max_rows=10_000).count()
     assert not calls, "auto planner used IVF under the affordability bound"
+    # a FILTERED corpus whose underlying files exceed the bound routes to
+    # IVF even though the post-filter count is tiny: the footer estimate is
+    # a documented UPPER bound (it may only steer toward IVF, never toward
+    # an unaffordable brute pass) — pin that conservative direction
+    calls.clear()
+    S.topk(
+        q, c.filter(F.col("c_id") < 1000), k=5,
+        strategy="auto", brute_force_max_rows=10_000,
+    ).count()
+    assert calls, "filtered-corpus estimate lost its conservative direction"
 
 
 @pytest.mark.slow
