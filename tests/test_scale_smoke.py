@@ -334,6 +334,12 @@ _LADDER = [
     "text_lang_id",
     "dedup_fingerprint",
     "cdc_delta",
+    # nesting (collect_list shuffle), as-of join (range + window frontier),
+    # grouped-agg rollup, SCD2 reconstruction — the remaining shuffle shapes
+    "nest_orders_items",
+    "asof_nearest_click",
+    "agg_rollup",
+    "cdc_scd2_history",
 ]
 
 
