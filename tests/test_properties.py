@@ -796,3 +796,61 @@ def test_quarantine_retention_ships_iff_outside_window(spark, offsets, tmp_path_
     assert got == expected_ships, (
         f"poll days {times}: expected {expected_ships} ships, got {got}"
     )
+
+
+# change rows for compaction: (pk, txid, seq, change_type)
+_compact_feeds = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(["I", "U", "A", "D"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feed=_compact_feeds, split=st.integers(min_value=0, max_value=13))
+def test_log_compaction_is_split_invariant(spark, feed, split):
+    """Kafka-compaction compositionality: compacting the UNION of any
+    txid-split emission pair equals compacting the whole feed, and
+    re-compacting a compacted topic is a no-op (idempotence) — the two
+    algebraic laws that let a compactor run incrementally at any cadence
+    without consumers being able to tell."""
+
+    def df(rows):
+        return spark.createDataFrame(
+            [
+                Row(
+                    _change_type=ct, _transactionid=tx, transaction_seq=seq,
+                    id=pk, val=f"{ct}{tx}.{seq}",
+                )
+                for pk, tx, seq, ct in rows
+            ],
+            "_change_type string, _transactionid bigint, transaction_seq int, "
+            "id bigint, val string",
+        )
+
+    whole = df(feed)
+    lo = df([r for r in feed if r[1] <= split])
+    hi = df([r for r in feed if r[1] > split])
+
+    def key(frame):
+        return {
+            (r["id"], r["_transactionid"], r["transaction_seq"], r["_change_type"], r["val"])
+            for r in frame.collect()
+        }
+
+    compact_whole = C.compact_changes(whole, ["id"])
+    # split-invariance: each side pre-compacted (a committed range IS a
+    # compacted emission), then folded
+    pre = C.compact_changes(lo, ["id"]).unionByName(C.compact_changes(hi, ["id"]))
+    assert key(C.compact_changes(pre, ["id"])) == key(compact_whole)
+    # idempotence
+    assert key(C.compact_changes(compact_whole, ["id"])) == key(compact_whole)
