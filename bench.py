@@ -90,7 +90,20 @@ def main() -> None:
     # driver records only the tail of stdout, so every gate number must
     # survive any tail window. Keep this list short and flat.
     doc["summary"] = _summary(doc)
-    print(json.dumps(doc))
+    line = json.dumps(doc)
+    print(line)
+    # Full-fidelity copy in-repo: the driver's BENCH_r*.json keeps only the
+    # final ~2000 chars of stdout, and this line outgrew that window when
+    # the x10/ivf/streaming tiers landed (BENCH_r06.json: "parsed": null).
+    # The summary-last-keys convention keeps the GATE numbers inside any
+    # tail, but the outlier detectors need per-query history — so persist
+    # it ourselves; git history keeps the per-round versions.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST_FULL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:  # pragma: no cover - read-only checkout is non-fatal
+        pass
     spark.stop()
 
 
@@ -293,6 +306,7 @@ def _x10_tier(spark, headline, base_dir: str, base_timings: dict) -> dict:
     synth_sec = round(_t.perf_counter() - t0, 1)
 
     budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))
+    prior_x10_all = _prior_round_timings(tier="x10")
     start = _t.perf_counter()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -301,8 +315,25 @@ def _x10_tier(spark, headline, base_dir: str, base_timings: dict) -> dict:
         n_samples = 2 if (_t.perf_counter() - start) < budget else 1
         runs = [_time_once(spark, q, x10_dir) for _ in range(n_samples)]
         ref = base_timings.get(name)
-        if ref and min(runs) > 12 * ref and (_t.perf_counter() - start) < budget:
+        # the outlier re-run deliberately IGNORES the wall budget: it only
+        # fires for queries that look super-linear, and a single cold sample
+        # publishing a false max-ratio into the summary (observed:
+        # chunk_documents 4.25 s cold vs 0.22-0.38 s on re-run, "23.4x")
+        # costs far more than a bounded extra sample. Two triggers, same as
+        # the sf0.1 tier's discipline: >12x this run's own base (linear
+        # contract), or >3x the best committed x10 wall from prior rounds —
+        # the latter catches SUSTAINED starvation windows where even three
+        # tight samples all lie (observed: join_agg 29.8-32.3 s during a
+        # loaded window vs 6.7 s minutes later).
+        prior_x10 = prior_x10_all.get(name)
+        extra = 0
+        while (
+            extra < 2
+            and ((ref and min(runs) > 12 * ref)
+                 or (prior_x10 is not None and min(runs) > 3 * prior_x10))
+        ):
             runs.append(_time_once(spark, q, x10_dir))
+            extra += 1
         samples[name] = [round(r, 3) for r in runs]
         timings[name] = round(min(runs), 3)
         if ref:
@@ -380,22 +411,34 @@ def _time_once(spark, q, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _prior_round_timings() -> dict[str, float]:
+def _prior_round_timings(tier: str | None = None) -> dict[str, float]:
     """Per-query best-known timing across ALL committed BENCH_r*.json — the
-    reference for the outlier re-run rule. The MIN across rounds (not just
+    reference for the outlier re-run rules. The MIN across rounds (not just
     r-1) is used so one starved artifact (r4's 13.8 s dedup_minhash_lsh vs
     its 2.0 s r3 value) cannot weaken the detector for later rounds.
-    Missing/any-shape artifacts are tolerated: the rule simply disengages
-    for unknown queries."""
+    ``tier`` selects a sub-tier's timings (e.g. "x10"); the default is the
+    base headline tier. Missing/any-shape artifacts are tolerated: the rule
+    simply disengages for unknown queries."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     ref: dict[str, float] = {}
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    candidates += glob.glob(os.path.join(here, "BENCH_LAST_FULL.json"))
+    for p in candidates:
         try:
             with open(p) as f:
                 doc = json.load(f)
-            q = doc.get("parsed", doc).get("queries", {})
+            doc = doc.get("parsed") or doc  # "parsed": null when the driver's tail window missed the JSON
+            if tier is not None:
+                # r6 published the 10x tier under its old absolute name
+                # ("sf1", renamed r7) — accept both so the detector keeps
+                # its full history
+                sub = doc.get(tier)
+                if sub is None and tier == "x10":
+                    sub = doc.get("sf1")
+                doc = sub or {}
+            q = doc.get("queries", {})
             for k, v in q.items():
                 v = float(v)
                 if k not in ref or v < ref[k]:
