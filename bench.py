@@ -48,7 +48,7 @@ def main() -> None:
     # min still exceeds 3x the last committed round's value we take up to
     # two extra trials before believing it. ALL samples are recorded in the
     # artifact so a noisy host is diagnosable from the JSON alone.
-    prior = _prior_round_timings()
+    prior = _prior_round_timings(expect_sf=sf)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name, q in headline.items():
@@ -306,7 +306,8 @@ def _x10_tier(spark, headline, base_dir: str, base_timings: dict) -> dict:
     synth_sec = round(_t.perf_counter() - t0, 1)
 
     budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "360"))
-    prior_x10_all = _prior_round_timings(tier="x10")
+    base_sf_key = base_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prior_x10_all = _prior_round_timings(tier="x10", expect_sf=base_sf_key)
     start = _t.perf_counter()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -329,8 +330,11 @@ def _x10_tier(spark, headline, base_dir: str, base_timings: dict) -> dict:
         extra = 0
         while (
             extra < 2
+            # truthiness guards like the base rule: a 0.0 prior (sub-ms wall
+            # rounded down, or a corrupt artifact) must not make the trigger
+            # fire unconditionally forever
             and ((ref and min(runs) > 12 * ref)
-                 or (prior_x10 is not None and min(runs) > 3 * prior_x10))
+                 or (prior_x10 and min(runs) > 3 * prior_x10))
         ):
             runs.append(_time_once(spark, q, x10_dir))
             extra += 1
@@ -411,14 +415,20 @@ def _time_once(spark, q, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _prior_round_timings(tier: str | None = None) -> dict[str, float]:
-    """Per-query best-known timing across ALL committed BENCH_r*.json — the
-    reference for the outlier re-run rules. The MIN across rounds (not just
-    r-1) is used so one starved artifact (r4's 13.8 s dedup_minhash_lsh vs
-    its 2.0 s r3 value) cannot weaken the detector for later rounds.
+def _prior_round_timings(
+    tier: str | None = None, expect_sf: str | None = None
+) -> dict[str, float]:
+    """Per-query best-known timing across all committed BENCH_r*.json plus
+    the in-repo full-fidelity copy (BENCH_LAST_FULL.json) — the reference
+    for the outlier re-run rules. The MIN across rounds (not just r-1) is
+    used so one starved artifact (r4's 13.8 s dedup_minhash_lsh vs its
+    2.0 s r3 value) cannot weaken the detector for later rounds.
     ``tier`` selects a sub-tier's timings (e.g. "x10"); the default is the
-    base headline tier. Missing/any-shape artifacts are tolerated: the rule
-    simply disengages for unknown queries."""
+    base headline tier. ``expect_sf`` skips artifacts measured at a
+    DIFFERENT scale — a smoke run at sf0.001 overwriting the LAST_FULL copy
+    must not make every sf0.1 query look 100x "starved" and double the
+    bench wall with pointless re-runs. Missing/any-shape artifacts are
+    tolerated: the rule simply disengages for unknown queries."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -429,16 +439,19 @@ def _prior_round_timings(tier: str | None = None) -> dict[str, float]:
         try:
             with open(p) as f:
                 doc = json.load(f)
-            doc = doc.get("parsed") or doc  # "parsed": null when the driver's tail window missed the JSON
+            # "parsed": null when the driver's tail window missed the JSON
+            doc = doc.get("parsed") or doc
             if tier is not None:
-                # r6 published the 10x tier under its old absolute name
-                # ("sf1", renamed r7) — accept both so the detector keeps
-                # its full history
-                sub = doc.get(tier)
-                if sub is None and tier == "x10":
-                    sub = doc.get("sf1")
-                doc = sub or {}
-            q = doc.get("queries", {})
+                sub = doc.get(tier) or {}
+                sf_key = "base_sf"
+            else:
+                sub = doc
+                sf_key = "sf"
+            if expect_sf is not None and str(sub.get(sf_key)) != str(
+                float(expect_sf) if expect_sf.replace(".", "").isdigit() else expect_sf
+            ):
+                continue
+            q = sub.get("queries", {})
             for k, v in q.items():
                 v = float(v)
                 if k not in ref or v < ref[k]:

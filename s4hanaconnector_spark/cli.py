@@ -156,8 +156,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
         if not keys:
             print(f"no committed ranges for {args.name!r} in {args.sink_dir}", file=out)
             return 2
+        # pass the listed keys down: one listing, and the printed manifest
+        # matches exactly what was compacted even if a concurrent poll
+        # commits a new range mid-command
         compacted = compact_changes(
-            sink.read_committed(spark, args.name),
+            sink.read_committed(spark, args.name, keys=keys),
             args.pks.split(","),
             drop_tombstones=args.drop_tombstones,
         )

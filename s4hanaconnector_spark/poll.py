@@ -161,31 +161,19 @@ class RangeCommitSink:
     def last_committed(self, name: str) -> int | None:
         """Highest committed range key for ``name`` (None if none) — the
         per-mapping resume point poll() uses so a crash-replayed poll with
-        an advanced watermark never emits overlapping ranges. One directory
-        listing of small marker files; bounded by commit count."""
-        import re as _re
-
-        best: int | None = None
-        pat = _re.compile(_re.escape(name) + r"\.(\d+)\.json$")
-        try:
-            entries = os.listdir(self.log.dir)
-        except FileNotFoundError:  # pragma: no cover
-            return None
-        for e in entries:
-            m = pat.fullmatch(e)
-            if m:
-                v = int(m.group(1))
-                # committed() re-validates the marker parses — a truncated
-                # post-power-loss marker must not become the resume point
-                # (it would skip the very range that needs replaying)
-                if (best is None or v > best) and self.log.committed(f"{name}.{v}"):
-                    best = v
-        return best
+        an advanced watermark never emits overlapping ranges. Delegates to
+        :meth:`committed_keys` so the marker-scanning contract (including
+        truncated-marker re-validation, which must never yield a resume
+        point that skips a range needing replay) lives in exactly one
+        place."""
+        keys = self.committed_keys(name)
+        return keys[-1] if keys else None
 
     def committed_keys(self, name: str) -> list[int]:
         """Every committed range key for ``name``, ascending — the sink-side
-        manifest a compactor or consumer replays. Same marker re-validation
-        as :meth:`last_committed` (truncated markers read as uncommitted)."""
+        manifest a compactor or consumer replays, and the single home of the
+        marker-scanning contract (``last_committed`` delegates here).
+        Truncated post-power-loss markers re-validate as uncommitted."""
         import re as _re
 
         pat = _re.compile(_re.escape(name) + r"\.(\d+)\.json$")
@@ -200,19 +188,29 @@ class RangeCommitSink:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
+    def read_committed(
+        self, spark: SparkSession, name: str, keys: list[int] | None = None
+    ) -> DataFrame:
         """One DataFrame over every COMMITTED range of ``name`` — orphan
         (uncommitted, crash-window) range directories are invisible, exactly
         like a read_committed Kafka consumer skipping aborted transactions.
         Feed this to ``operators.cdc.compact_changes`` for the log-compaction
-        pass, or to ``apply_changes``/``snapshot_at`` consumers."""
-        keys = self.committed_keys(name)
+        pass, or to ``apply_changes``/``snapshot_at`` consumers.
+
+        ``keys`` pins the manifest a caller already listed (one listing, and
+        the caller's report matches what was actually read — a concurrent
+        poll committing between two listings cannot desynchronize them).
+        mergeSchema: ranges emitted across a mapping rebuild (O28 additive
+        evolution) differ in columns; the default single-footer inference
+        would silently drop the newer columns from every row."""
+        if keys is None:
+            keys = self.committed_keys(name)
         if not keys:
             raise FileNotFoundError(f"no committed ranges for {name!r} in {self.out_dir}")
         paths = [
             os.path.join(self.out_dir, name, f"txid_hi={k}") for k in keys
         ]
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def write(self, name: str, hi: int, df: DataFrame) -> int:
         if self.committed(name, hi):

@@ -561,3 +561,28 @@ def test_read_committed_and_compaction_over_sink(spark, tmp_path):
     assert compact_changes(committed, ["id"], drop_tombstones=True).filter(
         "_change_type = 'D'"
     ).count() == 0
+
+
+def test_read_committed_merges_evolved_range_schemas(spark, tmp_path):
+    """Ranges emitted across a mapping rebuild (O28 additive evolution)
+    differ in columns; read_committed must union the schemas (mergeSchema)
+    instead of letting a single-footer inference silently drop the newer
+    column from every row — which would make the compact CLI write a base
+    permanently missing it."""
+    from pyspark.sql import Row
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    old = spark.createDataFrame(
+        [Row(_change_type="A", _transactionid=10, id=1, val="a")],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    new = spark.createDataFrame(
+        [Row(_change_type="A", _transactionid=20, id=2, val="b", note="n")],
+        "_change_type string, _transactionid bigint, id bigint, val string, note string",
+    )
+    sink.write("t", 10, old)
+    sink.write("t", 20, new)
+    got = sink.read_committed(spark, "t")
+    assert "note" in got.columns
+    rows = {r["id"]: r["note"] for r in got.collect()}
+    assert rows == {1: None, 2: "n"}
