@@ -466,7 +466,11 @@ def test_oracle_parity_at_x100(spark):
         )
     qs, osql = entry.queries(), entry.oracle_sql()
     checked = {}
-    for name in ["q1_pricing_summary", "dedup_fingerprint", "cdc_watermark"]:
+    for name in [
+        "q1_pricing_summary", "dedup_fingerprint", "cdc_watermark",
+        # the 60M x 15M join shape, hash-compared across engines at x100
+        "q18_large_volume_orders",
+    ]:
         checked[name] = assert_parity(qs[name](spark, x100), con, osql[name], name)
     _record_raw("oracle_parity_at_x100", {
         "queries_green": len(checked),
