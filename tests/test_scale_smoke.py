@@ -477,6 +477,21 @@ def test_oracle_parity_at_x100(spark):
         "rows": sum(checked.values()),
     })
 
+    # recall floors one more decade up (the queries raise internally below
+    # ivf>=80% / int8>=90%): 200k vectors, every family of 100 near-dup
+    measured = {}
+    for name in ("similarity_ivf_recall", "similarity_int8_recall"):
+        out = qs[name](spark, x100)
+        t = out.agg(
+            F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")
+        ).collect()[0]
+        measured[name] = f"{t['h']}/{t['e']}"
+    _record_raw("recall_at_x100", {
+        "ivf_recall_at_10": measured["similarity_ivf_recall"],
+        "int8_recall_at_10": measured["similarity_int8_recall"],
+        "floors": "ivf>=80%, int8>=90%",
+    })
+
 
 @pytest.mark.slow
 def test_oracle_parity_at_sf1(spark):
