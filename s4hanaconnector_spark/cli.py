@@ -71,6 +71,21 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--dest", required=True, help="output parquet directory")
     cmp_.add_argument("--drop-tombstones", action="store_true")
 
+    snp = sub.add_parser(
+        "snapshot",
+        help="materialize the consumer-side table state from a sink topic: "
+        "committed ranges (optionally cut at --as-of for time travel) "
+        "MERGEd onto --base (or onto nothing when the topic carries its "
+        "own initial load)",
+    )
+    snp.add_argument("sink_dir")
+    snp.add_argument("name")
+    snp.add_argument("--pks", required=True, help="comma-separated PK columns")
+    snp.add_argument("--dest", required=True, help="output parquet directory")
+    snp.add_argument("--base", default=None, help="parquet dir of the starting snapshot")
+    snp.add_argument("--as-of", type=int, default=None, dest="as_of",
+                     help="replay only changes with transactionid <= this")
+
     chk = sub.add_parser(
         "checksum",
         help="order-independent content checksum of a fixture table "
@@ -172,6 +187,25 @@ def main(argv: list[str] | None = None, out=None) -> int:
             ),
             file=out,
         )
+        return 0
+
+    if args.cmd == "snapshot":
+        from s4hanaconnector_spark.poll import RangeCommitSink, materialize_snapshot
+        from s4hanaconnector_spark.session import get_spark
+
+        spark = get_spark()
+        sink = RangeCommitSink(args.sink_dir)
+        if not sink.committed_keys(args.name):
+            print(f"no committed ranges for {args.name!r} in {args.sink_dir}", file=out)
+            return 2
+        base = spark.read.parquet(args.base) if args.base else None
+        state = materialize_snapshot(
+            spark, sink, args.name, args.pks.split(","),
+            base=base, as_of_txid=args.as_of,
+        )
+        state.write.mode("overwrite").parquet(args.dest)
+        n = spark.read.parquet(args.dest).count()
+        print(json.dumps({"rows": n, "as_of": args.as_of, "dest": args.dest}), file=out)
         return 0
 
     if args.cmd == "checksum":

@@ -226,6 +226,42 @@ class RangeCommitSink:
         return n
 
 
+def materialize_snapshot(
+    spark: SparkSession,
+    sink: RangeCommitSink,
+    name: str,
+    pk_names: list[str],
+    base: DataFrame | None = None,
+    as_of_txid: int | None = None,
+) -> DataFrame:
+    """The full consumer-side materialization over a sink topic: read every
+    committed range (aborted ranges invisible), optionally cut at
+    ``as_of_txid`` (time travel), fold to the newest record per PK (log
+    compaction), and MERGE onto ``base`` — the state a reference consumer
+    holds after replaying the compacted Kafka topic from the initial load
+    (README.md:82: "data in Kafka is a 1:1 copy of the ABAP table").
+
+    ``base=None`` starts from nothing — correct when the topic carries its
+    own initial load ('I' rows), the reference's bootstrap mode
+    (S4HanaProducer.java:500-654 emits the initial load into the same
+    topic). apply_changes' own latest_per_pk IS the compaction fold (same
+    ordinal as compact_changes, pinned by tests), so this is ONE PK-keyed
+    hash aggregation + one anti-join; nothing scales with history except
+    the single pass over the committed ranges."""
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+
+    changes = sink.read_committed(spark, name)
+    if as_of_txid is not None:
+        changes = changes.filter(F.col("_transactionid") <= as_of_txid)
+    if base is None:
+        data_cols = [c for c in changes.columns
+                     if c not in ("_change_type", "_transactionid", "transaction_seq")]
+        base = changes.select(*data_cols).filter(F.lit(False))
+    return apply_changes(base, changes, pk_names)
+
+
 # broadcast the seen-state only below this on-disk size; above it a plain
 # (shuffled) anti-join is the safe shape — md5 fingerprints are 32 chars, so
 # 32 MiB is ~1M shipped malformed rows, far past any healthy feed

@@ -161,3 +161,31 @@ def test_cli_compact_folds_committed_ranges(spark, tmp_path):
         ["compact", str(tmp_path / "out"), "nope", "--pks", "id", "--dest", dest]
     )
     assert rc == 2
+
+
+def test_cli_snapshot_materializes_state(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.poll import RangeCommitSink
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    df1 = spark.createDataFrame(
+        [Row(_change_type="A", _transactionid=10, id=1, val="a"),
+         Row(_change_type="A", _transactionid=10, id=2, val="b")],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    df2 = spark.createDataFrame(
+        [Row(_change_type="D", _transactionid=20, id=1, val=None)],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    sink.write("t", 10, df1)
+    sink.write("t", 20, df2)
+    dest = str(tmp_path / "state")
+    rc, out = _run(
+        ["snapshot", str(tmp_path / "out"), "t", "--pks", "id",
+         "--dest", dest, "--as-of", "20"]
+    )
+    assert rc == 0
+    assert json.loads(out.strip().splitlines()[-1])["rows"] == 1
+    rows = {r["id"]: r["val"] for r in spark.read.parquet(dest).collect()}
+    assert rows == {2: "b"}  # key 1 died at txid 20

@@ -586,3 +586,41 @@ def test_read_committed_merges_evolved_range_schemas(spark, tmp_path):
     assert "note" in got.columns
     rows = {r["id"]: r["note"] for r in got.collect()}
     assert rows == {1: None, 2: "n"}
+
+
+def test_materialize_snapshot_time_travel_over_sink(spark, tmp_path):
+    """Consumer-side state reconstruction from the sink itself: two
+    committed ranges, materialized WITH a base at two as-of points and
+    WITHOUT a base (bootstrap mode: the topic carries its own initial
+    load), each equal to the reference apply over the corresponding cut."""
+    from s4hanaconnector_spark.operators.cdc import apply_changes
+    from s4hanaconnector_spark.poll import materialize_snapshot
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    src = _src(spark, [(1, "a"), (2, "b"), (3, "c")])
+    load = lambda name: src
+    # pk 9 is NOT in the source: the delta classifies it 'D' (a log 'D'
+    # whose key still exists would correctly re-classify as an upsert)
+    log = _pklog(spark, [("U", 1, 10), ("D", 9, 11), ("U", 3, 20), ("U", 1, 21)])
+    # in-flight writer at txid 20 gates the watermark to 19 (oldest-active
+    # minus one), so range 1 carries txids 10 and 11
+    hi1 = poll(spark, [MAPPING], load, log, _txns(spark, [20]), 0, sink, NOW)
+    assert hi1 == 19
+    hi2 = poll(spark, [MAPPING], load, log, _txns(spark, []), hi1, sink, NOW)
+    assert hi2 == 21
+
+    base = _src(spark, [(1, "old1"), (9, "old9"), (4, "keep")])
+
+    def state(df):
+        return {(r["id"], r["val"]) for r in df.collect()}
+
+    # as-of the first range: 1 refreshed, 9 tombstoned, 4 untouched
+    got = materialize_snapshot(spark, sink, "t", ["id"], base=base, as_of_txid=hi1)
+    assert state(got) == {(1, "a"), (4, "keep")}
+    # full replay equals applying the union of committed ranges in one MERGE
+    got_full = materialize_snapshot(spark, sink, "t", ["id"], base=base)
+    ref = apply_changes(base, sink.read_committed(spark, "t"), ["id"])
+    assert state(got_full) == state(ref) == {(1, "a"), (3, "c"), (4, "keep")}
+    # bootstrap mode: no base — upserts only, tombstones produce nothing
+    got_boot = materialize_snapshot(spark, sink, "t", ["id"])
+    assert state(got_boot) == {(1, "a"), (3, "c")}
