@@ -358,6 +358,60 @@ def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_materialize_topic",
+    # same reconstruction as the time-travel oracle, over the FULL range —
+    # the topic path (two committed ranges + an orphan) must be invisible
+    _DELTA_ORACLE_BODY.replace(
+        f"_transactionid > {LO} AND _transactionid <= {HI}",
+        "_transactionid > 0",
+    )
+    + """
+, delta AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority
+    FROM l LEFT OUTER JOIN orders o ON l.o_orderkey = o.o_orderkey
+),
+snap AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+SELECT s.* FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = s.o_orderkey)
+UNION ALL
+SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM delta WHERE _change_type <> 'D'
+""",
+)
+def cdc_materialize_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full consumer loop over a REAL sink directory under the oracle
+    gate: two separately-emitted delta ranges land as committed ranges, a
+    third range's data dir is left ORPHANED (its marker never written —
+    the crash window), and materialize_snapshot must reconstruct exactly
+    the state the one-shot SQL defines from the committed ranges alone —
+    aborted-transaction invisibility included, not just compaction
+    algebra."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, materialize_snapshot
+
+    orders = t(spark, sf_dir, "orders")
+    stale = orders.filter(F.col("o_orderkey") % 3 != 0)
+    pklog = synthetic_pklog(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_mat_topic_")
+    sink = RangeCommitSink(out_dir)
+    r1 = C.cdc_delta(orders, pklog, ORDERS_IDENTITY, 0, _SPLIT_TXID)
+    r2 = C.cdc_delta(orders, pklog, ORDERS_IDENTITY, _SPLIT_TXID, 10**9)
+    sink.write(ORDERS_IDENTITY.name, _SPLIT_TXID, r1)
+    sink.write(ORDERS_IDENTITY.name, 10**9, r2)
+    # crash window: data written, marker never landed — must stay invisible
+    orphan = os.path.join(out_dir, ORDERS_IDENTITY.name, "txid_hi=2000000000")
+    r1.limit(7).withColumn("o_custkey", F.lit(-1).cast("bigint")).write.parquet(orphan)
+    return materialize_snapshot(
+        spark, sink, ORDERS_IDENTITY.name, ORDERS_IDENTITY.pkcolumns, base=stale
+    )
+
+
+@register(
     "cdc_pk_change_expand",
     """
 WITH ch AS (
