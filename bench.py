@@ -447,10 +447,17 @@ def _prior_round_timings(
             else:
                 sub = doc
                 sf_key = "sf"
-            if expect_sf is not None and str(sub.get(sf_key)) != str(
-                float(expect_sf) if expect_sf.replace(".", "").isdigit() else expect_sf
-            ):
-                continue
+            if expect_sf is not None:
+                # numeric compare (ADVICE r7): an artifact storing "sf": 1
+                # stringifies to '1' while str(float('1')) is '1.0' — a
+                # string equality would silently disengage the starvation
+                # detector for whole-number scale factors
+                try:
+                    if float(sub.get(sf_key)) != float(expect_sf):
+                        continue
+                except (TypeError, ValueError):
+                    if str(sub.get(sf_key)) != str(expect_sf):
+                        continue
             q = sub.get("queries", {})
             for k, v in q.items():
                 v = float(v)

@@ -179,6 +179,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
             args.pks.split(","),
             drop_tombstones=args.drop_tombstones,
         )
+        if args.drop_tombstones:
+            # --drop-tombstones asks for a SNAPSHOT base (live rows only);
+            # also strip the CDC meta columns so the output is directly
+            # usable as `snapshot --base` — which rejects anything still
+            # carrying _change_type (tombstone rows would resurrect
+            # deleted keys through apply_changes)
+            compacted = compacted.drop(
+                "_change_type", "_transactionid", "transaction_seq"
+            )
         compacted.write.mode("overwrite").parquet(args.dest)
         n = spark.read.parquet(args.dest).count()
         print(
@@ -195,13 +204,29 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
         spark = get_spark()
         sink = RangeCommitSink(args.sink_dir)
-        if not sink.committed_keys(args.name):
+        keys = sink.committed_keys(args.name)
+        if not keys:
             print(f"no committed ranges for {args.name!r} in {args.sink_dir}", file=out)
             return 2
         base = spark.read.parquet(args.base) if args.base else None
+        if base is not None and "_change_type" in base.columns:
+            # a compact output built WITHOUT --drop-tombstones is a topic
+            # (tombstones + meta columns), not a snapshot: apply_changes
+            # would treat its 'D' rows as live and resurrect deleted keys
+            print(
+                f"--base {args.base} carries _change_type — that is a "
+                "changes feed, not a snapshot; rebuild it with "
+                "`compact --drop-tombstones` (live rows only, meta "
+                "columns stripped)",
+                file=out,
+            )
+            return 2
+        # pass the already-listed keys through (same one-listing guarantee
+        # as `compact`): a poll committing between the emptiness check and
+        # the read cannot desynchronize state from the checked manifest
         state = materialize_snapshot(
             spark, sink, args.name, args.pks.split(","),
-            base=base, as_of_txid=args.as_of,
+            base=base, as_of_txid=args.as_of, keys=keys,
         )
         state.write.mode("overwrite").parquet(args.dest)
         n = spark.read.parquet(args.dest).count()

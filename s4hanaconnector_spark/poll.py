@@ -165,28 +165,39 @@ class RangeCommitSink:
         :meth:`committed_keys` so the marker-scanning contract (including
         truncated-marker re-validation, which must never yield a resume
         point that skips a range needing replay) lives in exactly one
-        place."""
-        keys = self.committed_keys(name)
-        return keys[-1] if keys else None
+        place. Hot-poll economy (ADVICE r7): keys are probed DESCENDING and
+        the scan stops at the first parseable marker — the common case
+        (healthy newest marker) costs one file open per poll instead of
+        JSON-parsing every committed range's marker. A truncated
+        post-power-loss newest marker reads as uncommitted and the scan
+        falls through to the next-highest key, which is exactly the resume
+        point the replay contract wants (the torn range replays)."""
+        for key in sorted(self._marker_keys(name), reverse=True):
+            if self.log.committed(f"{name}.{key}"):
+                return key
+        return None
 
-    def committed_keys(self, name: str) -> list[int]:
-        """Every committed range key for ``name``, ascending — the sink-side
-        manifest a compactor or consumer replays, and the single home of the
-        marker-scanning contract (``last_committed`` delegates here).
-        Truncated post-power-loss markers re-validate as uncommitted."""
+    def _marker_keys(self, name: str) -> list[int]:
+        """Range keys with a marker FILE present (committed or torn) —
+        the shared listing both scan paths filter through
+        :meth:`CommitLog.committed`, so the truncated-marker contract
+        lives in exactly one validation call."""
         import re as _re
 
         pat = _re.compile(_re.escape(name) + r"\.(\d+)\.json$")
-        out: list[int] = []
         try:
             entries = os.listdir(self.log.dir)
         except FileNotFoundError:  # pragma: no cover
-            return out
-        for e in entries:
-            m = pat.fullmatch(e)
-            if m and self.log.committed(f"{name}.{int(m.group(1))}"):
-                out.append(int(m.group(1)))
-        return sorted(out)
+            return []
+        return [int(m.group(1)) for e in entries if (m := pat.fullmatch(e))]
+
+    def committed_keys(self, name: str) -> list[int]:
+        """Every committed range key for ``name``, ascending — the sink-side
+        manifest a compactor or consumer replays. Truncated post-power-loss
+        markers re-validate as uncommitted."""
+        return sorted(
+            k for k in self._marker_keys(name) if self.log.committed(f"{name}.{k}")
+        )
 
     def read_committed(
         self, spark: SparkSession, name: str, keys: list[int] | None = None
@@ -233,6 +244,8 @@ def materialize_snapshot(
     pk_names: list[str],
     base: DataFrame | None = None,
     as_of_txid: int | None = None,
+    keys: list[int] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The full consumer-side materialization over a sink topic: read every
     committed range (aborted ranges invisible), optionally cut at
@@ -247,19 +260,37 @@ def materialize_snapshot(
     topic). apply_changes' own latest_per_pk IS the compaction fold (same
     ordinal as compact_changes, pinned by tests), so this is ONE PK-keyed
     hash aggregation + one anti-join; nothing scales with history except
-    the single pass over the committed ranges."""
+    the single pass over the committed ranges.
+
+    ``keys`` pins the committed-range manifest a caller already listed
+    (same contract as :meth:`RangeCommitSink.read_committed`): one listing,
+    so a poll committing a new range between the caller's check and this
+    read cannot make the materialized state diverge from the checked
+    manifest. ``base`` must be a SNAPSHOT (live rows only) — a compacted
+    topic that still carries tombstones/meta columns is a changes feed,
+    not a base; apply_changes would treat its 'D' rows as live and
+    resurrect deleted keys (the CLI's ``snapshot`` command rejects such a
+    base outright).
+
+    ``evolve_schema=True`` is the consumer half of O28 additive evolution:
+    ranges emitted AFTER a mapping rebuild carry extra columns (mergeSchema
+    surfaces them as NULL on older ranges), and the materialized state
+    widens to include them — pre-evolution survivors read NULL, exactly
+    apply_changes' evolving contract. The default keeps the base's schema
+    (unknown topic columns ignored), so widening consumer state is an
+    explicit opt-in like everywhere else in the engine."""
     from pyspark.sql import functions as F  # local: avoid cycle at import
 
     from s4hanaconnector_spark.operators.cdc import apply_changes
 
-    changes = sink.read_committed(spark, name)
+    changes = sink.read_committed(spark, name, keys=keys)
     if as_of_txid is not None:
         changes = changes.filter(F.col("_transactionid") <= as_of_txid)
     if base is None:
         data_cols = [c for c in changes.columns
                      if c not in ("_change_type", "_transactionid", "transaction_seq")]
         base = changes.select(*data_cols).filter(F.lit(False))
-    return apply_changes(base, changes, pk_names)
+    return apply_changes(base, changes, pk_names, evolve_schema=evolve_schema)
 
 
 # broadcast the seen-state only below this on-disk size; above it a plain

@@ -411,6 +411,120 @@ def cdc_materialize_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the mapping REBUILD (O28): the orders mapping gains a computed column —
+# ranges emitted after the rebuild carry it, earlier ranges do not
+import dataclasses as _dc  # noqa: E402
+
+ORDERS_IDENTITY_EVOLVED = _dc.replace(
+    ORDERS_IDENTITY,
+    columnmappings=[
+        *ORDERS_IDENTITY.columnmappings,
+        ColumnMapping(
+            "o_priority_num",
+            'CAST(substr("L1"."o_orderpriority", 1, 1) AS INT)',
+            "INTEGER",
+        ),
+    ],
+)
+
+
+@register(
+    "cdc_materialize_evolving",
+    _DELTA_ORACLE_BODY.replace(
+        f"_transactionid > {LO} AND _transactionid <= {HI}",
+        f"_transactionid > 0 AND _transactionid <= {_SPLIT_TXID}",
+    ).replace("\nl AS (", "\nl1 AS (")
+    + f"""
+, l2 AS (
+    SELECT max(_transactionid) AS _transactionid, o_orderkey
+    FROM cv WHERE _transactionid > {_SPLIT_TXID}
+    GROUP BY o_orderkey
+),
+d1 AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l1.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+           CAST(NULL AS INTEGER) AS o_priority_num
+    FROM l1 LEFT OUTER JOIN orders o ON l1.o_orderkey = o.o_orderkey
+),
+d2 AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'D' ELSE 'A' END AS _change_type,
+           l2.o_orderkey AS k, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+           CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS o_priority_num
+    FROM l2 LEFT OUTER JOIN orders o ON l2.o_orderkey = o.o_orderkey
+),
+snap AS (
+    SELECT *, CAST(NULL AS INTEGER) AS o_priority_num
+    FROM orders WHERE o_orderkey % 3 <> 0
+),
+s1 AS (
+    SELECT s.* FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.k = s.o_orderkey)
+    UNION ALL
+    SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, o_priority_num
+    FROM d1 WHERE _change_type <> 'D'
+),
+dall AS (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT * FROM d1 WHERE k NOT IN (SELECT k FROM d2)
+),
+s2 AS (
+    SELECT s.* FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM dall d WHERE d.k = s.o_orderkey)
+    UNION ALL
+    SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, o_priority_num
+    FROM dall WHERE _change_type <> 'D'
+)
+SELECT 'as_of_split' AS as_of_point, * FROM s1
+UNION ALL
+SELECT 'final' AS as_of_point, * FROM s2
+""",
+)
+def cdc_materialize_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE schema evolution through the full consumer loop (VERDICT r7
+    next #6): range 1 is emitted under the original orders mapping, the
+    mapping is REBUILT with a computed column (O28-O30), and range 2 is
+    emitted under the evolved mapping — so the sink topic's committed
+    ranges genuinely differ in schema, exactly the reference's mid-stream
+    DDL case (rebuild mapping -> newer Avro records carry the field).
+    materialize_snapshot reconstructs consumer state at TWO as-of points —
+    the pre-evolution cut (new column all-NULL: mergeSchema surfaces it,
+    no range written it yet) and the final state (keys whose latest change
+    predates the rebuild read NULL; keys re-changed after it carry the
+    computed value) — both hash-matched against the one-shot SQL
+    reconstruction."""
+    import tempfile
+
+    from s4hanaconnector_spark.poll import RangeCommitSink, materialize_snapshot
+
+    orders = t(spark, sf_dir, "orders")
+    stale = orders.filter(F.col("o_orderkey") % 3 != 0)
+    pklog = synthetic_pklog(orders)
+    out_dir = tempfile.mkdtemp(prefix="cdc_mat_evolve_")
+    sink = RangeCommitSink(out_dir)
+    r1 = C.cdc_delta(orders, pklog, ORDERS_IDENTITY, 0, _SPLIT_TXID)
+    r2 = C.cdc_delta(orders, pklog, ORDERS_IDENTITY_EVOLVED, _SPLIT_TXID, 10**9)
+    sink.write(ORDERS_IDENTITY.name, _SPLIT_TXID, r1)
+    sink.write(ORDERS_IDENTITY.name, 10**9, r2)
+
+    def state(as_of):
+        return materialize_snapshot(
+            spark, sink, ORDERS_IDENTITY.name, ORDERS_IDENTITY.pkcolumns,
+            base=stale, as_of_txid=as_of, evolve_schema=True,
+        )
+
+    v1 = state(_SPLIT_TXID).withColumn("as_of_point", F.lit("as_of_split"))
+    v2 = state(None).withColumn("as_of_point", F.lit("final"))
+    cols = ["as_of_point"] + [
+        c.alias for c in ORDERS_IDENTITY_EVOLVED.columnmappings
+    ]
+    return v1.unionByName(v2).select(*cols)
+
+
 @register(
     "cdc_pk_change_expand",
     """

@@ -34,6 +34,7 @@ real multi-file dataset instead of inheriting sf0.1's file count.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -83,7 +84,18 @@ def synthesize_tier(
     cross-replica. Same completion-marker idempotency as the 10x tier."""
     marker = os.path.join(out_dir, "_SUCCESS_SF1")
     if os.path.exists(marker):
-        return out_dir
+        # the marker payload encodes the tier (ADVICE r7): an explicit
+        # out_dir previously synthesized at a DIFFERENT replicas count must
+        # re-synthesize, not silently return wrong-scale data. Same
+        # cache-key self-invalidation rationale as default_tier_dir; a
+        # legacy content-free marker ("ok") reads as tier-unknown and is
+        # rebuilt once.
+        try:
+            with open(marker) as f:
+                if json.load(f).get("replicas") == replicas:
+                    return out_dir
+        except (OSError, ValueError):
+            pass
     os.makedirs(out_dir, exist_ok=True)
 
     def src(t):
@@ -143,7 +155,7 @@ def synthesize_tier(
         parts=8,
     )
     with open(marker, "w") as f:
-        f.write("ok\n")
+        json.dump({"replicas": replicas}, f)
     return out_dir
 
 

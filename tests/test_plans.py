@@ -304,3 +304,46 @@ def test_incremental_neardup_cap_uses_count_not_collect_set(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental_neardup")
     assert "collect_set" not in plan, plan
     assert re.search(r"windowspecdefinition", plan, re.IGNORECASE), plan
+
+
+def test_ivf_centroid_delivery_paths_agree_and_never_shuffle_corpus(
+    spark, sf_dir
+):
+    """VERDICT r7 next #1: past ``literal_centroid_max`` the centroid table
+    ships as broadcast DATA (one collect_list row) instead of a literal
+    Catalyst array — a sqrt(N) centroid count at 1B vectors would otherwise
+    inline millions of F.lit nodes into the plan tree. Both delivery modes
+    must produce identical rows (the argmax expression is shared, so the
+    rounding/NaN/tiebreak contract cannot drift) and in NEITHER mode may
+    the corpus shuffle before the final (tiny) ranked output."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    lit = ivf_topk(q, c, k=10, n_centroids=16, n_probe=4)
+    dat = ivf_topk(
+        q, c, k=10, n_centroids=16, n_probe=4, literal_centroid_max=1
+    )
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, dat.collect()))
+
+    for df, mode in ((lit, "literal"), (dat, "data")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (mode, plan)
+        assert "CartesianProduct" not in plan, (mode, plan)
+        # the only hash-partitioned exchange allowed is the final ranked
+        # window on q_id (|queries| x n_probe rows), never the corpus
+        import re as _re
+
+        hash_ex = [
+            line for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+        ]
+        assert all("q_id" in line for line in hash_ex), (mode, hash_ex)
+    # the data path attaches centroids through a broadcast of ONE row
+    dplan = dat._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in dplan, dplan
