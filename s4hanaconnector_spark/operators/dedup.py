@@ -189,44 +189,48 @@ def incremental_neardup_candidates(
     Plan shape — the corpus is never self-joined and never shuffled raw:
     both sides reduce to row-local band signatures (16 rows/doc); the
     corpus signature stream probes the BROADCAST batch signature set, so
-    the only shuffles are over hit pairs (bounded by |batch| x bucket
-    sizes). The hot-bucket cap drops (band, sig) groups matching more
-    than ``max_bucket`` corpus docs — boilerplate signatures that carry
-    no dedup signal but would fan one batch doc out to the whole corpus.
+    the shuffles are the (signature-sized, linear) cap window plus the
+    capped hit pairs. The hot-bucket cap drops (band, sig) groups holding
+    more than ``max_bucket`` corpus docs — boilerplate signatures that
+    carry no dedup signal but would fan one batch doc out to the whole
+    corpus — and it is applied to the corpus signatures BEFORE the join:
+    the r8 x100 ladder measured the old post-join placement at >450x the
+    x10 wall for 10x data, because the pre-cap join materializes
+    |batch| x family_size hit rows (both factors grow with the tier —
+    quadratic by construction) only for the cap to discard them. Capping
+    per (band, sig) on the corpus side is value-identical: after the
+    identity dedup each corpus doc contributes exactly one row per
+    bucket, so the per-(band, sig, batch_id) hit count the old window
+    measured IS the corpus bucket size, independent of batch_id.
     Returns (batch_id, corpus_id, n_shared_bands)."""
     from pyspark.sql import Window as W
 
     c_sigs = band_signatures(corpus, text_col, id_col, n).withColumnRenamed(
         "doc", "corpus_id"
     )
-    b_sigs = (
-        band_signatures(batch, text_col, id_col, n)
-        .withColumnRenamed("doc", "batch_id")
-        .localCheckpoint(eager=False)
-    )
-    hits = c_sigs.join(F.broadcast(b_sigs), on=["band", "sig"])
-    # Hit rows dedupe on their full identity first: a re-ingested doc id
-    # (same id, same text, fed twice on either side) would otherwise double
-    # both the bucket-size count below AND n_shared_bands (reading 20 of 16
-    # bands). The dedup shuffles only hit pairs — delta-sized, never the
-    # corpus.
-    hits = hits.dropDuplicates(["band", "sig", "batch_id", "corpus_id"])
+    # identity dedup first: a re-ingested doc id (same id, same text, fed
+    # twice on either side) would otherwise double both the bucket-size
+    # count below AND n_shared_bands (reading 20 of 16 bands)
+    c_sigs = c_sigs.dropDuplicates(["band", "sig", "corpus_id"])
     if max_bucket is not None:
-        # plain count window, NOT size(collect_set(...)): collect_set buffers
-        # every corpus id of the bucket in window state — on exactly the hot
-        # buckets this cap exists to shed (r4 VERDICT). After the dedup
-        # above, each corpus doc contributes exactly one hit row per
-        # (band, sig, batch_id), so count == number of corpus docs the
-        # bucket fans this batch doc out to — the documented cap semantics,
-        # duplicate-ingest-proof on both sides.
-        hits = (
-            hits.withColumn(
+        # plain count window, NOT size(collect_set(...)): collect_set
+        # buffers every corpus id of the bucket in window state — on
+        # exactly the hot buckets this cap exists to shed (r4 VERDICT)
+        c_sigs = (
+            c_sigs.withColumn(
                 "__bucket_n",
-                F.count(F.lit(1)).over(W.partitionBy("band", "sig", "batch_id")),
+                F.count(F.lit(1)).over(W.partitionBy("band", "sig")),
             )
             .filter(F.col("__bucket_n") <= max_bucket)
             .drop("__bucket_n")
         )
+    b_sigs = (
+        band_signatures(batch, text_col, id_col, n)
+        .withColumnRenamed("doc", "batch_id")
+        .dropDuplicates(["band", "sig", "batch_id"])
+        .localCheckpoint(eager=False)
+    )
+    hits = c_sigs.join(F.broadcast(b_sigs), on=["band", "sig"])
     return (
         hits.groupBy("batch_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))

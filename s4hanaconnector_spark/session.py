@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # shuffles size themselves from DATA, not the static default: AQE
+        # coalesces DOWNWARD from this ceiling to its advisory byte target,
+        # so a 60M-row collect_list gets hundreds of reducers while a small
+        # agg still collapses to a few (the x100 nest rung spilled when a
+        # static low partition count forced multi-GB reducers — the
+        # scaling-ladder measurement behind this ceiling)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

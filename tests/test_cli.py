@@ -189,3 +189,59 @@ def test_cli_snapshot_materializes_state(spark, tmp_path):
     assert json.loads(out.strip().splitlines()[-1])["rows"] == 1
     rows = {r["id"]: r["val"] for r in spark.read.parquet(dest).collect()}
     assert rows == {2: "b"}  # key 1 died at txid 20
+
+
+def test_cli_compact_drop_tombstones_yields_snapshot_base(spark, tmp_path):
+    """ADVICE r7: `compact --drop-tombstones` must produce a directly
+    usable `snapshot --base` — live rows only AND meta columns stripped —
+    while the default (tombstone-keeping) output is REJECTED as a base,
+    because apply_changes would read its 'D' rows as live and resurrect
+    deleted keys."""
+    from pyspark.sql import Row
+
+    from s4hanaconnector_spark.poll import RangeCommitSink
+
+    sink = RangeCommitSink(str(tmp_path / "out"))
+    df1 = spark.createDataFrame(
+        [Row(_change_type="A", _transactionid=10, id=1, val="a"),
+         Row(_change_type="A", _transactionid=10, id=2, val="b")],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    df2 = spark.createDataFrame(
+        [Row(_change_type="D", _transactionid=20, id=1, val=None)],
+        "_change_type string, _transactionid bigint, id bigint, val string",
+    )
+    sink.write("t", 10, df1)
+    sink.write("t", 20, df2)
+
+    base = str(tmp_path / "base")
+    rc, out = _run(
+        ["compact", str(tmp_path / "out"), "t", "--pks", "id",
+         "--dest", base, "--drop-tombstones"]
+    )
+    assert rc == 0
+    snap = spark.read.parquet(base)
+    assert set(snap.columns) == {"id", "val"}  # meta columns stripped
+    assert {r["id"] for r in snap.collect()} == {2}  # tombstoned key gone
+
+    # the stripped base feeds snapshot cleanly
+    dest = str(tmp_path / "state")
+    rc, _ = _run(
+        ["snapshot", str(tmp_path / "out"), "t", "--pks", "id",
+         "--dest", dest, "--base", base]
+    )
+    assert rc == 0
+    assert {r["id"] for r in spark.read.parquet(dest).collect()} == {2}
+
+    # a tombstone-bearing compact output is refused as a base
+    feed = str(tmp_path / "feedbase")
+    rc, _ = _run(
+        ["compact", str(tmp_path / "out"), "t", "--pks", "id", "--dest", feed]
+    )
+    assert rc == 0
+    rc, out = _run(
+        ["snapshot", str(tmp_path / "out"), "t", "--pks", "id",
+         "--dest", dest, "--base", feed]
+    )
+    assert rc == 2
+    assert "_change_type" in out and "drop-tombstones" in out

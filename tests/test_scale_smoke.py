@@ -346,6 +346,12 @@ _LADDER = [
     "asof_nearest_click",
     "agg_rollup",
     "cdc_scd2_history",
+    # incremental-dedup family (r7 VERDICT wrong #3): both queries cap
+    # their candidate fan-out (broadcast fingerprints / 64-per-bucket), so
+    # output is linear in corpus size and the rung directly answers
+    # whether the batch-vs-corpus join family hides super-linearity
+    "dedup_incremental_corpus",
+    "dedup_incremental_neardup",
 ]
 
 
@@ -404,12 +410,39 @@ def test_x100_scaling_ladder(spark):
     x10 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 10), 10)
     x100 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 100), 100)
 
-    ladder = {}
-    for name in _LADDER:
-        t10, _n10 = _timed(spark, name, x10)
-        t100, n100 = _timed(spark, name, x100)
-        assert n100 > 0, f"{name} produced no rows at x100"
-        _ladder_entry(ladder, name, t10, t100, n100)
+    # Size shuffles from DATA, not from the fixed test default (r7 VERDICT
+    # wrong #2): the vanilla session's 8 shuffle partitions force the x100
+    # nest rung's 60M collect_list rows into 8 reducers (~multi-GB each —
+    # guaranteed spill; measured alpha 1.18 where every map-combinable agg
+    # laddered at <=1.07). AQE coalesces DOWNWARD from
+    # initialPartitionNum to its advisory target, so a high ceiling lets
+    # every query in the ladder get the partition count its own shuffle
+    # bytes ask for at BOTH tiers — exactly the "scale
+    # spark.sql.shuffle.partitions with input" posture a 1000-executor
+    # deployment runs with, without hand-tuning per query.
+    saved_ipn = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
+    )
+    try:
+        ladder = {}
+        for name in _LADDER:
+            t10, _n10 = _timed(spark, name, x10)
+            t100, n100 = _timed(spark, name, x100)
+            assert n100 > 0, f"{name} produced no rows at x100"
+            _ladder_entry(ladder, name, t10, t100, n100)
+    finally:
+        if saved_ipn is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                saved_ipn,
+            )
 
     # the production similarity shape: ONE index (built once on the x10
     # corpus, sampled KMeans, bounded iterations), probed as data grows —
@@ -442,6 +475,26 @@ def test_x100_scaling_ladder(spark):
     assert n100 > 0
     _ladder_entry(ladder, "similarity_ivf_probe_fixed_index", t10, t100, n100)
 
+    # cell assignment at >=2k centroids (r7 VERDICT next #1): past
+    # literal_centroid_max the centroid table ships as broadcast DATA, not
+    # a literal plan tree — this rung proves the data-delivery path stays
+    # linear in corpus size at a centroid count where the literal path's
+    # plan-size cliff would begin (2500 cells x d F.lit nodes). The
+    # deterministic prefix quantizer keeps the rung about ASSIGNMENT cost,
+    # not KMeans build cost.
+    def assign2k(d):
+        q, c = emb(d)
+        df = ivf_topk(q, c, k=10, n_centroids=2500, n_probe=4)
+        n = df.count()
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0, n
+
+    t10, _ = assign2k(x10)
+    t100, n100 = assign2k(x100)
+    assert n100 > 0
+    _ladder_entry(ladder, "similarity_ivf_assign_2500_cells", t10, t100, n100)
+
 
 @pytest.mark.slow
 def test_oracle_parity_at_x100(spark):
@@ -470,6 +523,10 @@ def test_oracle_parity_at_x100(spark):
         "q1_pricing_summary", "dedup_fingerprint", "cdc_watermark",
         # the 60M x 15M join shape, hash-compared across engines at x100
         "q18_large_volume_orders",
+        # r7 VERDICT next #5: the biggest decade also hash-checks the
+        # stateful streaming path (real engine, dedup state over 10M
+        # events) and the LLM-ops batch-vs-corpus path
+        "streaming_stateful_dedup", "dedup_incremental_corpus",
     ]:
         checked[name] = assert_parity(qs[name](spark, x100), con, osql[name], name)
     _record_raw("oracle_parity_at_x100", {
