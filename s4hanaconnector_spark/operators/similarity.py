@@ -142,6 +142,7 @@ def ivf_topk(
     round_digits: int = 6,
     centroids: DataFrame | None = None,
     literal_centroid_max: int = 2048,
+    assignment: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: a coarse quantizer
     assigns every corpus vector to its nearest centroid's cell; each query
@@ -156,7 +157,26 @@ def ivf_topk(
     projection over one corpus pass (no shuffle). Affinities are rounded
     before ranking with id tiebreaks so cell boundaries and the k-frontier
     are engine-independent. Recall against the exact rung is a MEASURED
-    contract: the ``similarity_ivf_recall`` declared query gates it."""
+    contract: the ``similarity_ivf_recall`` declared query gates it.
+
+    ``assignment`` picks the argmax backend:
+      * ``"expr"`` — Catalyst higher-order functions, the semantics
+        REFERENCE (every rounding/NaN/tiebreak rule is one shared
+        expression, oracle-replicable bit for bit);
+      * ``"arrow"`` — a numpy-vectorized ``mapInPandas`` argmax (one
+        BLAS matmul per Arrow batch). Interpreted HOF lambdas cost
+        ~O(n_centroids x dims) interpreter dispatches per ROW — the x100
+        ladder measured the expr backend at 2500 cells x 200k vectors at
+        730 s (linear, but wide) — while the Arrow backend does the same
+        work as a dense matmul. Same contract (round-half-up at
+        ``round_digits``, ties to lowest cent_id, NaN ranks first);
+        float64 summation ORDER differs sub-ulp from the expr fold, so
+        cross-backend equality holds after rounding except on
+        ~1e-10-of-a-boundary knife edges (fixture-pinned by tests).
+      * ``"auto"`` — expr while the centroid table fits the literal
+        delivery (≤ ``literal_centroid_max``: constant-folded, fastest at
+        small counts), Arrow past it (where the per-row interpreter cost
+        dominates)."""
     from pyspark.sql import Window as W
 
     if centroids is not None:
@@ -195,6 +215,25 @@ def ivf_topk(
     # two modes, so the rounding/NaN/tiebreak contract cannot drift.
     cent_probe = cent.limit(literal_centroid_max + 1).count()
     use_literal = cent_probe <= literal_centroid_max
+    mode = assignment
+    if mode == "auto":
+        mode = "expr" if use_literal else "arrow"
+    if mode not in ("expr", "arrow"):
+        raise ValueError(f"unknown assignment backend: {assignment}")
+
+    if mode == "arrow":
+        cent_rows = sorted(
+            (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in cent.collect()
+        )
+
+        def assign(df: DataFrame, id_col: str, keep_rn: int) -> DataFrame:
+            return _arrow_assign(df, id_col, vec, keep_rn, cent_rows, round_digits)
+
+        cells = assign(corpus.select(c_id, vec), c_id, 1)
+        probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(
+            vec, "__qv"
+        )
+        return _rescore(cells, probes, k, q_id, c_id, vec, round_digits)
 
     if use_literal:
         cent_rows = sorted(
@@ -269,12 +308,27 @@ def ivf_topk(
 
     cells = assign(corpus.select(c_id, vec), c_id, 1)
     probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(vec, "__qv")
+    return _rescore(cells, probes, k, q_id, c_id, vec, round_digits)
+
+
+def _rescore(
+    cells: DataFrame,
+    probes: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    vec: str,
+    round_digits: int,
+) -> DataFrame:
+    """Shared IVF rescoring tail: join corpus cells to the (tiny) probe
+    table on cell id and rank within each query. probes = |queries| x
+    n_probe rows -> broadcast side; the corpus cells therefore never
+    shuffle (a shuffled join on __cell would also skew badly: only
+    n_centroids distinct keys)."""
+    from pyspark.sql import Window as W
 
     cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
     scored = (
-        # probes = |queries| x n_probe rows -> broadcast side; the corpus
-        # cells therefore never shuffle (a shuffled join on __cell would
-        # also skew badly: only n_centroids distinct keys)
         cells.join(F.broadcast(probes), on="__cell")
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, cos.alias("cosine"))
@@ -285,6 +339,61 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(q_id, c_id, "cosine", "rn")
     )
+
+
+def _arrow_assign(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    keep_rn: int,
+    cent_rows: list[tuple],
+    round_digits: int,
+) -> DataFrame:
+    """Vectorized cell assignment: one dense float64 matmul per Arrow batch
+    instead of O(n_centroids x dims) interpreted lambda dispatches per row.
+    Row-local like the expr backend (mapInPandas adds no shuffle), same
+    contract: affinity rounded HALF_UP at ``round_digits`` before ranking,
+    ties to the lowest cent_id (cent_rows arrive cid-sorted, and numpy's
+    stable argsort keeps first-index-wins on equal keys), NaN affinities
+    (zero-norm vectors) rank first. Sub-ulp caveat: numpy's pairwise/BLAS
+    summation order differs from the expr fold, so a cosine sitting within
+    ~1e-10 of a rounding boundary can round differently across backends —
+    inherent to any reduction-order change, and why the expr backend stays
+    the oracle-replicable reference."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    scale = 10.0 ** round_digits
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `{vec}` {vec_type}, `__cell` bigint"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                aff = (V @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+            # Spark's F.round is BigDecimal HALF_UP: ties away from zero
+            r = np.copysign(np.floor(np.abs(aff) * scale + 0.5), aff) / scale
+            r = np.where(np.isnan(aff), np.inf, r)  # NaN ranks first
+            order = np.argsort(-r, axis=1, kind="stable")[:, :keep_rn]
+            picked = cids[order]  # (rows, keep_rn)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(keep_rn),
+                    vec: pdf[vec].to_numpy().repeat(keep_rn),
+                    "__cell": picked.ravel(),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def sign_bucket(vec: Column, dims: int = 8) -> Column:

@@ -325,9 +325,10 @@ def test_ivf_centroid_delivery_paths_agree_and_never_shuffle_corpus(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    lit = ivf_topk(q, c, k=10, n_centroids=16, n_probe=4)
+    lit = ivf_topk(q, c, k=10, n_centroids=16, n_probe=4, assignment="expr")
     dat = ivf_topk(
-        q, c, k=10, n_centroids=16, n_probe=4, literal_centroid_max=1
+        q, c, k=10, n_centroids=16, n_probe=4, literal_centroid_max=1,
+        assignment="expr",
     )
     assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, dat.collect()))
 
@@ -347,3 +348,47 @@ def test_ivf_centroid_delivery_paths_agree_and_never_shuffle_corpus(
     # the data path attaches centroids through a broadcast of ONE row
     dplan = dat._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in dplan, dplan
+
+
+def test_ivf_arrow_assignment_matches_expr_and_stays_rowlocal(spark, sf_dir):
+    """The numpy-vectorized Arrow argmax (the default backend past
+    literal_centroid_max — interpreted HOF lambdas cost O(cells x dims)
+    dispatches per row, measured 730 s at 2500 cells x 200k vectors) must
+    produce the expr reference backend's exact rows on the fixture and add
+    no shuffle: mapInPandas is a row-local map, so the corpus still never
+    exchanges before the final ranked output."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    kw = dict(k=10, n_centroids=16, n_probe=4)
+    expr = ivf_topk(q, c, assignment="expr", **kw)
+    arrow = ivf_topk(q, c, assignment="arrow", **kw)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_ex = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all("q_id" in line for line in hash_ex), hash_ex
+
+    # auto routing: small centroid tables stay on the (constant-folded)
+    # literal expr path; past the literal threshold auto picks Arrow
+    auto_small = ivf_topk(q, c, **kw)
+    assert "MapInPandas" not in (
+        auto_small._jdf.queryExecution().executedPlan().toString()
+    )
+    auto_big = ivf_topk(q, c, literal_centroid_max=1, **kw)
+    assert "MapInPandas" in (
+        auto_big._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(map(tuple, auto_big.collect())) == sorted(
+        map(tuple, expr.collect())
+    )

@@ -429,9 +429,21 @@ def test_x100_scaling_ladder(spark):
     try:
         ladder = {}
         for name in _LADDER:
-            t10, _n10 = _timed(spark, name, x10)
+            t10, n10 = _timed(spark, name, x10)
             t100, n100 = _timed(spark, name, x100)
-            assert n100 > 0, f"{name} produced no rows at x100"
+            if name == "dedup_incremental_neardup":
+                # adversarial-by-construction at x100: EVERY near-dup
+                # family has 100 members, above the operator's 64-doc
+                # hot-bucket cap, so it sheds them all — zero candidates
+                # is the documented cap contract, and the x10 tier
+                # (families of 10) proves candidates still form on
+                # healthy buckets. The rung's value is the WALL: with the
+                # cap applied BEFORE the join (r8 fix — the post-join
+                # placement measured >450x here) cost stays linear even
+                # when every bucket in the corpus runs hot.
+                assert n10 > 0, "neardup found no candidates at x10"
+            else:
+                assert n100 > 0, f"{name} produced no rows at x100"
             _ladder_entry(ladder, name, t10, t100, n100)
     finally:
         if saved_ipn is None:
@@ -476,10 +488,13 @@ def test_x100_scaling_ladder(spark):
     _ladder_entry(ladder, "similarity_ivf_probe_fixed_index", t10, t100, n100)
 
     # cell assignment at >=2k centroids (r7 VERDICT next #1): past
-    # literal_centroid_max the centroid table ships as broadcast DATA, not
-    # a literal plan tree — this rung proves the data-delivery path stays
-    # linear in corpus size at a centroid count where the literal path's
-    # plan-size cliff would begin (2500 cells x d F.lit nodes). The
+    # literal_centroid_max the centroid table ships as DATA, not a literal
+    # plan tree — this rung proves assignment stays linear in corpus size
+    # at a centroid count where the literal path's plan-size cliff would
+    # begin (2500 cells x d F.lit nodes). It measures the DEFAULT backend
+    # (auto -> Arrow matmul at this count; the expr broadcast-data
+    # reference backend measured alpha 1.0 at 73 s -> 730 s in the r8 run
+    # that motivated the Arrow default — see BENCH_NOTES). The
     # deterministic prefix quantizer keeps the rung about ASSIGNMENT cost,
     # not KMeans build cost.
     def assign2k(d):
