@@ -209,13 +209,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
             print(f"no committed ranges for {args.name!r} in {args.sink_dir}", file=out)
             return 2
         base = spark.read.parquet(args.base) if args.base else None
-        if base is not None and "_change_type" in base.columns:
+        meta_cols = {"_change_type", "_transactionid", "transaction_seq"}
+        if base is not None and meta_cols.intersection(base.columns):
             # a compact output built WITHOUT --drop-tombstones is a topic
             # (tombstones + meta columns), not a snapshot: apply_changes
             # would treat its 'D' rows as live and resurrect deleted keys
+            # (materialize_snapshot enforces the same invariant; checking
+            # here keeps the clean-exit-code CLI contract)
+            bad = sorted(meta_cols.intersection(base.columns))
             print(
-                f"--base {args.base} carries _change_type — that is a "
-                "changes feed, not a snapshot; rebuild it with "
+                f"--base {args.base} carries CDC meta columns {bad} — that "
+                "is a changes feed, not a snapshot; rebuild it with "
                 "`compact --drop-tombstones` (live rows only, meta "
                 "columns stripped)",
                 file=out,

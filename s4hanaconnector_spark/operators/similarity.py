@@ -177,8 +177,6 @@ def ivf_topk(
         delivery (≤ ``literal_centroid_max``: constant-folded, fastest at
         small counts), Arrow past it (where the per-row interpreter cost
         dominates)."""
-    from pyspark.sql import Window as W
-
     if centroids is not None:
         cent = centroids.select(
             F.col("cent_id").alias("__cent_id"), F.col(vec).alias("__cent")
@@ -213,13 +211,21 @@ def ivf_topk(
     # travel once per executor in a broadcast payload instead of inside the
     # plan. The downstream argmax expression is literally shared between the
     # two modes, so the rounding/NaN/tiebreak contract cannot drift.
-    cent_probe = cent.limit(literal_centroid_max + 1).count()
-    use_literal = cent_probe <= literal_centroid_max
-    mode = assignment
-    if mode == "auto":
-        mode = "expr" if use_literal else "arrow"
-    if mode not in ("expr", "arrow"):
+    if assignment not in ("auto", "expr", "arrow"):
         raise ValueError(f"unknown assignment backend: {assignment}")
+    mode = assignment
+    use_literal = False
+    head: list = []
+    if mode in ("auto", "expr"):
+        # ONE bounded job decides the delivery (take, not limit+count):
+        # when the table fits the literal threshold, `head` already IS the
+        # full centroid list, so the literal path below re-uses it instead
+        # of collecting a second time. assignment="arrow" skips the probe
+        # entirely — it never consults use_literal.
+        head = cent.take(literal_centroid_max + 1)
+        use_literal = len(head) <= literal_centroid_max
+        if mode == "auto":
+            mode = "expr" if use_literal else "arrow"
 
     if mode == "arrow":
         cent_rows = sorted(
@@ -237,7 +243,7 @@ def ivf_topk(
 
     if use_literal:
         cent_rows = sorted(
-            (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in cent.collect()
+            (r["__cent_id"], [float(x) for x in r["__cent"]]) for r in head
         )
         import math as _m
 
@@ -384,11 +390,15 @@ def _arrow_assign(
             r = np.copysign(np.floor(np.abs(aff) * scale + 0.5), aff) / scale
             r = np.where(np.isnan(aff), np.inf, r)  # NaN ranks first
             order = np.argsort(-r, axis=1, kind="stable")[:, :keep_rn]
-            picked = cids[order]  # (rows, keep_rn)
+            picked = cids[order]  # (rows, min(keep_rn, n_centroids))
+            # repeat by the ACTUAL width: with fewer centroids than
+            # keep_rn the slice is narrower, matching the expr path's
+            # F.slice degrading gracefully instead of a length mismatch
+            n_picked = picked.shape[1]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy().repeat(keep_rn),
-                    vec: pdf[vec].to_numpy().repeat(keep_rn),
+                    id_col: pdf[id_col].to_numpy().repeat(n_picked),
+                    vec: pdf[vec].to_numpy().repeat(n_picked),
                     "__cell": picked.ravel(),
                 }
             )

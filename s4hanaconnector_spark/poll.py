@@ -283,12 +283,25 @@ def materialize_snapshot(
 
     from s4hanaconnector_spark.operators.cdc import apply_changes
 
+    meta = {"_change_type", "_transactionid", "transaction_seq"}
+    if base is not None:
+        bad = sorted(meta.intersection(base.columns))
+        if bad:
+            # enforce the snapshot invariant HERE, not only in the CLI: a
+            # library caller feeding a tombstone-bearing compact output
+            # would silently resurrect deleted keys (apply_changes reads
+            # its 'D' rows as live), and any surviving meta column would
+            # persist into consumer state as data
+            raise ValueError(
+                f"base carries CDC meta columns {bad} — that is a changes "
+                "feed, not a snapshot; compact with drop_tombstones and "
+                "strip the meta columns first"
+            )
     changes = sink.read_committed(spark, name, keys=keys)
     if as_of_txid is not None:
         changes = changes.filter(F.col("_transactionid") <= as_of_txid)
     if base is None:
-        data_cols = [c for c in changes.columns
-                     if c not in ("_change_type", "_transactionid", "transaction_seq")]
+        data_cols = [c for c in changes.columns if c not in meta]
         base = changes.select(*data_cols).filter(F.lit(False))
     return apply_changes(base, changes, pk_names, evolve_schema=evolve_schema)
 

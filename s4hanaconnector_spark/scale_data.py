@@ -96,6 +96,13 @@ def synthesize_tier(
                     return out_dir
         except (OSError, ValueError):
             pass
+        # drop the stale marker BEFORE rewriting any table: a crash
+        # mid-rebuild must leave the dir reading as incomplete, not as a
+        # valid tier of the OLD scale wrapped around half-rewritten tables
+        try:
+            os.remove(marker)
+        except OSError:  # pragma: no cover - concurrent removal
+            pass
     os.makedirs(out_dir, exist_ok=True)
 
     def src(t):

@@ -392,3 +392,13 @@ def test_ivf_arrow_assignment_matches_expr_and_stays_rowlocal(spark, sf_dir):
     assert sorted(map(tuple, auto_big.collect())) == sorted(
         map(tuple, expr.collect())
     )
+
+    # degenerate probe fan-out (n_probe > n_centroids): the Arrow argmax
+    # must narrow its slice like the expr path's F.slice does, not raise a
+    # column-length mismatch inside mapInPandas
+    deg = dict(k=5, n_centroids=2, n_probe=4)
+    deg_e = ivf_topk(q, c, assignment="expr", **deg)
+    deg_a = ivf_topk(q, c, assignment="arrow", **deg)
+    assert sorted(map(tuple, deg_e.collect())) == sorted(
+        map(tuple, deg_a.collect())
+    )
