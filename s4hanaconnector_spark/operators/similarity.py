@@ -400,11 +400,28 @@ def _arrow_assign(
     contract: affinity rounded HALF_UP at ``round_digits`` before ranking,
     ties to the lowest cent_id (cent_rows arrive cid-sorted, and numpy's
     stable argsort keeps first-index-wins on equal keys), NaN affinities
-    (zero-norm vectors) rank first. Sub-ulp caveat: numpy's pairwise/BLAS
-    summation order differs from the expr fold, so a cosine sitting within
-    ~1e-10 of a rounding boundary can round differently across backends —
-    inherent to any reduction-order change, and why the expr backend stays
-    the oracle-replicable reference."""
+    (zero-norm vectors) rank first.
+
+    Boundary caveat (two distinct classes, ADVICE r8):
+      * reduction order — numpy's pairwise/BLAS summation differs sub-ulp
+        from the expr fold, so a cosine within ~1e-10 of a rounding
+        boundary can round differently across backends;
+      * rounding rule — Spark's F.round is BigDecimal.valueOf HALF_UP:
+        it rounds the SHORTEST-DECIMAL repr of the double, so a value
+        whose repr is an exact half-tie at digit round_digits+1 (e.g.
+        repr 0.1234565) rounds AWAY (0.123457), while this backend's
+        floor(|x|*scale+0.5) rounds the BINARY double, which for such a
+        repr sits just below the half and rounds down (0.123456).
+    Both classes only move affinities sitting exactly on a cell boundary;
+    since ``assignment='auto'`` switches backends at literal_centroid_max,
+    boundary-vector cell assignment can depend on centroid count. A
+    per-element Python-decimal emulation of BigDecimal would serialize the
+    (rows x cells) affinity matrix through the interpreter — exactly the
+    cost this backend exists to avoid — so the contract is DOCUMENTED and
+    the shipped default is recall-gated where it actually engages: the
+    x100 ladder's >2048-cell rung measures the Arrow backend's recall
+    floor against exact brute force (test_scale_smoke.py), and the
+    fixture tests pin expr==arrow row equality away from boundaries."""
     import numpy as np
 
     cids = np.array([c for c, _ in cent_rows], dtype=np.int64)

@@ -44,6 +44,16 @@ REPLICAS = 10
 KEY_OFFSET = 10_000_000  # far above any sf0.1 key (max ~600k)
 DOC_OFFSET = 1_000_000  # matches tests/test_scale_smoke.py
 
+# Mixed near-dup family sizes above the x10 tier (ADVICE r8): documents with
+# doc_id % MID_FAMILY_MOD == 0 replicate only MID_FAMILY_REPLICAS times, so
+# the x100 tier carries families BELOW the incremental-neardup operator's
+# 64-doc hot-bucket cap alongside the 100-member hot ones — the scale rung
+# can then assert healthy buckets still produce candidates at the large tier
+# instead of waiving the non-empty check (every-bucket-hot by construction).
+# A no-op at replicas <= MID_FAMILY_REPLICAS: the x10 tier is bit-identical.
+MID_FAMILY_MOD = 7
+MID_FAMILY_REPLICAS = 50
+
 # tables copied verbatim (shared broadcast dimensions)
 _VERBATIM = ["region", "nation"]
 # table -> (columns to offset by rep*KEY_OFFSET, output partitions)
@@ -130,7 +140,12 @@ def synthesize_tier(
     reps = spark.range(replicas).withColumnRenamed("id", "rep")
     docs = src("documents")
     sink(
-        docs.crossJoin(F.broadcast(reps)).select(
+        docs.crossJoin(F.broadcast(reps))
+        .filter(
+            (F.col("rep") < MID_FAMILY_REPLICAS)
+            | (F.col("doc_id") % MID_FAMILY_MOD != 0)
+        )
+        .select(
             (F.col("doc_id") + F.col("rep") * DOC_OFFSET).alias("doc_id"),
             F.when(F.col("rep") == 0, F.col("text"))
             .otherwise(
@@ -194,7 +209,10 @@ def default_tier_dir(base_dir: str, replicas: int) -> str:
     import hashlib
     import tempfile
 
-    params = f"{replicas}|{KEY_OFFSET}|{','.join(sf1_table_names())}"
+    params = (
+        f"{replicas}|{KEY_OFFSET}|mid{MID_FAMILY_MOD}.{MID_FAMILY_REPLICAS}"
+        f"|{','.join(sf1_table_names())}"
+    )
     key = hashlib.md5(f"{os.path.abspath(base_dir)}|{params}".encode()).hexdigest()[:8]
     uid = os.getuid() if hasattr(os, "getuid") else 0
     return os.path.join(tempfile.gettempdir(), f"spark-graft-sf1-u{uid}-{key}")

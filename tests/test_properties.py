@@ -854,3 +854,116 @@ def test_log_compaction_is_split_invariant(spark, feed, split):
     assert key(C.compact_changes(pre, ["id"])) == key(compact_whole)
     # idempotence
     assert key(C.compact_changes(compact_whole, ["id"])) == key(compact_whole)
+
+
+# --------------------------------------------------------------------------
+# drift gate × straggler recovery (r8 VERDICT next #7): random column-add
+# sequences interleaved with straggler batches produced against OLDER
+# schemas, every batch passing the 'full' drift gate, must land exactly
+# where a pure-Python recompute of the additive-evolution contract lands:
+#   * an evolved batch adds its new column to the output schema
+#     (evolve_schema=True); untouched rows read NULL for it;
+#   * a straggler batch (missing newer columns) means UNCHANGED, not
+#     removed — the missing columns recover from the snapshot row per PK,
+#     NULL for brand-new PKs;
+#   * 'D' removes the row regardless of which schema stage emitted it.
+# --------------------------------------------------------------------------
+
+# column stages: every batch is emitted at some stage of the rolling DDL
+# history (0 = original, 2 = fully evolved). Stages may go BACKWARD between
+# batches — that is the straggler racing an evolved snapshot.
+_STAGE_COLS = [["a"], ["a", "b"], ["a", "b", "c"]]
+
+_evolving_batches = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # schema stage of this batch
+        st.lists(  # (pk, change_type) events, applied in order
+            st.tuples(
+                st.integers(min_value=0, max_value=4),
+                st.sampled_from(["I", "U", "D"]),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_evolving_batches, present=snapshots)
+def test_drift_gate_straggler_apply_equals_recompute(spark, batches, present):
+    snap = spark.createDataFrame(
+        [Row(id=i, a=f"base{i}") for i in sorted(present)], "id bigint, a string"
+    )
+    # python model of the snapshot: pk -> {col: value}
+    model = {i: {"a": f"base{i}"} for i in sorted(present)}
+    model_cols = ["a"]
+
+    txid = 100
+    for stage, events in batches:
+        cols = _STAGE_COLS[stage]
+        rows, batch_model = [], {}
+        for pk, ct in events:
+            txid += 1
+            rows.append(
+                Row(
+                    _change_type=ct,
+                    _transactionid=txid,
+                    transaction_seq=1,
+                    id=pk,
+                    **{c: f"{c}{pk}t{txid}" for c in cols},
+                )
+            )
+            batch_model[pk] = (ct, txid)  # later event in batch wins (txid asc)
+        schema = (
+            "_change_type string, _transactionid bigint, transaction_seq int, "
+            "id bigint, " + ", ".join(f"{c} string" for c in cols)
+        )
+        batch = spark.createDataFrame(rows, schema)
+        # the gate must approve every additive/straggler step under FULL
+        snap = C.apply_changes(
+            snap, batch, ["id"], evolve_schema=True, drift_mode="full"
+        )
+        for c in cols:
+            if c not in model_cols:
+                model_cols.append(c)
+        for pk, (ct, tx) in batch_model.items():
+            if ct == "D":
+                model.pop(pk, None)
+            else:
+                old = model.get(pk, {})
+                model[pk] = {
+                    c: (f"{c}{pk}t{tx}" if c in cols else old.get(c))
+                    for c in model_cols
+                }
+
+    got = {
+        r["id"]: {c: r[c] for c in model_cols if c in snap.columns}
+        for r in snap.collect()
+    }
+    want = {
+        pk: {c: vals.get(c) for c in model_cols if c in snap.columns}
+        for pk, vals in model.items()
+    }
+    assert got == want
+    # the output schema is exactly base + the union of evolved columns, in
+    # first-seen order (additive evolution only — nothing dropped)
+    assert [c for c in snap.columns] == ["id", *model_cols]
+    # and the evolved snapshot itself re-registers cleanly against the gate
+    assert C.apply_changes(
+        snap,
+        spark.createDataFrame(
+            [],
+            "_change_type string, _transactionid bigint, transaction_seq int, "
+            "id bigint, " + ", ".join(f"{c} string" for c in model_cols),
+        ),
+        ["id"],
+        evolve_schema=True,
+        drift_mode="full",
+    ).columns == ["id", *model_cols]

@@ -335,6 +335,12 @@ _LADDER = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "q18_large_volume_orders",
+    # r8 VERDICT wrong #2: the two join-heavy x10 outliers (q3 ratio 13.8,
+    # join_agg 5.1 — tight samples, no starvation fingerprint) get
+    # second-decade rungs so their fitted exponents are measured, not
+    # extrapolated from one noisy tier
+    "q3_shipping_priority",
+    "join_agg_small_qty_revenue",
     "window_topk_per_customer",
     "events_sessionize",
     "text_lang_id",
@@ -432,16 +438,20 @@ def test_x100_scaling_ladder(spark):
             t10, n10 = _timed(spark, name, x10)
             t100, n100 = _timed(spark, name, x100)
             if name == "dedup_incremental_neardup":
-                # adversarial-by-construction at x100: EVERY near-dup
-                # family has 100 members, above the operator's 64-doc
-                # hot-bucket cap, so it sheds them all — zero candidates
-                # is the documented cap contract, and the x10 tier
-                # (families of 10) proves candidates still form on
-                # healthy buckets. The rung's value is the WALL: with the
-                # cap applied BEFORE the join (r8 fix — the post-join
-                # placement measured >450x here) cost stays linear even
-                # when every bucket in the corpus runs hot.
+                # mixed family sizes at x100 (ADVICE r8): docs with
+                # doc_id % 7 == 0 replicate only 50x — UNDER the
+                # operator's 64-doc hot-bucket cap — so the large tier
+                # must still produce candidates from those healthy
+                # buckets while the 100-member families are shed by the
+                # PRE-join cap (r8 fix — the post-join placement measured
+                # >450x here). Both contracts now assert at x100: capped
+                # cost stays linear AND healthy-bucket output is
+                # non-empty, not just at x10.
                 assert n10 > 0, "neardup found no candidates at x10"
+                assert n100 > 0, (
+                    "neardup produced no candidates at x100 — healthy "
+                    "(<=64-member) families must survive the hot-bucket cap"
+                )
             else:
                 assert n100 > 0, f"{name} produced no rows at x100"
             _ladder_entry(ladder, name, t10, t100, n100)
@@ -509,6 +519,29 @@ def test_x100_scaling_ladder(spark):
     t100, n100 = assign2k(x100)
     assert n100 > 0
     _ladder_entry(ladder, "similarity_ivf_assign_2500_cells", t10, t100, n100)
+
+    # recall gate ON the shipped >2048-cell default (ADVICE r8): auto picks
+    # the Arrow argmax at 2500 cells, and its rounding rule differs from
+    # F.round on shortest-decimal half-ties (operators/similarity.py
+    # _arrow_assign docstring) — so the backend that actually ships at high
+    # cell counts carries its own measured recall floor against exact brute
+    # force, not just row-equality fixtures away from boundaries.
+    from s4hanaconnector_spark.operators.similarity import brute_force_topk
+
+    q100, c100 = emb(x100)
+    bf = {(r["q_id"], r["c_id"]) for r in
+          brute_force_topk(q100, c100, k=10).collect()}
+    iv = {(r["q_id"], r["c_id"]) for r in
+          ivf_topk(q100, c100, k=10, n_centroids=2500, n_probe=4).collect()}
+    hit = len(bf & iv)
+    _record_raw("arrow_backend_recall_2500_cells_x100", {
+        "recall_at_10": f"{hit}/{len(bf)}",
+        "floor": ">=80%",
+        "backend": "arrow (auto past literal_centroid_max)",
+    })
+    assert hit * 100 >= len(bf) * 80, (
+        f"arrow-backend IVF recall regression at 2500 cells: {hit}/{len(bf)}"
+    )
 
 
 @pytest.mark.slow
@@ -613,4 +646,18 @@ def test_oracle_parity_at_sf1(spark):
     _record_raw("oracle_parity_at_sf1", {
         "queries_green": len(checked),
         "rows": sum(checked.values()),
+    })
+
+    # consumer lifecycle at the x10 tier (r8 VERDICT next #6): the
+    # materializing consumer had never run above sf0.01. Both lifecycle
+    # shapes run against the 1.5M-order tier through REAL sink dirs —
+    # emit two delta ranges -> orphan a third (crash window) -> compact ->
+    # materialize — and are hash-compared against the one-shot DuckDB
+    # reconstruction of the same state (parity vs recompute).
+    lifecycle = {}
+    for name in ("cdc_materialize_topic", "cdc_log_compaction"):
+        lifecycle[name] = assert_parity(qs[name](spark, sf1), con, osql[name], name)
+    _record_raw("consumer_lifecycle_at_x10", {
+        "queries_green": len(lifecycle),
+        "rows": sum(lifecycle.values()),
     })
