@@ -601,6 +601,427 @@ def quantized_topk(
     )
 
 
+def pq_subspace_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    trained: bool = False,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Codebooks for product quantization: ``m`` subspaces × ``n_codes``
+    codewords × (dims/m) floats, returned as plain nested lists (the whole
+    table is m × n_codes × dims/m floats — e.g. 8×16×8 = 1 KiB — so it is
+    plan-literal / broadcast material, never a shuffle side).
+
+    Default is the DETERMINISTIC PREFIX rule the declared oracle replicates
+    bit-for-bit (the same rule as ivf_topk's default quantizer): subspace
+    ``s``'s codewords are the ``n_codes`` lowest-id corpus vectors' s-th
+    slices. ``trained=True`` is the production path — per-subspace KMeans
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11) on a seeded sample, one small fit per subspace, never a full
+    corpus pass."""
+    if trained:
+        import numpy as np
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        sample = corpus.select(F.col(vec).alias("__v"))
+        n = sample.count()
+        frac = min(1.0, (100.0 * n_codes) / max(n, 1))
+        if frac < 1.0:
+            sample = sample.sample(fraction=frac, seed=seed)
+        rows = np.array([r["__v"] for r in sample.collect()], dtype=np.float64)
+        dims = rows.shape[1]
+        sub = dims // m
+        spark = corpus.sparkSession
+        books = []
+        for s in range(m):
+            seg = rows[:, s * sub:(s + 1) * sub]
+            train = spark.createDataFrame(
+                [([float(x) for x in r],) for r in seg], "f array<double>"
+            ).select(array_to_vector("f").alias("features"))
+            model = KMeans(k=n_codes, seed=seed, maxIter=10).fit(train)
+            books.append(
+                [[float(x) for x in cw] for cw in model.clusterCenters()]
+            )
+        return books
+    base = [
+        [float(x) for x in r["__v"]]
+        for r in corpus.orderBy(c_id).limit(n_codes)
+        .select(F.col(vec).alias("__v")).collect()
+    ]
+    dims = len(base[0])
+    sub = dims // m
+    return [
+        [bv[s * sub:(s + 1) * sub] for bv in base] for s in range(m)
+    ]
+
+
+def _arrow_pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    codebooks: list[list[list[float]]],
+    round_digits: int,
+) -> DataFrame:
+    """Vectorized PQ encode: per Arrow batch, one (rows × codes) squared-L2
+    distance matrix per subspace instead of m × n_codes interpreted lambda
+    folds per ROW (the expr encode measured ~8 s for 2000 rows × 512
+    code-distances on one core — per-row interpreter width, the same mode
+    as IVF's expr assignment at high cell counts). Same contract as the
+    expr encode: distance rounded HALF_UP at ``round_digits`` before the
+    argmin, ties to the lowest code id (numpy argmin is first-occurrence
+    and codebooks arrive code-ordered). Boundary caveat identical to
+    :func:`_arrow_assign` (reduction order + binary-vs-shortest-decimal
+    rounding, only on exact half-ties of a distance at digit
+    round_digits+1) — documented there, recall-gated by
+    ``similarity_pq_recall``."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cmats = [np.array(book, dtype=np.float64) for book in codebooks]
+    scale = 10.0 ** round_digits
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `__codes` array<int>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * sub:(s + 1) * sub]
+                diff = Vs[:, None, :] - cmats[s][None, :, :]
+                D = (diff * diff).sum(axis=2)
+                # distances are >= 0: plain floor(x*scale+0.5) IS half-up
+                Dr = np.floor(D * scale + 0.5)
+                codes[:, s] = Dr.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "__codes": list(codes)}
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _arrow_pq_score(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    qrows: list[tuple],
+    codebooks: list[list[list[float]]],
+    round_digits: int,
+    q_id: str,
+) -> DataFrame:
+    """Vectorized PQ encode + ADC score in ONE numpy pass: per batch the
+    corpus rows are encoded (see :func:`_arrow_pq_encode` — same rounded
+    argmin contract), then each query's cosine against the reconstruction
+    is m lookup-table gathers — LUT[s][code] = dot(q_s, codeword) and
+    N2[s][code] = |codeword|², both precomputed once from (queries ×
+    codebooks). Emits (q_id, id_col, cosine) rows; boundary caveat as
+    :func:`_arrow_assign` (the rerank stage re-scores candidates exactly,
+    so boundary effects only move the candidate frontier, which the recall
+    gate measures)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cmats = [np.array(book, dtype=np.float64) for book in codebooks]
+    n2 = np.stack([ (cm * cm).sum(axis=1) for cm in cmats ])  # (m, k)
+    qids = [qid for qid, _ in qrows]
+    Q = np.array([v for _, v in qrows], dtype=np.float64)  # (|Q|, dims)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))  # (|Q|,)
+    # LUT[qi, s, code] = dot(q_s, codeword)
+    lut = np.stack(
+        [Q[:, s * sub:(s + 1) * sub] @ cmats[s].T for s in range(m)], axis=1
+    )  # (|Q|, m, k)
+    scale = 10.0 ** round_digits
+    id_type = df.schema[id_col].dataType.simpleString()
+    qid_type = "bigint" if isinstance(qids[0], int) else "string"
+    out_schema = f"`{q_id}` {qid_type}, `{id_col}` {id_type}, `cosine` double"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            rows = V.shape[0]
+            codes = np.empty((rows, m), dtype=np.int64)
+            for s in range(m):
+                Vs = V[:, s * sub:(s + 1) * sub]
+                diff = Vs[:, None, :] - cmats[s][None, :, :]
+                D = (diff * diff).sum(axis=2)
+                codes[:, s] = np.floor(D * scale + 0.5).argmin(axis=1)
+            subs = np.arange(m)
+            rn2 = n2[subs[None, :], codes].sum(axis=1)  # (rows,)
+            # dot[qi, row] = sum_s LUT[qi, s, codes[row, s]]
+            dots = lut[:, subs[None, :], codes].sum(axis=2)  # (|Q|, rows)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosm = dots / (qnorm[:, None] * np.sqrt(rn2)[None, :])
+            r = np.copysign(np.floor(np.abs(cosm) * scale + 0.5), cosm) / scale
+            ids = pdf[id_col].to_numpy()
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    q_id: np.repeat(np.array(qids), rows),
+                    id_col: np.tile(ids, nq),
+                    "cosine": r.ravel(),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    codebooks: list[list[list[float]]] | None = None,
+    encode: str = "auto",
+) -> DataFrame:
+    """Asymmetric product-quantization top-k (FAISS ``PQm`` shape): each
+    corpus vector is encoded as ``m`` small code ids — one byte-scale symbol
+    per subspace, dims/m × 4 bytes collapsed to ~1 byte each (32× at
+    64d/m=8/16 codes vs float32) — and candidates are scored against the
+    RECONSTRUCTED codeword vector while queries stay float.
+
+    This is the completion of the quantization ladder (int8 SQ = 4×,
+    PQ = 16-32×): at 100 TB, PQ codes are what keeps a billion-vector
+    index memory-resident. Plan shape matches the other rungs — the (KiB)
+    codebook rides the plan as a literal, encode + score are row-local
+    projections over ONE corpus pass, broadcast(queries) cross join, and
+    the only hash exchange is the final ranked window on q_id.
+
+    Determinism contract (oracle-replicable): encoding picks per subspace
+    the codeword with the minimum L2² distance ROUNDED at ``round_digits``,
+    ties to the lowest code id; the final cosine(query, reconstruction) is
+    rounded at ``round_digits`` and ranked with an id tiebreak. Recall vs
+    the exact rung is a MEASURED contract (``similarity_pq_recall``).
+
+    ``encode`` picks the encode backend (the same split as ivf_topk's
+    ``assignment``): ``"expr"`` is the Catalyst-HOF semantics reference —
+    every rounding/tie rule one shared expression — but costs
+    O(m × n_codes × dims/m) interpreted dispatches per ROW (measured ~4 ms
+    per row at m=16, n_codes=32); ``"arrow"`` does the same work as dense
+    numpy distance matrices per batch; ``"auto"`` (default) picks arrow
+    once m × n_codes ≥ 128 (where interpreter width dominates), expr below
+    it. Scoring and rerank are shared — only the code ASSIGNMENT differs,
+    within the documented boundary class (:func:`_arrow_pq_encode`)."""
+    if codebooks is None:
+        codebooks = pq_subspace_codebooks(corpus, m, n_codes, c_id, vec)
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if encode not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown encode backend: {encode}")
+    if encode == "auto":
+        encode = "arrow" if m * n_codes >= 128 else "expr"
+
+    def seg(col: Column, s: Column) -> Column:
+        # subspace slice: elements s*sub+1 .. s*sub+sub (1-based F.slice)
+        return F.slice(col, s * sub + F.lit(1), sub)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+
+    if encode == "arrow":
+        # full ADC (asymmetric distance computation): encode AND score in
+        # one numpy pass — per query a (m × n_codes) lookup table of
+        # subspace dots is precomputed from the codebooks (driver-side,
+        # |Q|·m·n_codes·sub flops, microseconds), and each corpus row's
+        # cosine is m LUT gathers instead of a nested interpreted fold per
+        # pair. Queries are collected driver-side — the same |Q|-is-small
+        # contract under which the expr path broadcasts them.
+        qrows = sorted(
+            (r[0], [float(x) for x in r[1]])
+            for r in queries.select(q_id, vec).collect()
+        )
+        scored = _arrow_pq_score(
+            corpus.select(c_id, vec), c_id, vec, qrows, codebooks,
+            round_digits, q_id,
+        ).filter(F.col(q_id) != F.col(c_id))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(q_id, c_id, "cosine", "rn")
+        )
+    else:
+        # literal codebook for the expr reference backend only: m × n_codes
+        # F.lit subtrees are thousands of py4j constructions — measured ~5 s
+        # of DRIVER time per invocation at m=16 × 32 codes (why the default
+        # backend is Arrow and the expr scoring below ships the same table
+        # as broadcast DATA)
+        cb_lit = F.array(*[
+            F.array(*[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
+                    F.lit(float(sum(x * x for x in cw))).alias("n2"),
+                )
+                for cw in book
+            ])
+            for book in codebooks
+        ])
+
+        # per subspace s: argmin_code round(L2²(vec_s, cw), d), tie lowest
+        def encode_expr(v: Column) -> Column:
+            return F.transform(
+                cb_lit,
+                lambda book, s: F.array_sort(
+                    F.transform(
+                        book,
+                        lambda cwn, code: F.struct(
+                            F.round(
+                                F.aggregate(
+                                    F.zip_with(
+                                        seg(v, s), cwn["cw"],
+                                        lambda a, b: (a.cast("double") - b)
+                                        * (a.cast("double") - b),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda acc, x: acc + x,
+                                ),
+                                round_digits,
+                            ).alias("dist"),
+                            code.alias("code"),
+                        ),
+                    )
+                )[0]["code"],
+            )
+
+        c = corpus.select(F.col(c_id), encode_expr(F.col(vec)).alias("__codes"))
+    q = queries.select(
+        F.col(q_id),
+        F.col(vec).alias("__qv"),
+        _norm(F.col(vec)).alias("__qnorm"),
+    )
+
+    # the codebook rides the SCORING plan as broadcast DATA (one row,
+    # KiB-scale — the same delivery as ivf_topk's past-threshold centroid
+    # table): a literal would cost thousands of py4j F.lit calls per plan
+    # BUILD and a plan tree Catalyst re-analyzes every invocation
+    spark = corpus.sparkSession
+    cb_data = [
+        [
+            ([float(x) for x in cw], float(sum(x * x for x in cw)))
+            for cw in book
+        ]
+        for book in codebooks
+    ]
+    cb_df = spark.createDataFrame(
+        [(cb_data,)],
+        "__cb array<array<struct<cw: array<double>, n2: double>>>",
+    )
+
+    # ---- asymmetric score: dot(q, recon) / (|q| * |recon|) ------------------
+    codes = F.col("__codes")
+    cb = F.col("__cb")
+    dotqr = F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.aggregate(
+                F.zip_with(
+                    seg(F.col("__qv"), s),
+                    F.element_at(F.element_at(cb, s + F.lit(1)), code + F.lit(1))["cw"],
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rn2 = F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.element_at(
+                F.element_at(cb, s + F.lit(1)), code + F.lit(1)
+            )["n2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dotqr / (F.col("__qnorm") * F.sqrt(rn2)), round_digits)
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cb_df))
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, cos.alias("cosine"))
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, "cosine", "rn")
+    )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 100,
+    m: int = 16,
+    n_codes: int = 32,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    codebooks: list[list[list[float]]] | None = None,
+    encode: str = "auto",
+) -> DataFrame:
+    """PQ candidates + exact rerank — how production PQ indexes are actually
+    queried (FAISS ``PQm`` + refine): the full corpus is scanned only in its
+    CODE form (:func:`pq_topk`, 16-32× fewer bytes than float32) to produce
+    ``rerank`` candidates per query, then ONLY those |Q|×rerank rows have
+    their float vectors fetched and exactly rescored. PQ's lossy scoring
+    costs recall@k directly (measured 32-56% raw on the fixture corpus) but
+    barely touches recall@R for R≫k (92-96% at R=100) — the rerank converts
+    the cheap scan into an accurate answer, gated by
+    ``similarity_pq_recall``.
+
+    Plan shape: two corpus passes (codes scan, candidate fetch) — exactly
+    the disk-resident-index + vector-fetch split of a real deployment —
+    with the candidate set and queries broadcast; the corpus never
+    shuffles, and the only hash exchanges are the ranked windows on q_id."""
+    cand = pq_topk(
+        queries, corpus, k=rerank, m=m, n_codes=n_codes,
+        q_id=q_id, c_id=c_id, vec=vec, round_digits=round_digits,
+        codebooks=codebooks, encode=encode,
+    ).select(q_id, c_id)
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    fetched = corpus.select(F.col(c_id), F.col(vec)).join(
+        F.broadcast(cand), on=c_id
+    )
+    cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
+    scored = fetched.join(F.broadcast(q), on=q_id).select(
+        q_id, c_id, cos.alias("cosine")
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, "cosine", "rn")
+    )
+
+
 def _estimate_corpus_rows(corpus: DataFrame, bound: int) -> int:
     """Row estimate for the auto planner. Fast path: sum the parquet footer
     row counts of the plan's input files — one driver-side metadata read per

@@ -28,11 +28,11 @@ _MODULES = [_cdc]
 # driver verification accumulates across the registry (VERDICT r8 next #2:
 # 165 of 215 queries had never had a driver-produced CORRECTNESS row).
 #
-# Round-9 cohort: 46 first-time queries (streaming family, graph,
+# Round-9 cohort: 47 first-time queries (streaming family, graph,
 # multimodal, full dedup + similarity ladders, text analysis, asof/range
 # joins) + regression canaries (cdc_delta, source_jdbc_roundtrip), the
 # round's one red r8 row re-pinned after its fix (source_jdbc_type_gallery),
-# and the round's new query (similarity_topk_ivf_int8).
+# and the round's new queries (similarity_topk_ivf_int8, similarity_topk_pq).
 #
 # Displaced from the r8 head (coverage trade, explicit per ADVICE r8):
 # cdc_poll_jdbc_wire, source_jdbc_predicates, source_jdbc_pushdown,
@@ -46,8 +46,9 @@ _SAMPLE_HEAD = [
     "source_jdbc_roundtrip",
     # r8's one red row, re-pinned after the hex-projection fix
     "source_jdbc_type_gallery",
-    # new this round: IVF cells + int8 rescore composition
+    # new this round: IVF cells + int8 rescore composition; PQ + exact rerank
     "similarity_topk_ivf_int8",
+    "similarity_topk_pq",
     # streaming family (first driver rows)
     "streaming_stream_stream_join",
     "streaming_dim_enrich",
@@ -100,7 +101,6 @@ _SAMPLE_HEAD = [
     "range_join_error_clicks",
     "window_rank_functions",
     "window_value_functions",
-    "join_null_safe",
 ]
 
 

@@ -489,3 +489,92 @@ def test_ivf_int8_rescore_plan_quantizes_candidates_only(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="rescore"):
         ivf_topk(q, c, rescore="float16")
+
+
+def test_ivf_int8_rescore_agrees_across_assignment_backends(spark, sf_dir):
+    """rescore='int8' composes with BOTH assignment backends (the auto
+    default switches at literal_centroid_max, so the quantized rescore must
+    not care which backend assigned the cells)."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    kw = dict(k=10, n_centroids=16, n_probe=4, rescore="int8")
+    expr = ivf_topk(q, c, assignment="expr", **kw)
+    arrow = ivf_topk(q, c, assignment="arrow", **kw)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_pq_rerank_plan_never_shuffles_corpus(spark, sf_dir):
+    """PQ + rerank keeps the rung family's plan contract: the codebook is a
+    plan literal, encode/score are row-local projections, the candidate set
+    and queries ride broadcasts, and the only hash exchanges are the ranked
+    windows on q_id — the corpus itself never exchanges on either of its
+    two passes (codes scan, candidate fetch)."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import pq_rerank_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    df = pq_rerank_topk(q, c, k=10, rerank=20, m=8, n_codes=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_ex = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all("q_id" in line for line in hash_ex), hash_ex
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pq_encode_backends_agree_and_arrow_stays_rowlocal(spark, sf_dir):
+    """The PQ ADC backend (numpy encode + LUT score, the auto default past
+    m × n_codes >= 128) must produce the expr reference backend's exact
+    rows on the fixture, stay row-local (MapInPandas, no corpus exchange),
+    and reject unknown backend names."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import (
+        pq_subspace_codebooks,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    cbs = pq_subspace_codebooks(c, m=16, n_codes=16)
+    expr = pq_topk(q, c, k=20, codebooks=cbs, encode="expr")
+    arrow = pq_topk(q, c, k=20, codebooks=cbs, encode="arrow")
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_ex = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all("q_id" in line for line in hash_ex), hash_ex
+
+    # auto routing: 16 x 16 = 256 >= 128 -> arrow; tiny codebooks stay expr
+    assert "MapInPandas" in (
+        pq_topk(q, c, k=5, codebooks=cbs)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    small = pq_subspace_codebooks(c, m=8, n_codes=8)
+    assert "MapInPandas" not in (
+        pq_topk(q, c, k=5, codebooks=small)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    with _pytest.raises(ValueError, match="encode"):
+        pq_topk(q, c, encode="simd")
