@@ -358,6 +358,10 @@ _LADDER = [
     # whether the batch-vs-corpus join family hides super-linearity
     "dedup_incremental_corpus",
     "dedup_incremental_neardup",
+    # PQ + exact rerank (r9): prefix codebooks are O(1) build, the ADC
+    # encode+score pass is O(N) numpy — unlike the rebuild-per-query auto
+    # rung this composition is ladder-fair and must stay linear
+    "similarity_topk_pq",
 ]
 
 
@@ -433,7 +437,20 @@ def test_x100_scaling_ladder(spark):
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
     )
     try:
-        ladder = {}
+        # seed from the committed artifact so a partial run (one rung trips
+        # the gate, or a single new rung is re-measured) UPDATES rungs in
+        # place instead of clobbering the other rungs' evidence — a failed
+        # re-run must never erase a good committed ladder
+        import json as _json
+
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "SCALE_SMOKE.json",
+            )) as f:
+                ladder = _json.load(f).get("scaling_ladder_x100", {})
+        except Exception:
+            ladder = {}
         for name in _LADDER:
             t10, n10 = _timed(spark, name, x10)
             t100, n100 = _timed(spark, name, x100)
