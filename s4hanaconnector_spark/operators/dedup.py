@@ -546,3 +546,168 @@ def cross_corpus_contamination(
             F.count(F.lit(1)).alias("n_shared_ngrams"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+    max_cell: int | None = None,
+    assignment: str = "auto",
+) -> DataFrame:
+    """Cluster-partitioned semantic dedup (the SemDeDup shape, Abbas et al.
+    2023): a coarse quantizer assigns every vector to a k-means-style cell,
+    pairwise cosine runs ONLY inside each cell, and every row whose cosine
+    to a lower-id cell-mate meets ``threshold`` contracts onto the lowest
+    such id. Returns (id, canonical_id) — same single-contraction-step
+    contract as :func:`embedding_near_dup`, which buckets by sign-LSH
+    instead; the two rungs trade recall shape (sign buckets split on
+    hyperplane boundaries, cells on Voronoi boundaries) and SemDeDup is the
+    published choice when a trained quantizer already exists for the ANN
+    index, because dedup then reuses the index's cells for free.
+
+    100 TB plan shape: cell assignment is the IVF operator's — broadcast
+    centroid table, one row-local argmax pass, zero corpus shuffle
+    (operators/similarity.py cell_assigner, both delivery modes). The only
+    shuffle is ONE hash exchange of (id, vec, cell) on the cell id for the
+    within-cell self-join; with ~sqrt(N) cells each side of the join holds
+    ~sqrt(N) rows per cell and the pairwise work is N^1.5 total instead of
+    N² — the SemDeDup trade. ``max_cell`` drops oversized cells BEFORE the
+    self-join (the same pre-join hot-bucket discipline as
+    minhash_lsh_candidates — an oversized cell means the quantizer carries
+    no locality signal for its members, and capping after the join would
+    still materialize the quadratic candidate set); rows in dropped cells
+    keep themselves. Determinism: affinities and cosines are rounded at
+    ``round_digits`` with id tiebreaks, so cells and contraction are
+    engine-replicable bit for bit (the declared oracle replays both).
+    """
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.similarity import cell_assigner, cosine
+
+    assign = cell_assigner(
+        df, n_centroids=n_centroids, c_id=id_col, vec=vec,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
+    )
+    cells = assign(df.select(id_col, vec), id_col, 1)
+    if max_cell is not None:
+        cells = (
+            cells.withColumn(
+                "__cn", F.count(F.lit(1)).over(W.partitionBy("__cell"))
+            )
+            .filter(F.col("__cn") <= max_cell)
+            .drop("__cn")
+        )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.round(cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}")), round_digits)
+    pairs = (
+        a.join(b, F.col("a.__cell") == F.col("b.__cell"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
+    return (
+        df.select(F.col(id_col))
+        .join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+    assignment: str = "auto",
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) SEMANTIC dedup: classify every vector
+    of a new ingest batch against the accepted corpus by cell-partitioned
+    cosine — the embedding-space analogue of :func:`incremental_dedup`,
+    for the paraphrase/re-encode duplicates fingerprints cannot see.
+
+    Status per batch row (same vocabulary as incremental_dedup):
+      * ``dup_of_corpus`` — some corpus vector in the SAME CELL has cosine
+        >= threshold (canonical_id = the lowest such corpus id);
+      * ``dup_in_batch`` — no corpus hit, but a LOWER-id batch vector in
+        the same cell meets the threshold (canonical_id = lowest such);
+      * ``new``          — neither (canonical_id = own id).
+
+    100 TB plan shape — the corpus is NEVER shuffled: the quantizer is
+    frozen from the corpus (or passed in — at scale, the ANN index's own
+    trained centroids), both sides get the broadcast-centroid row-local
+    cell assignment, and the corpus side's only join is a broadcast-hash
+    join against the (tiny) batch cell table keyed on the cell id — one
+    corpus scan, hits only survive. The within-batch leg self-joins the
+    batch alone. A batch row in a corpus-hot cell costs one cosine per
+    same-cell corpus row on that cell's scan partition — the linear-in-
+    corpus-cell-size cost SemDeDup accepts by construction; the batch is
+    the small side by contract. Determinism: rounded affinities/cosines
+    with id tiebreaks end to end. Returns (batch_id, status, canonical_id).
+    """
+    from s4hanaconnector_spark.operators.similarity import cell_assigner, cosine
+
+    assign = cell_assigner(
+        corpus, n_centroids=n_centroids, c_id=id_col, vec=vec,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
+    )
+    c_cells = assign(corpus.select(id_col, vec), id_col, 1).select(
+        F.col(id_col).alias("__cid"), F.col(vec).alias("__cv"), "__cell"
+    )
+    # the batch cell table feeds three consumers (corpus probe, batch
+    # self-join twice); localCheckpoint materializes the tiny frame once —
+    # lazy, same rationale as incremental_dedup's b_fp
+    b_cells = (
+        assign(batch.select(id_col, vec), id_col, 1)
+        .select(F.col(id_col).alias("batch_id"), F.col(vec).alias("__bv"), "__cell")
+        .localCheckpoint(eager=False)
+    )
+    ccos = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
+    corpus_hits = (
+        c_cells.join(F.broadcast(b_cells), on="__cell")
+        .filter(ccos >= threshold)
+        .groupBy("batch_id")
+        .agg(F.min("__cid").alias("__corpus_canonical"))
+    )
+    lo = b_cells.select(
+        F.col("batch_id").alias("__lo_id"), F.col("__bv").alias("__lv"), "__cell"
+    )
+    bcos = F.round(cosine(F.col("__lv"), F.col("__bv")), round_digits)
+    batch_hits = (
+        b_cells.join(lo, on="__cell")
+        .filter((F.col("__lo_id") < F.col("batch_id")) & (bcos >= threshold))
+        .groupBy("batch_id")
+        .agg(F.min("__lo_id").alias("__batch_canonical"))
+    )
+    return (
+        b_cells.select("batch_id")
+        .join(F.broadcast(corpus_hits), "batch_id", "left")
+        .join(F.broadcast(batch_hits), "batch_id", "left")
+        .select(
+            "batch_id",
+            F.when(F.col("__corpus_canonical").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("__batch_canonical").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(
+                F.col("__corpus_canonical"),
+                F.col("__batch_canonical"),
+                F.col("batch_id"),
+            ).alias("canonical_id"),
+        )
+    )

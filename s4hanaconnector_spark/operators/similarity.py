@@ -190,6 +190,66 @@ def ivf_topk(
         the per-vector scale cancels in cosine so there is no
         dequantization step. Recall vs the exact rung is gated by the
         ``similarity_ivf_int8_recall`` declared query."""
+    cells, probes = ivf_assign(
+        queries, corpus, n_centroids=n_centroids, n_probe=n_probe,
+        q_id=q_id, c_id=c_id, vec=vec, round_digits=round_digits,
+        centroids=centroids, literal_centroid_max=literal_centroid_max,
+        assignment=assignment,
+    )
+    return _rescore(cells, probes, k, q_id, c_id, vec, round_digits, rescore)
+
+
+def ivf_assign(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    literal_centroid_max: int = 2048,
+    assignment: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF index WITHOUT the rescore tail: ``cells`` = one row per
+    corpus vector ``(c_id, vec, __cell)`` (its nearest cell), ``probes`` =
+    ``(q_id, __qv, __cell)`` rows (each query x its n_probe nearest cells).
+    Same quantizer resolution, delivery thresholding, and backend choice
+    as ivf_topk — which is now assign + _rescore over this function's
+    output. Composed rungs (IVF x PQ) and cell-partitioned operators
+    (semantic dedup) consume the assignment directly."""
+    assign = cell_assigner(
+        corpus, n_centroids=n_centroids, c_id=c_id, vec=vec,
+        round_digits=round_digits, centroids=centroids,
+        literal_centroid_max=literal_centroid_max, assignment=assignment,
+    )
+    cells = assign(corpus.select(c_id, vec), c_id, 1)
+    probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(
+        vec, "__qv"
+    )
+    return cells, probes
+
+
+
+def cell_assigner(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    literal_centroid_max: int = 2048,
+    assignment: str = "auto",
+):
+    """Resolve the coarse quantizer ONCE (centroid table, delivery mode,
+    argmax backend) and return ``assign(df, id_col, keep_rn) -> DataFrame``
+    mapping any ``(id, vec)`` frame to ``(id, vec, __cell)`` rows — the
+    nearest ``keep_rn`` cells per row under the shared rounding/NaN/tiebreak
+    contract. This is the extraction seam of :func:`ivf_topk`'s assignment
+    stage (r9: the composed IVF x PQ rung and the semantic-dedup operator
+    both need cell assignment without the rescore tail); every behavior
+    comment below is the original ivf_topk text, unchanged."""
     if centroids is not None:
         cent = centroids.select(
             F.col("cent_id").alias("__cent_id"), F.col(vec).alias("__cent")
@@ -255,11 +315,7 @@ def ivf_topk(
         def assign(df: DataFrame, id_col: str, keep_rn: int) -> DataFrame:
             return _arrow_assign(df, id_col, vec, keep_rn, cent_rows, round_digits)
 
-        cells = assign(corpus.select(c_id, vec), c_id, 1)
-        probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(
-            vec, "__qv"
-        )
-        return _rescore(cells, probes, k, q_id, c_id, vec, round_digits, rescore)
+        return assign
 
     if use_literal:
         cent_rows = sorted(
@@ -332,9 +388,8 @@ def ivf_topk(
             id_col, vec, F.explode(F.transform(picked, lambda s: s["cid"])).alias("__cell")
         )
 
-    cells = assign(corpus.select(c_id, vec), c_id, 1)
-    probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(vec, "__qv")
-    return _rescore(cells, probes, k, q_id, c_id, vec, round_digits, rescore)
+    return assign
+
 
 
 def _rescore(

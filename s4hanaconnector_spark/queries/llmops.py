@@ -578,6 +578,176 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup(emb_aug(spark, sf_dir), "vec_id", threshold=0.9)
 
 
+# cell assignment of an arbitrary source CTE to the 16 lowest-id prefix
+# centroids — the SAME quantizer rule as _IVF_CELLS_CTE, parametrized over
+# the vector universe so the SemDeDup rungs can assign e_aug / corpus+batch
+def _cells_over(src: str) -> str:
+    return f"""
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv FROM {src} ORDER BY vec_id LIMIT 16
+),
+cax AS (
+    SELECT v.vec_id, v.embedding AS qv, c.cent_id, c.cv,
+           unnest(range(1, len(v.embedding) + 1)) AS i
+    FROM {src} v CROSS JOIN cent c
+),
+caff AS (
+    SELECT vec_id, cent_id, round({_COS_DOT}, 6) AS aff
+    FROM cax GROUP BY vec_id, cent_id
+),
+cells AS (
+    SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
+        FROM caff
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+{_cells_over("e_aug").strip()},
+ce AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN e_aug e USING (vec_id)),
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv, b.embedding AS cv
+    FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM p),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM expl GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.95
+)
+SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
+FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 SemDeDup rung (Abbas et al. 2023): coarse-quantizer cells
+    partition the corpus, pairwise cosine runs only INSIDE each cell, and
+    each vector contracts onto its lowest-id >= 0.95 cell-mate. The
+    cluster-partitioned sibling of ``dedup_embedding_cosine`` (sign-LSH
+    buckets): at 100 TB the pairwise work is N^1.5 with ~sqrt(N) cells
+    instead of N², the cells are the ANN index's own quantizer for free,
+    and the corpus never shuffles for assignment — only ONE hash exchange
+    on the cell id (operators/dedup.py semantic_dedup)."""
+    return D.semantic_dedup(
+        emb_aug(spark, sf_dir), "vec_id", threshold=0.95, n_centroids=16
+    )
+
+
+# the incremental-semantic fixture: corpus = the raw embeddings (double-
+# cast); batch = perturbed copies of every 9th vector (near-dups OF THE
+# CORPUS), reversed copies of every 25th (genuinely new directions), and a
+# perturbation of each reversed copy (near-dup WITHIN THE BATCH only)
+_SEM_INC_CTE = """
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+),
+batch AS (
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) + CAST(0.02 AS DOUBLE)) AS embedding
+    FROM embeddings WHERE vec_id % 9 = 0
+    UNION ALL
+    SELECT vec_id + 300000,
+           list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+    FROM embeddings WHERE vec_id % 25 = 0
+    UNION ALL
+    SELECT vec_id + 400000,
+           list_transform(list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                          x -> x * CAST(1.01 AS DOUBLE) + CAST(0.02 AS DOUBLE))
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch)
+"""
+
+
+def _sem_inc_frames(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    rev = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 300000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    rev_pert = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 400000).alias("vec_id"),
+        F.transform(
+            F.reverse(F.col("embedding")), lambda x: x * F.lit(1.01) + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    return e, pert.unionByName(rev).unionByName(rev_pert)
+
+
+@register(
+    "dedup_semantic_incremental",
+    f"""
+WITH {_SEM_INC_CTE.strip()},
+{_cells_over("allv").strip()},
+ccell AS (SELECT c.vec_id, cl.cell, c.embedding FROM corpus c JOIN cells cl USING (vec_id)),
+bcell AS (SELECT b.vec_id, cl.cell, b.embedding FROM batch b JOIN cells cl USING (vec_id)),
+chp AS (
+    SELECT cc.vec_id AS corpus_id, bc.vec_id AS bid,
+           cc.embedding AS qv, bc.embedding AS cv
+    FROM ccell cc JOIN bcell bc ON cc.cell = bc.cell
+),
+chx AS (SELECT corpus_id, bid, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM chp),
+corpus_hits AS (
+    SELECT bid, min(corpus_id) AS corpus_canonical FROM (
+        SELECT corpus_id, bid, round({_COS_DOT}, 6) AS cosine
+        FROM chx GROUP BY corpus_id, bid
+    ) WHERE cosine >= 0.95 GROUP BY bid
+),
+bhp AS (
+    SELECT lo.vec_id AS lo_id, hi.vec_id AS bid, lo.embedding AS qv, hi.embedding AS cv
+    FROM bcell lo JOIN bcell hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+),
+bhx AS (SELECT lo_id, bid, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bhp),
+batch_hits AS (
+    SELECT bid, min(lo_id) AS batch_canonical FROM (
+        SELECT lo_id, bid, round({_COS_DOT}, 6) AS cosine
+        FROM bhx GROUP BY lo_id, bid
+    ) WHERE cosine >= 0.95 GROUP BY bid
+)
+SELECT b.vec_id AS batch_id,
+       CASE WHEN ch.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bh.batch_canonical IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       coalesce(ch.corpus_canonical, bh.batch_canonical, b.vec_id) AS canonical_id
+FROM batch b
+LEFT JOIN corpus_hits ch ON ch.bid = b.vec_id
+LEFT JOIN batch_hits bh ON bh.bid = b.vec_id
+""",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 incremental-semantic rung: a new ingest batch classified against
+    the accepted corpus by cell-partitioned cosine — the embedding-space
+    analogue of ``dedup_incremental_corpus``, catching the paraphrase /
+    re-encode duplicates fingerprints cannot see. The quantizer is frozen
+    from the CORPUS (at scale: the ANN index's own centroids), the corpus
+    side's only join is broadcast-hash against the tiny batch cell table,
+    and the corpus never shuffles (operators/dedup.py
+    incremental_semantic_dedup). Batch construction plants all three
+    outcomes: perturbed corpus vectors (dup_of_corpus), reversed vectors
+    (new), and perturbed copies of those reversals (dup_in_batch)."""
+    corpus, batch = _sem_inc_frames(spark, sf_dir)
+    return D.incremental_semantic_dedup(
+        corpus, batch, "vec_id", threshold=0.95, n_centroids=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # E21 — text analysis
 # ---------------------------------------------------------------------------

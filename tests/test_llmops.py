@@ -722,3 +722,101 @@ def test_pq_trained_codebooks_production_path(spark, sf_dir):
     # measured 37/50 at seed=7 (39/50 at seed=42); the floor leaves slack
     # for spark.ml KMeans implementation drift without letting the path rot
     assert hits * 100 >= len(bf) * 60, f"trained-PQ recall {hits}/{len(bf)} < 60%"
+
+
+def test_semdedup_contracts_planted_pairs(spark, sf_dir):
+    """SemDeDup rung non-triviality: the planted affine copies (+100000)
+    must contract onto lower ids (their source, cell permitting), never
+    upward; a fraction straddling Voronoi boundaries is the documented
+    recall trade, not a failure."""
+    reg = load_all()
+    out = reg["dedup_semdedup"].fn(spark, sf_dir)
+    contracted = out.filter(F.col("vec_id") != F.col("canonical_id"))
+    n = contracted.count()
+    assert n > 0
+    assert contracted.filter(F.col("canonical_id") >= F.col("vec_id")).count() == 0
+    # most planted copies must actually be caught (>= half survives the
+    # boundary-straddle loss on every fixture tier)
+    planted = out.filter(F.col("vec_id") >= 100000).count()
+    caught = out.filter(
+        (F.col("vec_id") >= 100000) & (F.col("canonical_id") < 100000)
+    ).count()
+    assert caught * 2 >= planted, (caught, planted)
+
+
+def test_semantic_dedup_cells_and_cap(spark):
+    """Unit contract on a hand-built frame: same-cell near pairs contract
+    onto the lowest id, cross-cell pairs never meet, and max_cell drops
+    oversized cells BEFORE pairing (capped rows keep themselves)."""
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, [0.0, 1.0]),
+            (4, [0.001, 1.0]),
+        ],
+        "id bigint, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id bigint, v array<double>"
+    )
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in semantic_dedup(
+            df, "id", vec="v", threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+    capped = {
+        r["id"]: r["canonical_id"]
+        for r in semantic_dedup(
+            df, "id", vec="v", threshold=0.99, centroids=cents, max_cell=1
+        ).collect()
+    }
+    assert capped == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_incremental_semantic_statuses(spark, sf_dir):
+    """All three classifications must be exercised by the declared fixture
+    batch, and canonical ids must obey the contract: corpus hits point
+    below 100000, in-batch hits point at a LOWER batch id."""
+    reg = load_all()
+    out = reg["dedup_semantic_incremental"].fn(spark, sf_dir)
+    rows = out.collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"dup_of_corpus", "dup_in_batch", "new"}
+    for r in rows:
+        if r["status"] == "dup_of_corpus":
+            assert r["canonical_id"] < 100000, r
+        elif r["status"] == "dup_in_batch":
+            assert 100000 <= r["canonical_id"] < r["batch_id"], r
+        else:
+            assert r["canonical_id"] == r["batch_id"], r
+
+
+def test_incremental_semantic_unit(spark):
+    """Hand-built corpus/batch: one corpus near-dup, one new direction, one
+    in-batch near-dup of that new direction."""
+    from s4hanaconnector_spark.operators.dedup import incremental_semantic_dedup
+
+    corpus = spark.createDataFrame([(10, [1.0, 0.0])], "id bigint, v array<double>")
+    batch = spark.createDataFrame(
+        [(20, [1.0, 0.0005]), (21, [0.0, 1.0]), (22, [0.0005, 1.0])],
+        "id bigint, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id bigint, v array<double>"
+    )
+    got = {
+        r["batch_id"]: (r["status"], r["canonical_id"])
+        for r in incremental_semantic_dedup(
+            corpus, batch, "id", vec="v", threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert got == {
+        20: ("dup_of_corpus", 10),
+        21: ("new", 21),
+        22: ("dup_in_batch", 21),
+    }

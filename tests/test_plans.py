@@ -578,3 +578,22 @@ def test_pq_encode_backends_agree_and_arrow_stays_rowlocal(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="encode"):
         pq_topk(q, c, encode="simd")
+
+
+def test_semdedup_no_cartesian_and_rowlocal_assignment(spark, sf_dir):
+    """SemDeDup: pairwise cosine must be confined to within-cell joins — a
+    CartesianProduct/BNLJ here is the N² catastrophe the cells exist to
+    prevent. Cell assignment itself is the literal-delivery projection
+    (no join for the centroid table at fixture cell counts)."""
+    plan = plan_of(spark, sf_dir, "dedup_semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_semantic_corpus_never_shuffles(spark, sf_dir):
+    """Incremental semantic dedup: the corpus side must meet the batch
+    through broadcast hash joins only, exactly like the fingerprint rung —
+    a SortMergeJoin would shuffle the full accepted corpus every ingest."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_incremental")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
