@@ -721,6 +721,7 @@ def _arrow_pq_encode(
     vec: str,
     codebooks: list[list[list[float]]],
     round_digits: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Vectorized PQ encode: per Arrow batch, one (rows × codes) squared-L2
     distance matrix per subspace instead of m × n_codes interpreted lambda
@@ -741,7 +742,12 @@ def _arrow_pq_encode(
     cmats = [np.array(book, dtype=np.float64) for book in codebooks]
     scale = 10.0 ** round_digits
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"`{id_col}` {id_type}, `__codes` array<int>"
+    # ``keep`` columns (e.g. the IVF ``__cell`` of the composed rung) ride
+    # through the encode untouched — same row order, no extra pass
+    keep_decl = "".join(
+        f", `{c}` {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    out_schema = f"`{id_col}` {id_type}, `__codes` array<int>{keep_decl}"
 
     def gen(batches):
         import pandas as pd
@@ -758,9 +764,10 @@ def _arrow_pq_encode(
                 # distances are >= 0: plain floor(x*scale+0.5) IS half-up
                 Dr = np.floor(D * scale + 0.5)
                 codes[:, s] = Dr.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "__codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "__codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, out_schema)
 
@@ -835,6 +842,119 @@ def _arrow_pq_score(
     return df.mapInPandas(gen, out_schema)
 
 
+def _pq_cb_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The PQ codebook as a ONE-ROW DataFrame ``__cb`` (per codeword: the
+    vector and its precomputed |cw|²) — broadcast DATA delivery for the ADC
+    scoring expression, shared by the plain-PQ and IVF×PQ rungs."""
+    cb_data = [
+        [
+            ([float(x) for x in cw], float(sum(x * x for x in cw)))
+            for cw in book
+        ]
+        for book in codebooks
+    ]
+    return spark.createDataFrame(
+        [(cb_data,)],
+        "__cb array<array<struct<cw: array<double>, n2: double>>>",
+    )
+
+
+def _pq_adc_cos(sub: int, round_digits: int) -> Column:
+    """Asymmetric-distance cosine — dot(q, reconstruction) / (|q|·|recon|),
+    rounded — as a pure column expression over ``__codes`` (the row's PQ
+    codes), ``__qv``/``__qnorm`` (the float query), and ``__cb`` (the
+    broadcast codebook row from :func:`_pq_cb_df`). One shared definition so
+    the plain-PQ expr backend and the IVF×PQ candidate scorer cannot
+    drift."""
+
+    def seg(col: Column, s: Column) -> Column:
+        return F.slice(col, s * sub + F.lit(1), sub)
+
+    codes = F.col("__codes")
+    cb = F.col("__cb")
+    dotqr = F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.aggregate(
+                F.zip_with(
+                    seg(F.col("__qv"), s),
+                    F.element_at(F.element_at(cb, s + F.lit(1)), code + F.lit(1))["cw"],
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rn2 = F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.element_at(
+                F.element_at(cb, s + F.lit(1)), code + F.lit(1)
+            )["n2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dotqr / (F.col("__qnorm") * F.sqrt(rn2)), round_digits)
+
+
+def _pq_encode_expr(codebooks: list[list[list[float]]], round_digits: int):
+    """The Catalyst-HOF PQ encoder (semantics REFERENCE backend): returns a
+    function mapping a vector column to its ``array<int>`` PQ codes — per
+    subspace s, argmin over codewords of round(L2²(vec_s, cw), d), ties to
+    the lowest code id. The codebook rides the plan as a LITERAL here:
+    m × n_codes F.lit subtrees are thousands of py4j constructions
+    (measured ~5 s of DRIVER time per invocation at m=16 × 32 codes —
+    why the default backend is Arrow and the ADC scoring ships the same
+    table as broadcast DATA). One shared definition for the plain-PQ and
+    IVF×PQ rungs."""
+    sub = len(codebooks[0][0])
+
+    def seg(col: Column, s: Column) -> Column:
+        return F.slice(col, s * sub + F.lit(1), sub)
+
+    cb_lit = F.array(*[
+        F.array(*[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
+                F.lit(float(sum(x * x for x in cw))).alias("n2"),
+            )
+            for cw in book
+        ])
+        for book in codebooks
+    ])
+
+    def encode_expr(v: Column) -> Column:
+        return F.transform(
+            cb_lit,
+            lambda book, s: F.array_sort(
+                F.transform(
+                    book,
+                    lambda cwn, code: F.struct(
+                        F.round(
+                            F.aggregate(
+                                F.zip_with(
+                                    seg(v, s), cwn["cw"],
+                                    lambda a, b: (a.cast("double") - b)
+                                    * (a.cast("double") - b),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ),
+                            round_digits,
+                        ).alias("dist"),
+                        code.alias("code"),
+                    ),
+                )
+            )[0]["code"],
+        )
+
+    return encode_expr
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -886,10 +1006,6 @@ def pq_topk(
     if encode == "auto":
         encode = "arrow" if m * n_codes >= 128 else "expr"
 
-    def seg(col: Column, s: Column) -> Column:
-        # subspace slice: elements s*sub+1 .. s*sub+sub (1-based F.slice)
-        return F.slice(col, s * sub + F.lit(1), sub)
-
     from pyspark.sql import Window as W
 
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
@@ -916,49 +1032,10 @@ def pq_topk(
             .select(q_id, c_id, "cosine", "rn")
         )
     else:
-        # literal codebook for the expr reference backend only: m × n_codes
-        # F.lit subtrees are thousands of py4j constructions — measured ~5 s
-        # of DRIVER time per invocation at m=16 × 32 codes (why the default
-        # backend is Arrow and the expr scoring below ships the same table
-        # as broadcast DATA)
-        cb_lit = F.array(*[
-            F.array(*[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
-                    F.lit(float(sum(x * x for x in cw))).alias("n2"),
-                )
-                for cw in book
-            ])
-            for book in codebooks
-        ])
-
-        # per subspace s: argmin_code round(L2²(vec_s, cw), d), tie lowest
-        def encode_expr(v: Column) -> Column:
-            return F.transform(
-                cb_lit,
-                lambda book, s: F.array_sort(
-                    F.transform(
-                        book,
-                        lambda cwn, code: F.struct(
-                            F.round(
-                                F.aggregate(
-                                    F.zip_with(
-                                        seg(v, s), cwn["cw"],
-                                        lambda a, b: (a.cast("double") - b)
-                                        * (a.cast("double") - b),
-                                    ),
-                                    F.lit(0.0),
-                                    lambda acc, x: acc + x,
-                                ),
-                                round_digits,
-                            ).alias("dist"),
-                            code.alias("code"),
-                        ),
-                    )
-                )[0]["code"],
-            )
-
-        c = corpus.select(F.col(c_id), encode_expr(F.col(vec)).alias("__codes"))
+        c = corpus.select(
+            F.col(c_id),
+            _pq_encode_expr(codebooks, round_digits)(F.col(vec)).alias("__codes"),
+        )
     q = queries.select(
         F.col(q_id),
         F.col(vec).alias("__qv"),
@@ -969,49 +1046,8 @@ def pq_topk(
     # KiB-scale — the same delivery as ivf_topk's past-threshold centroid
     # table): a literal would cost thousands of py4j F.lit calls per plan
     # BUILD and a plan tree Catalyst re-analyzes every invocation
-    spark = corpus.sparkSession
-    cb_data = [
-        [
-            ([float(x) for x in cw], float(sum(x * x for x in cw)))
-            for cw in book
-        ]
-        for book in codebooks
-    ]
-    cb_df = spark.createDataFrame(
-        [(cb_data,)],
-        "__cb array<array<struct<cw: array<double>, n2: double>>>",
-    )
-
-    # ---- asymmetric score: dot(q, recon) / (|q| * |recon|) ------------------
-    codes = F.col("__codes")
-    cb = F.col("__cb")
-    dotqr = F.aggregate(
-        F.transform(
-            codes,
-            lambda code, s: F.aggregate(
-                F.zip_with(
-                    seg(F.col("__qv"), s),
-                    F.element_at(F.element_at(cb, s + F.lit(1)), code + F.lit(1))["cw"],
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rn2 = F.aggregate(
-        F.transform(
-            codes,
-            lambda code, s: F.element_at(
-                F.element_at(cb, s + F.lit(1)), code + F.lit(1)
-            )["n2"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dotqr / (F.col("__qnorm") * F.sqrt(rn2)), round_digits)
+    cb_df = _pq_cb_df(corpus.sparkSession, codebooks)
+    cos = _pq_adc_cos(sub, round_digits)
 
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -1070,6 +1106,108 @@ def pq_rerank_topk(
         q_id, c_id, cos.alias("cosine")
     )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, "cosine", "rn")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank: int = 100,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    assignment: str = "auto",
+    encode: str = "auto",
+) -> DataFrame:
+    """The full production ANN composition — FAISS ``IVFx,PQy`` + refine
+    (IVFADC, Jégou et al. TPAMI'11): an IVF coarse quantizer prunes the
+    SEARCH (each query rescans only n_probe of n_centroids cells) while PQ
+    codes compress the STORAGE (each rescanned candidate is m code bytes,
+    16-32× smaller than float32), and the top-``rerank`` PQ candidates per
+    query are exactly rescored from their float vectors. At a billion
+    vectors this is the stack that is simultaneously memory-resident (PQ)
+    and sublinear-per-query (IVF) — neither rung alone is.
+
+    Plan shape: ONE corpus pass assigns cells and encodes codes (the
+    row-local :func:`cell_assigner` projection feeding the Arrow PQ
+    encoder, which passes ``__cell`` through); the probe table
+    (|Q| × n_probe rows) broadcasts, so candidate generation never
+    shuffles the corpus; ADC scoring is the shared
+    :func:`_pq_adc_cos` expression with the KiB codebook as broadcast
+    DATA; the refine step fetches only |Q| × rerank float vectors via a
+    broadcast semi-style join. The only hash exchanges are the two ranked
+    windows on q_id.
+
+    Determinism contract (oracle-replicable end to end): deterministic
+    prefix quantizer + prefix codebooks by default, affinities / code
+    distances / cosines all rounded at ``round_digits`` before ranking with
+    id tiebreaks. Recall vs the exact float rung is a MEASURED contract —
+    the ``similarity_ivf_pq_recall`` declared query gates the composition,
+    whose loss is bounded by its parts (IVF probe miss + PQ candidate
+    miss, each separately gated)."""
+    from pyspark.sql import Window as W
+
+    if codebooks is None:
+        codebooks = pq_subspace_codebooks(corpus, m, n_codes, c_id, vec)
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if encode not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown encode backend: {encode}")
+    if encode == "auto":
+        encode = "arrow" if m * n_codes >= 128 else "expr"
+
+    cells, probes = ivf_assign(
+        queries, corpus, n_centroids=n_centroids, n_probe=n_probe,
+        q_id=q_id, c_id=c_id, vec=vec, round_digits=round_digits,
+        centroids=centroids, assignment=assignment,
+    )
+    # encode ONCE per corpus row, keeping its cell: the inverted lists of a
+    # real deployment store exactly (cell, id, codes)
+    if encode == "arrow":
+        coded = _arrow_pq_encode(
+            cells, c_id, vec, codebooks, round_digits, keep=("__cell",)
+        )
+    else:
+        coded = cells.select(
+            F.col(c_id),
+            _pq_encode_expr(codebooks, round_digits)(F.col(vec)).alias("__codes"),
+            "__cell",
+        )
+    qn = probes.withColumn("__qnorm", _norm(F.col("__qv")))
+    cand = (
+        coded.join(F.broadcast(qn), on="__cell")
+        .filter(F.col(q_id) != F.col(c_id))
+        .crossJoin(F.broadcast(_pq_cb_df(corpus.sparkSession, codebooks)))
+        .select(q_id, c_id, _pq_adc_cos(sub, round_digits).alias("cosine"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select(q_id, c_id)
+    )
+    # refine: fetch ONLY the shortlist's float vectors and rescore exactly
+    q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    fetched = corpus.select(F.col(c_id), F.col(vec)).join(
+        F.broadcast(shortlist), on=c_id
+    )
+    cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
+    scored = fetched.join(F.broadcast(q), on=q_id).select(
+        q_id, c_id, cos.alias("cosine")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

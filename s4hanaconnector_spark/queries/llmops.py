@@ -2633,8 +2633,10 @@ _PQ_M, _PQ_CODES, _PQ_RERANK = 16, 32, 100
 
 # shared SQL pipeline: q -> pqbase (prefix codebooks) -> enc (per-subspace
 # code argmin) -> scorex (asymmetric reconstruction dot/norm) -> pqcand
-# (top-R on rounded PQ cosine) -> rrs (exact rerank cosine)
-_PQ_PIPE = f"""
+# (top-R on rounded PQ cosine) -> rrs (exact rerank cosine).
+# Split into ENCODE / SCORERAW / TAIL pieces so the plain-PQ rungs and the
+# composed IVF x PQ rungs share every CTE except candidate generation.
+_PQ_ENC_CTE = f"""
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 pqbase AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS bv
@@ -2658,7 +2660,11 @@ enc AS (
                                   ORDER BY round(dist, 6), code) AS rn
         FROM encx
     ) WHERE rn = 1
-),
+)
+"""
+
+# candidate generation, plain-PQ shape: every (query, corpus) pair scores
+_PQ_SCORERAW_CTE = f"""
 scoreraw AS (
     SELECT q_id, c_id, sub, i, (i - 1) // (len(bv) // {_PQ_M}) AS sub_i,
            CAST(qv[i] AS DOUBLE) AS qi, CAST(bv[i] AS DOUBLE) AS bi
@@ -2668,7 +2674,32 @@ scoreraw AS (
         FROM enc e JOIN pqbase b ON b.code = e.code CROSS JOIN q qq
         WHERE qq.q_id <> e.c_id
     )
+)
+"""
+
+# candidate generation, IVF x PQ shape: only pairs whose corpus vector sits
+# in one of the query's probed cells ever score (cells/probes come from
+# _IVF_CELLS_CTE — the SAME index as the plain IVF rungs)
+_IVF_PQ_SCORERAW_CTE = f"""
+ivfcand AS (
+    SELECT p.q_id, c.c_id
+    FROM probes p JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id
 ),
+scoreraw AS (
+    SELECT q_id, c_id, sub, i, (i - 1) // (len(bv) // {_PQ_M}) AS sub_i,
+           CAST(qv[i] AS DOUBLE) AS qi, CAST(bv[i] AS DOUBLE) AS bi
+    FROM (
+        SELECT ca.q_id, e.c_id, qq.qv, b.bv, e.sub,
+               unnest(range(1, len(qq.qv) + 1)) AS i
+        FROM enc e
+        JOIN ivfcand ca ON ca.c_id = e.c_id
+        JOIN pqbase b ON b.code = e.code
+        JOIN q qq ON qq.q_id = ca.q_id
+    )
+)
+"""
+
+_PQ_TAIL_CTE = f"""
 scorex AS (
     -- CASE instead of WHERE sub_i = sub: a filter between the unnest and
     -- this aggregate trips a DuckDB internal binder assertion; adding
@@ -2705,6 +2736,16 @@ pqtop AS (
     FROM rrs
 )
 """
+
+_PQ_PIPE = (
+    _PQ_ENC_CTE.strip() + ",\n" + _PQ_SCORERAW_CTE.strip() + ",\n"
+    + _PQ_TAIL_CTE.strip()
+)
+
+_IVF_PQ_PIPE = (
+    _IVF_CELLS_CTE.strip() + ",\n" + _PQ_ENC_CTE.strip() + ",\n"
+    + _IVF_PQ_SCORERAW_CTE.strip() + ",\n" + _PQ_TAIL_CTE.strip()
+)
 
 
 @register(
@@ -2788,6 +2829,96 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     if totals["h"] * 100 < totals["e"] * 80:
         raise AssertionError(
             f"pq recall regression: {totals['h']}/{totals['e']} below 80%"
+        )
+    return out
+
+
+@register(
+    "similarity_topk_ivf_pq",
+    f"""
+WITH {_IVF_PQ_PIPE}
+SELECT q_id, c_id, cosine, rn FROM pqtop WHERE rn <= 10
+""",
+    headline=True,
+)
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 full production composition — FAISS ``IVFx,PQy`` + refine
+    (IVFADC, Jégou et al. TPAMI'11): IVF cells prune the SEARCH (4-of-16
+    cells rescanned per query), PQ codes compress the STORAGE (every
+    rescanned candidate is 16 code bytes, not 64 float32s), and the top-100
+    PQ candidates are exactly rescored from their floats. The stack that is
+    simultaneously memory-resident AND sublinear-per-query at a billion
+    vectors — neither rung alone is. One corpus pass assigns cells and
+    encodes codes; probes and codebook broadcast; the corpus never shuffles
+    (operators/similarity.py ivf_pq_topk). Same deterministic prefix
+    quantizer and codebooks as the component rungs, so the oracle replays
+    the composed index bit for bit."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return S.ivf_pq_topk(
+        q, c, k=10, n_centroids=16, n_probe=4,
+        m=_PQ_M, n_codes=_PQ_CODES, rerank=_PQ_RERANK,
+    )
+
+
+@register(
+    "similarity_ivf_pq_recall",
+    f"""
+WITH bfp AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+bfx AS (SELECT q_id, c_id, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bfp),
+bfs AS (SELECT q_id, c_id, round({_COS_DOT}, 6) AS cosine FROM bfx GROUP BY q_id, c_id),
+bf AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM bfs
+    ) WHERE rn <= 10
+),
+{_IVF_PQ_PIPE},
+ivfpq AS (SELECT q_id, c_id FROM pqtop WHERE rn <= 10)
+SELECT bf.q_id, count(*) AS n_exact, count(ivfpq.c_id) AS n_hit
+FROM bf LEFT JOIN ivfpq ON bf.q_id = ivfpq.q_id AND bf.c_id = ivfpq.c_id
+GROUP BY bf.q_id
+""",
+)
+def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVFADC rung vs the EXACT float rung, as
+    exact integer counts under the hash gate. Composition loss is bounded
+    by its separately-gated parts — the IVF probe miss (>= 80% gate) and
+    the PQ shortlist miss (>= 80% gate) — and measured across
+    sf0.001/0.01/0.1 at 88/92/94% (r9; plain IVF measured 88/92/100% at
+    the same tiers, i.e. the PQ stage costs at most three hits), so
+    the composed rung asserts a >= 75% aggregate floor: a regression in
+    either stage fails loudly while honest composition noise does not."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    bf = S.brute_force_topk(q, c, k=10).select("q_id", "c_id")
+    iv = S.ivf_pq_topk(
+        q, c, k=10, n_centroids=16, n_probe=4,
+        m=_PQ_M, n_codes=_PQ_CODES, rerank=_PQ_RERANK,
+    ).select(F.col("q_id").alias("iq"), F.col("c_id").alias("ic"))
+    out = (
+        bf.join(
+            F.broadcast(iv),
+            (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.count(F.col("ic")).alias("n_hit"))
+    )
+    # lineage cut before the gate's aggregate (see similarity_int8_recall)
+    out = out.localCheckpoint(eager=False)
+    totals = out.agg(F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")).collect()[0]
+    # explicit raise: the gate must survive `python -O` (see IVF gate)
+    if totals["h"] * 100 < totals["e"] * 75:
+        raise AssertionError(
+            f"ivf+pq recall regression: {totals['h']}/{totals['e']} below 75%"
         )
     return out
 

@@ -820,3 +820,30 @@ def test_incremental_semantic_unit(spark):
         21: ("new", 21),
         22: ("dup_in_batch", 21),
     }
+
+
+def test_ivf_pq_degenerates_to_brute_force(spark, sf_dir):
+    """Composition sanity: probing EVERY cell with a corpus-sized rerank
+    must reproduce the exact brute-force top-k bit for bit — the IVF prune
+    and the PQ shortlist are then both no-ops, so any divergence is a bug
+    in candidate routing, not approximation."""
+    from s4hanaconnector_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {tuple(r) for r in brute_force_topk(q, c, k=10).collect()}
+    composed = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            q, c, k=10, n_centroids=8, n_probe=8, m=8, n_codes=16, rerank=60
+        ).collect()
+    }
+    assert composed == exact

@@ -597,3 +597,18 @@ def test_incremental_semantic_corpus_never_shuffles(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_semantic_incremental")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_ivf_pq_plan_corpus_single_pass_no_smj(spark, sf_dir):
+    """IVFADC + refine: the corpus meets the probe table through a
+    broadcast hash join on the cell id (probes are |Q| x n_probe rows), the
+    codebook rides a 1-row broadcast, and the only hash exchanges are the
+    two ranked windows on q_id — the corpus never exchanges on either pass
+    (cells+codes scan, shortlist fetch)."""
+    plan = plan_of(spark, sf_dir, "similarity_topk_ivf_pq")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_ex = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all("q_id" in line for line in hash_ex), hash_ex
+    assert "BroadcastHashJoin" in plan, plan
