@@ -38,6 +38,13 @@ _MODULES = [_cdc]
 # cdc_poll_jdbc_wire, source_jdbc_predicates, source_jdbc_pushdown,
 # cdc_materialize_evolving — all carry green r8 driver rows and stay covered
 # by CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
+# Mid-r9 trade: the round's four NEW queries (dedup_semdedup,
+# dedup_semantic_incremental, similarity_topk_ivf_pq,
+# similarity_ivf_pq_recall) take the slots of text_token_count /
+# text_quality / text_fingerprint / window_value_functions — each displaced
+# query keeps an in-head family sibling (text_stats+text_lang_id,
+# window_rank_functions) and full coverage in CORRECTNESS_FULL.json +
+# tests/test_oracle_parity.py.
 # Queries never driver-sampled in ANY round are tracked against the union of
 # committed CORRECTNESS_r0*.json keys (see tools/rotate_head.py).
 _SAMPLE_HEAD = [
@@ -80,6 +87,10 @@ _SAMPLE_HEAD = [
     "dedup_keep_best",
     "dedup_incremental_corpus",
     "dedup_incremental_neardup",
+    # new mid-r9: cell-partitioned semantic dedup (SemDeDup) + its
+    # incremental batch-vs-corpus variant
+    "dedup_semdedup",
+    "dedup_semantic_incremental",
     # similarity ladder
     "similarity_topk_bruteforce",
     "similarity_lsh_pairs",
@@ -88,19 +99,18 @@ _SAMPLE_HEAD = [
     "similarity_topk_int8",
     "similarity_int8_recall",
     "similarity_topk_auto",
+    # new mid-r9: the composed IVFADC rung + its recall gate
+    "similarity_topk_ivf_pq",
+    "similarity_ivf_pq_recall",
     # text analysis
     "text_stats",
     "text_lang_id",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
     # asof / range joins + window + null-safe join
     "asof_error_last_click",
     "asof_nearest_click",
     "asof_forward_next_click",
     "range_join_error_clicks",
     "window_rank_functions",
-    "window_value_functions",
 ]
 
 

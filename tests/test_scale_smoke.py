@@ -300,7 +300,11 @@ def test_recall_gates_green_at_sf1(spark):
     sf1 = synthesize_sf1(spark, BASE, default_sf1_dir(BASE))
     reg = load_all()
     measured = {}
-    for name in ("similarity_ivf_recall", "similarity_int8_recall"):
+    for name in (
+        "similarity_ivf_recall",
+        "similarity_int8_recall",
+        "similarity_ivf_pq_recall",
+    ):
         out = reg[name].fn(spark, sf1)  # raises below the floor
         t = out.agg(
             F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")
@@ -310,7 +314,8 @@ def test_recall_gates_green_at_sf1(spark):
     _record_raw("recall_at_sf1", {
         "ivf_recall_at_10": measured["similarity_ivf_recall"],
         "int8_recall_at_10": measured["similarity_int8_recall"],
-        "floors": "ivf>=80%, int8>=90%",
+        "ivf_pq_recall_at_10": measured["similarity_ivf_pq_recall"],
+        "floors": "ivf>=80%, int8>=90%, ivf+pq>=75%",
     })
 
 
@@ -362,6 +367,11 @@ _LADDER = [
     # encode+score pass is O(N) numpy — unlike the rebuild-per-query auto
     # rung this composition is ladder-fair and must stay linear
     "similarity_topk_pq",
+    # IVFADC composition (r9): fixed 16-cell prefix quantizer + prefix
+    # codebooks, so build is O(1) and the whole query is one O(N) corpus
+    # pass (assign+encode) plus ADC scoring on the probed quarter — ladder-
+    # fair like the plain PQ rung, and must stay linear
+    "similarity_topk_ivf_pq",
 ]
 
 
@@ -560,6 +570,56 @@ def test_x100_scaling_ladder(spark):
         f"arrow-backend IVF recall regression at 2500 cells: {hit}/{len(bf)}"
     )
 
+    # SemDeDup at constant CELL SIZE (r9): the tier embeddings are excluded
+    # for the same reason as the LSH rungs — every replica family is
+    # near-identical, so the true within-cell pair count grows reps² by
+    # tier construction and a wall ratio would measure the data generator,
+    # not the plan. This rung plants a CONSTANT dup density instead
+    # (hash-derived 16-d vectors, one affine twin per 100 ids) and sizes
+    # cells to ~64 rows at BOTH tiers (n_centroids ∝ N — the configuration
+    # under which SemDeDup is linear; the published sqrt(N)-cells sizing is
+    # N^1.5 by design and is deliberately not gated here). Assignment is
+    # pinned to the Arrow backend at both tiers so the ratio compares the
+    # same code path (312 cells would take the literal-expr path at x10).
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+
+    def sem_frame(n):
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000))
+                .cast("double") / 500.0 - 1.0,
+            ).alias("embedding"),
+        )
+        twins = base.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.001) + F.lit(0.001)
+            ).alias("embedding"),
+        )
+        # eager checkpoint: the rung times the DEDUP, not the generator
+        return base.unionByName(twins).localCheckpoint()
+
+    def sem_run(n):
+        out = semantic_dedup(
+            sem_frame(n), "vec_id", threshold=0.95,
+            n_centroids=max(4, n // 64), assignment="arrow",
+        )
+        n_rows = out.count()  # untimed, for the non-empty asserts
+        dups = out.filter(F.col("vec_id") != F.col("canonical_id")).count()
+        t0 = _t.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0, n_rows, dups
+
+    t10, _, d10 = sem_run(20_000)
+    t100, n100, d100 = sem_run(200_000)
+    # planted twins must be FOUND at both tiers (the mid-tier lesson of
+    # ADVICE r8: a rung that only checks wall time would pass on an
+    # operator that silently empties its output at scale)
+    assert d10 > 0 and d100 > 0, (d10, d100)
+    _ladder_entry(ladder, "dedup_semdedup_constant_cell", t10, t100, n100)
+
 
 @pytest.mark.slow
 def test_oracle_parity_at_x100(spark):
@@ -600,9 +660,14 @@ def test_oracle_parity_at_x100(spark):
     })
 
     # recall floors one more decade up (the queries raise internally below
-    # ivf>=80% / int8>=90%): 200k vectors, every family of 100 near-dup
+    # ivf>=80% / int8>=90% / ivf+pq>=75%): 200k vectors, every family of
+    # 100 near-dup
     measured = {}
-    for name in ("similarity_ivf_recall", "similarity_int8_recall"):
+    for name in (
+        "similarity_ivf_recall",
+        "similarity_int8_recall",
+        "similarity_ivf_pq_recall",
+    ):
         out = qs[name](spark, x100)
         t = out.agg(
             F.sum("n_exact").alias("e"), F.sum("n_hit").alias("h")
@@ -611,7 +676,8 @@ def test_oracle_parity_at_x100(spark):
     _record_raw("recall_at_x100", {
         "ivf_recall_at_10": measured["similarity_ivf_recall"],
         "int8_recall_at_10": measured["similarity_int8_recall"],
-        "floors": "ivf>=80%, int8>=90%",
+        "ivf_pq_recall_at_10": measured["similarity_ivf_pq_recall"],
+        "floors": "ivf>=80%, int8>=90%, ivf+pq>=75%",
     })
 
 
