@@ -711,3 +711,86 @@ def incremental_semantic_dedup(
             ).alias("canonical_id"),
         )
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 24,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every ``k``-char substring, then keep only
+    each ``w``-window's MINIMUM hash. The selection guarantees that any two
+    documents sharing a raw substring of length >= k + w - 1 share at least
+    one selected fingerprint, at ~2/(w+1) the density of full shingling —
+    the char-level EXACT-substring dedup signal (Lee et al.'22 use suffix
+    arrays for the same contract; winnowing is the sketchable form a
+    data-parallel engine can ship).
+
+    Everything before the explode is ROW-LOCAL array math (one substring
+    hash array, one sliding window-min pass over it via slice+array_min —
+    O(chars × w) JVM element ops per doc; w is small by design), so the
+    operator adds no shuffle of its own and the exploded output is
+    ~2·chars/w rows per doc, not chars rows. Hashes are md5 strings and
+    min is lexicographic, so the DuckDB oracle replays the selection bit
+    for bit. Short docs (< k chars) hash their whole text — the standard
+    single-fingerprint degeneration. Returns DISTINCT (doc, fp) rows."""
+    txt = F.col(text_col)
+    n_pos = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_pos), lambda i: F.md5(txt.substr(i, F.lit(k)))
+    )
+    # materialize the hash array FIRST: HOF lambdas re-evaluate referenced
+    # subtrees per element (repo-wide perf rule), so the window-min pass
+    # must slice a column, not re-hash per window
+    hashed = df.select(F.col(id_col).alias("doc"), hashes.alias("__hs"))
+    n_win = F.greatest(F.size(F.col("__hs")) - F.lit(w - 1), F.lit(1))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+        )
+    )
+    return hashed.select("doc", F.explode(wins).alias("fp"))
+
+
+def substring_duplication(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 24,
+    w: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document EXACT-substring duplication: the fraction of a doc's
+    winnowed fingerprints (:func:`winnowed_fingerprints`) that occur in
+    >= ``min_df`` documents — the char-level companion of
+    :func:`ngram_coverage` (word shingles), with winnowing's matched-span
+    guarantee: every shared raw substring of length >= k + w - 1 is seen.
+    Catches verbatim boilerplate, quotations, and template tails that
+    survive word-level normalization — and, unlike the fingerprint rungs,
+    is NOT fooled by case/punctuation edits (a case-changed copy shares no
+    raw substrings; that is the fingerprint rung's job).
+
+    Scale shape is ngram_coverage's: row-local fingerprint selection ->
+    explode (~2·chars/w rows per doc) -> groupBy(fp) document frequency
+    (ONE shuffle on short string keys, map-side partials) -> join back on
+    fp -> groupBy(doc). Never pairwise; linear in corpus chars. Returns
+    (doc, total_fps, dup_fps, coverage)."""
+    fps = winnowed_fingerprints(df, text_col, id_col, k, w)
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_count"))
+    return (
+        fps.join(counts, on="fp")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("total_fps"),
+            F.sum(F.when(F.col("df_count") >= min_df, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_fps"),
+        )
+        .withColumn(
+            "coverage", F.col("dup_fps").cast("double") / F.col("total_fps")
+        )
+    )

@@ -88,9 +88,11 @@ _SAMPLE_HEAD = [
     "dedup_incremental_corpus",
     "dedup_incremental_neardup",
     # new mid-r9: cell-partitioned semantic dedup (SemDeDup) + its
-    # incremental batch-vs-corpus variant
+    # incremental batch-vs-corpus variant + char-level winnowing substring
+    # dedup (displacing asof_forward_next_click — two asof siblings stay)
     "dedup_semdedup",
     "dedup_semantic_incremental",
+    "dedup_substring_winnow",
     # similarity ladder
     "similarity_topk_bruteforce",
     "similarity_lsh_pairs",
@@ -108,7 +110,6 @@ _SAMPLE_HEAD = [
     # asof / range joins + window + null-safe join
     "asof_error_last_click",
     "asof_nearest_click",
-    "asof_forward_next_click",
     "range_join_error_clicks",
     "window_rank_functions",
 ]

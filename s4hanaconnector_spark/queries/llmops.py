@@ -748,6 +748,51 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_winnow",
+    f"""
+WITH {DOCS_AUG_CTE.strip()},
+hs AS (
+    SELECT doc_id AS doc,
+           list_transform(range(1, greatest(length(text) - 23, 1) + 1),
+                          i -> md5(substr(text, i, 24))) AS h
+    FROM docs_aug
+),
+wins AS (
+    SELECT doc, list_distinct(
+        list_transform(range(1, greatest(len(h) - 7, 1) + 1),
+                       j -> list_aggregate(list_slice(h, j, j + 7), 'min'))
+    ) AS ws
+    FROM hs
+),
+fps AS (SELECT doc, unnest(ws) AS fp FROM wins),
+counts AS (SELECT fp, count(*) AS df_count FROM fps GROUP BY fp)
+SELECT f.doc, count(*) AS total_fps,
+       CAST(sum(CASE WHEN c.df_count >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps,
+       CAST(sum(CASE WHEN c.df_count >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS coverage
+FROM fps f JOIN counts c USING (fp)
+GROUP BY f.doc
+""",
+)
+def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 char-level EXACT-substring rung: winnowing fingerprints
+    (Schleimer et al. SIGMOD'03 / MOSS) — every k-char substring hashed,
+    each w-window's minimum kept — so any two docs sharing a raw substring
+    of length >= k+w-1 (31 chars here) share a selected fingerprint; the
+    per-doc repeated-fingerprint fraction is the suffix-array duplication
+    signal of Lee et al.'22 in sketchable form. Complements
+    dedup_ngram_coverage (word shingles, normalized) with raw-char
+    precision: the planted verbatim and suffix-extended copies score high,
+    the CASE-changed copies correctly score zero here. Fingerprint
+    selection is row-local array math, explode is ~2·chars/w rows per doc,
+    and the only shuffle is the fp document-frequency groupBy
+    (operators/dedup.py substring_duplication)."""
+    return D.substring_duplication(
+        docs_aug(spark, sf_dir), "text", "doc_id", k=24, w=8, min_df=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # E21 — text analysis
 # ---------------------------------------------------------------------------

@@ -847,3 +847,52 @@ def test_ivf_pq_degenerates_to_brute_force(spark, sf_dir):
         ).collect()
     }
     assert composed == exact
+
+
+def test_substring_winnow_guarantee_and_case_sensitivity(spark, sf_dir):
+    """Winnowing contract on the planted fixture: verbatim copies
+    (+200000) must score coverage 1.0 (every selected fingerprint is
+    shared with the source), suffix-extended copies (+300000) must stay
+    high (the whole original is a shared substring), and CASE-changed
+    copies (+100000) must stay LOW — raw-char substrings are exactly what
+    case edits destroy, which is the fingerprint rung's job to catch."""
+    reg = load_all()
+    out = reg["dedup_substring_winnow"].fn(spark, sf_dir).toPandas()
+    exact = out[(out.doc >= 200000) & (out.doc < 300000)]
+    near = out[out.doc >= 300000]
+    cased = out[(out.doc >= 100000) & (out.doc < 200000)]
+    assert len(exact) and len(near) and len(cased)
+    assert exact.coverage.min() == 1.0
+    # the winnowing guarantee is >= 1 shared fingerprint (the original is a
+    # >= 31-char shared substring); the absolute fraction depends on doc
+    # length (a 48-char doc + 20-char tail dilutes fast), so the gate is
+    # non-zero everywhere plus a clear separation from the case-changed
+    # copies, whose raw substrings are destroyed by construction
+    assert near.coverage.min() > 0.0
+    assert near.coverage.mean() > cased.coverage.mean()
+    assert cased.coverage.mean() < 0.5
+
+
+def test_winnowed_fingerprints_span_guarantee_unit(spark):
+    """The selection guarantee made executable: two docs sharing a raw
+    substring of length >= k + w - 1 MUST share a winnowed fingerprint;
+    two docs with no common k-char substring must share none."""
+    from s4hanaconnector_spark.operators.dedup import winnowed_fingerprints
+
+    shared = "The quick brown fox jumps over the lazy dog today"  # 50 chars
+    df = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB"),
+            (2, "CCCCC " + shared + " DDDDD"),
+            (3, "entirely different content with no overlap at all x"),
+        ],
+        "id bigint, text string",
+    )
+    fps = winnowed_fingerprints(df, "text", "id", k=24, w=8)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "span guarantee violated"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
