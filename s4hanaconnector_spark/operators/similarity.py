@@ -233,7 +233,7 @@ def ivf_assign(
 
 
 def cell_assigner(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     n_centroids: int = 16,
     c_id: str = "c_id",
     vec: str = "embedding",
@@ -249,7 +249,9 @@ def cell_assigner(
     contract. This is the extraction seam of :func:`ivf_topk`'s assignment
     stage (r9: the composed IVF x PQ rung and the semantic-dedup operator
     both need cell assignment without the rescore tail); every behavior
-    comment below is the original ivf_topk text, unchanged."""
+    comment below is the original ivf_topk text, unchanged. ``corpus`` is
+    only consulted for the default prefix quantizer — callers that pass
+    ``centroids`` (e.g. probing a PERSISTED index) may pass None."""
     if centroids is not None:
         cent = centroids.select(
             F.col("cent_id").alias("__cent_id"), F.col(vec).alias("__cent")
@@ -1320,3 +1322,170 @@ def topk(
             q_id=q_id, c_id=c_id, vec=vec, **ivf_kwargs,
         )
     raise ValueError(f"unknown strategy: {strategy}")
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    assignment: str = "auto",
+    encode: str = "auto",
+) -> dict:
+    """Persist a disk-resident IVFADC index: ONE corpus pass assigns cells
+    and PQ-encodes every vector, then writes
+
+      * ``centroids/``  — the (sqrt(N)-scale) quantizer table,
+      * ``codes/``      — (id, codes) rows ``partitionBy(__cell)``,
+      * ``vectors/``    — (id, vec) rows ``partitionBy(__cell)``,
+      * ``codebooks.json`` + ``meta.json`` — the KiB codebook and params,
+
+    which IS the inverted-file layout on a data lake: each cell's postings
+    are their own parquet files, so a probe that filters on ``__cell``
+    resolves through Spark PARTITION PRUNING — only the probed cells'
+    files are ever listed or read, the on-disk analogue of scanning 4 of
+    16 inverted lists (:func:`probe_ann_index` plan-tests this). Build
+    cost is the same single pass the inline ``ivf_pq_topk`` pays per
+    query; persisting it amortizes quantizer + encode across every future
+    probe, which is how a 100 TB corpus is actually served (build once on
+    ingest, probe forever). Default quantizer/codebooks are the
+    deterministic prefix rules (oracle-replicable); production passes
+    ``kmeans_centroids(...)`` / trained codebooks."""
+    import json
+    import os
+
+    if codebooks is None:
+        codebooks = pq_subspace_codebooks(corpus, m, n_codes, c_id, vec)
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    if encode not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown encode backend: {encode}")
+    if encode == "auto":
+        encode = "arrow" if m * n_codes >= 128 else "expr"
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(c_id)
+            .limit(n_centroids)
+            .select(F.col(c_id).alias("cent_id"), vec)
+        )
+    # materialize the centroid table once: it feeds the assigner here AND
+    # is persisted for probe-time reuse
+    centroids = centroids.localCheckpoint(eager=False)
+    assign = cell_assigner(
+        corpus, n_centroids=n_centroids, c_id=c_id, vec=vec,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
+    )
+    cells = assign(corpus.select(c_id, vec), c_id, 1)
+    if encode == "arrow":
+        coded = _arrow_pq_encode(
+            cells, c_id, vec, codebooks, round_digits, keep=("__cell",)
+        )
+    else:
+        coded = cells.select(
+            F.col(c_id),
+            _pq_encode_expr(codebooks, round_digits)(F.col(vec)).alias("__codes"),
+            "__cell",
+        )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    coded.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "codes")
+    )
+    cells.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    meta = {
+        "n_centroids": n_centroids, "m": m, "n_codes": n_codes,
+        "c_id": c_id, "vec": vec, "round_digits": round_digits,
+    }
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probe_ann_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    q_id: str = "q_id",
+) -> DataFrame:
+    """Query a :func:`build_ann_index` index without touching the corpus:
+    the persisted centroid table (tiny) assigns each query its ``n_probe``
+    cells, the probed cell ids become an ``isin`` filter on the
+    cell-partitioned ``codes/`` and ``vectors/`` tables — Spark partition
+    pruning turns that into reading ONLY those cells' parquet files, the
+    exact on-disk inverted-list scan of a production ANN service — and the
+    ADC score + exact rerank are the same shared expressions as the inline
+    rung, so results are bit-identical to ``ivf_pq_topk`` on the same
+    corpus (plan- and equality-tested). Probe cost is independent of
+    corpus size outside the probed cells; nothing here rebuilds, re-assigns
+    or re-encodes."""
+    import json
+    import os
+
+    from pyspark.sql import Window as W
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "codebooks.json")) as f:
+        codebooks = json.load(f)
+    c_id, vec = meta["c_id"], meta["vec"]
+    round_digits = meta["round_digits"]
+    sub = len(codebooks[0][0])
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    assign = cell_assigner(
+        None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
+        round_digits=round_digits, centroids=centroids,
+    )
+    probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(
+        vec, "__qv"
+    )
+    # the probe table is |Q| x n_probe rows by contract — collecting the
+    # probed cell ids driver-side is what lets the filter below prune
+    # partitions at PLAN time instead of scanning every cell's files
+    probes = probes.localCheckpoint(eager=False)
+    probed_cells = sorted(
+        {r["__cell"] for r in probes.select("__cell").distinct().collect()}
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("__cell").isin(probed_cells)
+    )
+    qn = probes.withColumn("__qnorm", _norm(F.col("__qv")))
+    cand = (
+        codes.join(F.broadcast(qn), on="__cell")
+        .filter(F.col(q_id) != F.col(c_id))
+        .crossJoin(F.broadcast(_pq_cb_df(spark, codebooks)))
+        .select(q_id, c_id, _pq_adc_cos(sub, round_digits).alias("cosine"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select(q_id, c_id)
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("__cell").isin(probed_cells)
+    )
+    q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    fetched = vectors.select(F.col(c_id), F.col(vec)).join(
+        F.broadcast(shortlist), on=c_id
+    )
+    cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
+    scored = fetched.join(F.broadcast(q), on=q_id).select(
+        q_id, c_id, cos.alias("cosine")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, "cosine", "rn")
+    )

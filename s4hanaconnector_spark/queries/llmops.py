@@ -2969,6 +2969,45 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_index_probe",
+    f"""
+WITH {_IVF_PQ_PIPE}
+SELECT q_id, c_id, cosine, rn FROM pqtop WHERE rn <= 10
+""",
+)
+def similarity_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 PERSISTED-index rung: the IVFADC index is BUILT to disk once
+    (centroids + PQ codes + vectors as parquet ``partitionBy(__cell)`` —
+    the inverted-file layout on a data lake) and the query probes it
+    without touching the corpus: the probed cell ids become a partition
+    filter, so Spark PARTITION PRUNING reads only 4-of-16 cells' files —
+    the on-disk inverted-list scan of a production ANN service
+    (operators/similarity.py build_ann_index / probe_ann_index;
+    plan-tested for PartitionFilters). Results are bit-identical to the
+    inline ``similarity_topk_ivf_pq`` rung — same quantizer, codebooks,
+    ADC expression and rerank — which is exactly what this oracle
+    replays."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_index_")
+    build_ann_index(
+        c, path, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES,
+        c_id="c_id", vec="embedding",
+    )
+    return probe_ann_index(
+        spark, path, q, k=10, n_probe=4, rerank=_PQ_RERANK, q_id="q_id"
+    )
+
+
+@register(
     "split_leakage_free",
     f"""
 WITH {DOCS_AUG_CTE.strip()},

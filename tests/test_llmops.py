@@ -896,3 +896,82 @@ def test_winnowed_fingerprints_span_guarantee_unit(spark):
     assert by_doc[1] & by_doc[2], "span guarantee violated"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_persisted_index_probe_equals_inline_rung(spark, sf_dir):
+    """Build-to-disk + probe must reproduce the inline ivf_pq_topk rows BIT
+    FOR BIT on the same corpus — same quantizer, codebooks, ADC and rerank;
+    the only difference is that the index lives as cell-partitioned parquet
+    and the probe prunes to the probed cells' files."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        ivf_pq_topk,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    inline = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            q, c, k=10, n_centroids=16, n_probe=4, m=16, n_codes=32, rerank=100
+        ).collect()
+    }
+    path = tempfile.mkdtemp(prefix="ann_index_test_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    probed = {
+        tuple(r)
+        for r in probe_ann_index(
+            spark, path, q, k=10, n_probe=4, rerank=100
+        ).collect()
+    }
+    assert probed == inline
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """Randomized sweep of the winnowing guarantee: 40 seeded doc pairs,
+    each sharing one random substring of length >= k + w - 1 (= 31 at
+    k=24/w=8) embedded at independent random offsets inside otherwise
+    disjoint alphabets, must EACH share a winnowed fingerprint — the
+    guarantee is offset-independent, which positional shingle sampling
+    (stride > 1) cannot offer and is exactly why winnowing is the
+    published selection rule. One Spark job covers all cases."""
+    import random
+    import string
+
+    from s4hanaconnector_spark.operators.dedup import winnowed_fingerprints
+
+    rng = random.Random(42)
+    rows = []
+    for case in range(40):
+        span = "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(rng.randint(31, 80))
+        )
+        # disjoint alphabets around the span: uppercase noise can never
+        # form a shared 24-gram with the lowercase span or digit noise
+        a = (
+            "".join(rng.choice(string.ascii_uppercase) for _ in range(rng.randint(0, 50)))
+            + span
+            + "".join(rng.choice(string.ascii_uppercase) for _ in range(rng.randint(0, 50)))
+        )
+        b = (
+            "".join(rng.choice(string.digits) for _ in range(rng.randint(0, 50)))
+            + span
+            + "".join(rng.choice(string.digits) for _ in range(rng.randint(0, 50)))
+        )
+        rows.append((2 * case, a))
+        rows.append((2 * case + 1, b))
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    fps = winnowed_fingerprints(df, "text", "id", k=24, w=8).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    violations = [
+        c for c in range(40) if not (by_doc[2 * c] & by_doc[2 * c + 1])
+    ]
+    assert not violations, f"span guarantee violated for cases {violations[:5]}"

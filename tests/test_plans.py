@@ -612,3 +612,14 @@ def test_ivf_pq_plan_corpus_single_pass_no_smj(spark, sf_dir):
     ]
     assert all("q_id" in line for line in hash_ex), hash_ex
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_index_probe_prunes_cell_partitions(spark, sf_dir):
+    """The persisted-index probe must resolve its cell restriction through
+    PARTITION PRUNING — the probed cell ids appear as PartitionFilters on
+    the cell-partitioned codes/vectors scans, so only 4-of-16 cells' files
+    are listed or read (the on-disk inverted-list contract). A filter that
+    lands post-scan instead would re-read the whole index every query."""
+    plan = plan_of(spark, sf_dir, "similarity_index_probe")
+    assert re.search(r"PartitionFilters: \[[^\]]*__cell", plan), plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
