@@ -1489,3 +1489,54 @@ def probe_ann_index(
         .filter(F.col("rn") <= k)
         .select(q_id, c_id, "cosine", "rn")
     )
+
+
+def append_to_ann_index(batch: DataFrame, path: str) -> dict:
+    """Incremental ingest into a :func:`build_ann_index` index — the
+    "build once on ingest, probe forever" loop closed: the NEW batch is
+    assigned and PQ-encoded with the index's FROZEN quantizer and
+    codebooks (read back from disk; the same frozen-index discipline as
+    incremental_semantic_dedup), then appended to the cell-partitioned
+    ``codes/`` and ``vectors/`` postings. ``mode("append")`` +
+    ``partitionBy(__cell)`` writes new files ONLY under the batch's cells'
+    directories — the existing index is never read, rewritten, or
+    shuffled, so ingest cost is O(|batch|) regardless of index size, and
+    a probe issued after the append sees the union index bit-for-bit as
+    if it had been built in one shot (equality-tested). Centroids and
+    codebooks deliberately do NOT drift on append: re-training the
+    quantizer is an index REBUILD decision (recall-gated), not an ingest
+    side effect."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "codebooks.json")) as f:
+        codebooks = json.load(f)
+    c_id, vec = meta["c_id"], meta["vec"]
+    round_digits = meta["round_digits"]
+    m, n_codes = meta["m"], meta["n_codes"]
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    assign = cell_assigner(
+        None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
+        round_digits=round_digits, centroids=centroids,
+    )
+    cells = assign(batch.select(c_id, vec), c_id, 1)
+    if m * n_codes >= 128:
+        coded = _arrow_pq_encode(
+            cells, c_id, vec, codebooks, round_digits, keep=("__cell",)
+        )
+    else:
+        coded = cells.select(
+            F.col(c_id),
+            _pq_encode_expr(codebooks, round_digits)(F.col(vec)).alias("__codes"),
+            "__cell",
+        )
+    coded.write.mode("append").partitionBy("__cell").parquet(
+        os.path.join(path, "codes")
+    )
+    cells.write.mode("append").partitionBy("__cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    return meta

@@ -975,3 +975,54 @@ def test_winnowing_guarantee_randomized(spark):
         c for c in range(40) if not (by_doc[2 * c] & by_doc[2 * c + 1])
     ]
     assert not violations, f"span guarantee violated for cases {violations[:5]}"
+
+
+def test_index_append_equals_one_shot_build(spark, sf_dir):
+    """Incremental ingest contract: build the index on half the corpus,
+    append the other half, and a probe must reproduce BIT FOR BIT the
+    probe of an index built on the full corpus in one shot — provided the
+    quantizer and codebooks are the same frozen tables (they are the
+    index's, by construction; the one-shot comparison passes them
+    explicitly since its prefix defaults would otherwise derive from the
+    full corpus)."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        pq_subspace_codebooks,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    first = c.filter(F.col("c_id") % 2 == 0)
+    rest = c.filter(F.col("c_id") % 2 == 1)
+    # freeze quantizer + codebooks from the FIRST half (what a real ingest
+    # loop has at build time) and hand the same tables to the one-shot build
+    cents = (
+        first.orderBy("c_id").limit(16)
+        .select(F.col("c_id").alias("cent_id"), "embedding")
+        .localCheckpoint()
+    )
+    cbs = pq_subspace_codebooks(first, 16, 32)
+
+    inc_path = tempfile.mkdtemp(prefix="ann_index_inc_")
+    build_ann_index(first, inc_path, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs)
+    append_to_ann_index(rest, inc_path)
+
+    full_path = tempfile.mkdtemp(prefix="ann_index_full_")
+    build_ann_index(c, full_path, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs)
+
+    probe_inc = {
+        tuple(r) for r in probe_ann_index(spark, inc_path, q, k=10).collect()
+    }
+    probe_full = {
+        tuple(r) for r in probe_ann_index(spark, full_path, q, k=10).collect()
+    }
+    assert probe_inc == probe_full and probe_inc
