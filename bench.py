@@ -97,13 +97,19 @@ def main() -> None:
     # the x10/ivf/streaming tiers landed (BENCH_r06.json: "parsed": null).
     # The summary-last-keys convention keeps the GATE numbers inside any
     # tail, but the outlier detectors need per-query history — so persist
-    # it ourselves; git history keeps the per-round versions.
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LAST_FULL.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:  # pragma: no cover - read-only checkout is non-fatal
-        pass
+    # it ourselves; git history keeps the per-round versions. ONLY a full
+    # three-tier run may overwrite it: an env-gated quick run (the verify
+    # recipe sets SPARK_GRAFT_SF1=0/SPARK_GRAFT_STREAMING=0) would clobber
+    # the committed x10/ivf/streaming evidence with a partial artifact —
+    # which is exactly what happened once mid-r9 (test_bench_harness
+    # caught it on the next full suite).
+    if "x10" in doc and "streaming" in doc:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LAST_FULL.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:  # pragma: no cover - read-only checkout is non-fatal
+            pass
     spark.stop()
 
 
