@@ -1026,3 +1026,35 @@ def test_index_append_equals_one_shot_build(spark, sf_dir):
         tuple(r) for r in probe_ann_index(spark, full_path, q, k=10).collect()
     }
     assert probe_inc == probe_full and probe_inc
+
+
+def test_persisted_index_production_quantizers(spark, sf_dir):
+    """The production build path through the persisted index: sampled
+    KMeans centroids and per-subspace-trained codebooks (instead of the
+    oracle's deterministic prefixes) must round-trip build -> probe with
+    usable recall against exact brute force — the configuration a real
+    deployment ships, exercised end to end through the on-disk layout."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        brute_force_topk,
+        build_ann_index,
+        kmeans_centroids,
+        pq_subspace_codebooks,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    cents = kmeans_centroids(c, n_centroids=16, seed=7)
+    cbs = pq_subspace_codebooks(c, 8, 16, trained=True, seed=7)
+    path = tempfile.mkdtemp(prefix="ann_index_prod_")
+    build_ann_index(c, path, centroids=cents, codebooks=cbs)
+    rows = probe_ann_index(spark, path, q, k=10, n_probe=4, rerank=100).collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2, 3, 4}
+    bf = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=10).collect()}
+    hits = sum((r["q_id"], r["c_id"]) in bf for r in rows)
+    assert hits * 100 >= len(bf) * 60, f"trained-path recall {hits}/{len(bf)} < 60%"
