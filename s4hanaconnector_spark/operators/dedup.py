@@ -558,6 +558,7 @@ def semantic_dedup(
     round_digits: int = 6,
     max_cell: int | None = None,
     assignment: str = "auto",
+    pairing: str = "expr",
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup (the SemDeDup shape, Abbas et al.
     2023): a coarse quantizer assigns every vector to a k-means-style cell,
@@ -584,6 +585,14 @@ def semantic_dedup(
     keep themselves. Determinism: affinities and cosines are rounded at
     ``round_digits`` with id tiebreaks, so cells and contraction are
     engine-replicable bit for bit (the declared oracle replays both).
+
+    ``pairing`` picks the within-cell scoring backend (the same split as
+    ivf_topk's ``assignment``): ``"expr"`` (default) is the Catalyst-HOF
+    semantics reference the oracle replays exactly; ``"arrow"`` scores
+    each joined pair with one numpy row-wise dot per Arrow batch — the
+    scale path, since pairing is ~90% of the operator's wall at the x100
+    ladder tier — under the documented _arrow_assign boundary class
+    (fixture equality vs expr is test-pinned).
     """
     from pyspark.sql import Window as W
 
@@ -602,18 +611,35 @@ def semantic_dedup(
             .filter(F.col("__cn") <= max_cell)
             .drop("__cn")
         )
+    if pairing not in ("expr", "arrow"):
+        raise ValueError(f"unknown pairing backend: {pairing}")
     a, b = cells.alias("a"), cells.alias("b")
-    cos = F.round(cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}")), round_digits)
-    pairs = (
-        a.join(b, F.col("a.__cell") == F.col("b.__cell"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+    joined = a.join(b, F.col("a.__cell") == F.col("b.__cell")).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if pairing == "arrow":
+        # the pairing stage dominates SemDeDup's wall (the x100 ladder
+        # measured it as ~90% of the rung): one numpy row-wise dot per
+        # Arrow batch replaces an O(dims) interpreted zip_with fold per
+        # PAIR. Same contract split as ivf_topk's assignment backends —
+        # round-half-up on the binary double vs Spark's shortest-decimal
+        # HALF_UP (boundary class documented at _arrow_assign), NaN
+        # (zero-norm) compares as +inf exactly like Spark's NaN-greatest
+        # comparison semantics; fixture equality vs expr is test-pinned.
+        pre = joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec}").alias("__va"),
+            F.col(f"b.{vec}").alias("__vb"),
+        )
+        pairs = _arrow_pair_threshold(pre, threshold, round_digits)
+    else:
+        cos = F.round(cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}")), round_digits)
+        pairs = joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+        ).filter(F.col("cosine") >= threshold)
     neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
     return (
         df.select(F.col(id_col))
@@ -623,6 +649,50 @@ def semantic_dedup(
             F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def _arrow_pair_threshold(
+    pre: DataFrame, threshold: float, round_digits: int
+) -> DataFrame:
+    """Vectorized pair scoring for :func:`semantic_dedup`'s arrow backend:
+    per Arrow batch, rounded cosine(__va, __vb) row-wise in numpy, emitting
+    only the (id_a, id_b) pairs meeting ``threshold``. NaN affinities
+    (zero-norm vectors) pass the threshold like Spark's NaN-greatest
+    comparison semantics would; rounding is floor(|x|·scale + 0.5) on the
+    binary double (boundary class documented at
+    operators/similarity._arrow_assign)."""
+    import numpy as np
+
+    a_t = pre.schema["id_a"].dataType.simpleString()
+    b_t = pre.schema["id_b"].dataType.simpleString()
+    out_schema = f"`id_a` {a_t}, `id_b` {b_t}"
+    scale = 10.0 ** round_digits
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__va"]])
+            B = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (A * B).sum(axis=1) / (
+                    np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+                )
+            r = np.copysign(np.floor(np.abs(cos) * scale + 0.5), cos) / scale
+            r = np.where(np.isnan(cos), np.inf, r)
+            keep = r >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                }
+            )
+
+    return pre.mapInPandas(gen, out_schema)
 
 
 def incremental_semantic_dedup(

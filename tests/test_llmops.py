@@ -1058,3 +1058,27 @@ def test_persisted_index_production_quantizers(spark, sf_dir):
     bf = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=10).collect()}
     hits = sum((r["q_id"], r["c_id"]) in bf for r in rows)
     assert hits * 100 >= len(bf) * 60, f"trained-path recall {hits}/{len(bf)} < 60%"
+
+
+def test_semdedup_pairing_backends_agree(spark, sf_dir):
+    """The arrow pairing backend (numpy row-wise dot, the scale path) must
+    reproduce the expr reference backend's exact contraction on the
+    fixture — same cells, same threshold frontier away from rounding
+    boundaries — and reject unknown backend names."""
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+    from s4hanaconnector_spark.queries.llmops import emb_aug
+
+    d = emb_aug(spark, sf_dir)
+    expr = {
+        (r["vec_id"], r["canonical_id"])
+        for r in semantic_dedup(d, "vec_id", threshold=0.95, pairing="expr").collect()
+    }
+    arrow = {
+        (r["vec_id"], r["canonical_id"])
+        for r in semantic_dedup(d, "vec_id", threshold=0.95, pairing="arrow").collect()
+    }
+    assert arrow == expr and expr
+    with _pytest.raises(ValueError, match="pairing"):
+        semantic_dedup(d, "vec_id", pairing="nope").collect()

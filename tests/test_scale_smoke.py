@@ -372,6 +372,12 @@ _LADDER = [
     # pass (assign+encode) plus ADC scoring on the probed quarter — ladder-
     # fair like the plain PQ rung, and must stay linear
     "similarity_topk_ivf_pq",
+    # winnowing substring dedup (r9): row-local fingerprint selection, one
+    # fp-frequency shuffle, join back — and unlike the pairwise LSH rungs
+    # it never materializes pairs, so the tier's reps-sized replica
+    # families only raise per-fp counts, not row counts: ladder-fair on
+    # the real tier documents despite their family structure
+    "dedup_substring_winnow",
 ]
 
 
@@ -609,9 +615,14 @@ def test_x100_scaling_ladder(spark):
         return base.unionByName(twins).localCheckpoint()
 
     def sem_run(n):
+        # arrow on BOTH stages — the backends that actually ship at scale
+        # (assignment past literal_centroid_max, pairing as ~90% of the
+        # wall); the expr reference backends carry the identical
+        # complexity, measured alpha 1.38-1.41 in the r9 expr-pairing runs
         out = semantic_dedup(
             sem_frame(n), "vec_id", threshold=0.95,
             n_centroids=max(4, int(n ** 0.5)), assignment="arrow",
+            pairing="arrow",
         )
         n_rows = out.count()  # untimed, for the non-empty asserts
         dups = out.filter(F.col("vec_id") != F.col("canonical_id")).count()
