@@ -594,15 +594,68 @@ def semantic_dedup(
     ladder tier — under the documented _arrow_assign boundary class
     (fixture equality vs expr is test-pinned).
     """
-    from pyspark.sql import Window as W
-
-    from s4hanaconnector_spark.operators.similarity import cell_assigner, cosine
+    from s4hanaconnector_spark.operators.similarity import cell_assigner
 
     assign = cell_assigner(
         df, n_centroids=n_centroids, c_id=id_col, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,
     )
     cells = assign(df.select(id_col, vec), id_col, 1)
+    return _contract_cells(
+        df, cells, id_col, vec, threshold, round_digits, max_cell, pairing
+    )
+
+
+def semantic_dedup_from_index(
+    spark,
+    path: str,
+    threshold: float = 0.95,
+    max_cell: int | None = None,
+    pairing: str = "expr",
+) -> DataFrame:
+    """SemDeDup straight off a persisted :func:`build_ann_index` index —
+    the full amortization the 100 TB story promises: the index's
+    ``vectors/`` postings already carry ``(id, vec, __cell)``, so dedup
+    skips BOTH quantizer derivation AND the O(N·sqrt(N)) assignment scan
+    and goes directly to within-cell pairing + contraction, reading the
+    cell-partitioned parquet the ingest path maintains incrementally
+    (append_to_ann_index). Pairing semantics, ``max_cell`` pre-join
+    capping, rounding and tiebreaks are byte-identical to
+    :func:`semantic_dedup` — pinned by tests and by the declared query's
+    shared oracle — because the tail IS the same code
+    (:func:`_contract_cells`)."""
+    import json
+    import os
+
+    from s4hanaconnector_spark.operators.similarity import _fs_read_text
+
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    id_col, vec = meta["c_id"], meta["vec"]
+    cells = spark.read.parquet(os.path.join(path, "vectors"))
+    return _contract_cells(
+        cells.select(id_col, vec), cells, id_col, vec,
+        threshold, meta["round_digits"], max_cell, pairing,
+    )
+
+
+def _contract_cells(
+    df: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    round_digits: int,
+    max_cell: int | None,
+    pairing: str,
+) -> DataFrame:
+    """Shared SemDeDup tail: within-cell pairwise cosine over ``cells``
+    (``id, vec, __cell``) and single-step contraction of every row of
+    ``df`` onto its lowest-id >= threshold cell-mate (see
+    :func:`semantic_dedup` for the full plan-shape contract)."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.similarity import cosine
+
     if max_cell is not None:
         cells = (
             cells.withColumn(

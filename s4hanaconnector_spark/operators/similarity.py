@@ -1324,6 +1324,39 @@ def topk(
     raise ValueError(f"unknown strategy: {strategy}")
 
 
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write small text metadata (codebooks.json / meta.json) through
+    Spark's Hadoop FileSystem API so it lands on the SAME filesystem as the
+    index's parquet halves — a build pointed at hdfs://... or s3a://...
+    keeps its metadata next to its postings instead of silently writing a
+    driver-local POSIX file (ADVICE r9). ``file:``/bare local paths resolve
+    to the local FS, so behavior on a laptop is unchanged."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Read small text metadata via the Hadoop FileSystem API (the read
+    half of :func:`_fs_write_text`)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    inp = fs.open(p)
+    try:
+        # commons-io ships on Spark's classpath; toString drains the stream
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            inp, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        inp.close()
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -1399,14 +1432,19 @@ def build_ann_index(
     cells.write.mode("overwrite").partitionBy("__cell").parquet(
         os.path.join(path, "vectors")
     )
+    # "encode" is the RESOLVED backend: append_to_ann_index must re-encode
+    # new rows with the exact backend the index was built with (the two
+    # backends differ on documented _arrow_assign tie boundaries), so an
+    # explicit encode='expr' build must not get arrow-encoded appends
+    # (ADVICE r9).
     meta = {
         "n_centroids": n_centroids, "m": m, "n_codes": n_codes,
         "c_id": c_id, "vec": vec, "round_digits": round_digits,
+        "encode": encode,
     }
-    with open(os.path.join(path, "codebooks.json"), "w") as f:
-        json.dump(codebooks, f)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    spark = corpus.sparkSession
+    _fs_write_text(spark, os.path.join(path, "codebooks.json"), json.dumps(codebooks))
+    _fs_write_text(spark, os.path.join(path, "meta.json"), json.dumps(meta))
     return meta
 
 
@@ -1435,10 +1473,10 @@ def probe_ann_index(
 
     from pyspark.sql import Window as W
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
-    with open(os.path.join(path, "codebooks.json")) as f:
-        codebooks = json.load(f)
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    codebooks = json.loads(
+        _fs_read_text(spark, os.path.join(path, "codebooks.json"))
+    )
     c_id, vec = meta["c_id"], meta["vec"]
     round_digits = meta["round_digits"]
     sub = len(codebooks[0][0])
@@ -1510,20 +1548,24 @@ def append_to_ann_index(batch: DataFrame, path: str) -> dict:
     import os
 
     spark = batch.sparkSession
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
-    with open(os.path.join(path, "codebooks.json")) as f:
-        codebooks = json.load(f)
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    codebooks = json.loads(
+        _fs_read_text(spark, os.path.join(path, "codebooks.json"))
+    )
     c_id, vec = meta["c_id"], meta["vec"]
     round_digits = meta["round_digits"]
     m, n_codes = meta["m"], meta["n_codes"]
+    # re-encode with the backend the index was BUILT with (persisted since
+    # the encode key landed in meta; the m*n_codes rule reconstructs the
+    # auto default for indexes written before it)
+    encode = meta.get("encode") or ("arrow" if m * n_codes >= 128 else "expr")
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     assign = cell_assigner(
         None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
         round_digits=round_digits, centroids=centroids,
     )
     cells = assign(batch.select(c_id, vec), c_id, 1)
-    if m * n_codes >= 128:
+    if encode == "arrow":
         coded = _arrow_pq_encode(
             cells, c_id, vec, codebooks, round_digits, keep=("__cell",)
         )

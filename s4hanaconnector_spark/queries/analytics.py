@@ -1842,8 +1842,8 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
        count(*) AS n_lines
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2331,7 +2331,7 @@ WITH days AS (
     SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
 )
 SELECT strftime(a.d, '%Y-%m-%d') AS day, count(*) AS active,
-       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained_next_day
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day
 FROM days a LEFT JOIN days b ON b.user_id = a.user_id AND b.d = a.d + 1
 GROUP BY a.d
 """,
@@ -2665,7 +2665,7 @@ WITH firsts AS (
 ),
 daily AS (SELECT event_type, d, count(*) AS new_users FROM firsts GROUP BY event_type, d)
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day, new_users,
-       sum(new_users) OVER (PARTITION BY event_type ORDER BY d) AS cum_adopters
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum_adopters
 FROM daily
 """,
 )
@@ -3030,7 +3030,7 @@ stats AS (
     SELECT count(*) AS n_keys, sum(c) AS total, max(c) AS max_c FROM per_key
 )
 SELECT p.l_orderkey AS hot_key, p.c AS n_rows_key,
-       s.n_keys, s.total AS n_rows_total,
+       s.n_keys, CAST(s.total AS BIGINT) AS n_rows_total,
        round(CAST(s.max_c AS DOUBLE) * s.n_keys / s.total, 6) AS skew_factor
 FROM per_key p CROSS JOIN stats s
 ORDER BY p.c DESC, p.l_orderkey LIMIT 5

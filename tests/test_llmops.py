@@ -1028,6 +1028,145 @@ def test_index_append_equals_one_shot_build(spark, sf_dir):
     assert probe_inc == probe_full and probe_inc
 
 
+def test_index_append_reuses_build_encode_backend(spark, sf_dir):
+    """ADVICE r9: an index built with an EXPLICIT encode backend must
+    append with that same backend — the resolved backend is persisted in
+    meta.json and read back, instead of append re-deriving it from the
+    m*n_codes >= 128 auto rule (which would arrow-encode appends into an
+    expr-built index; the two backends differ on documented rounding tie
+    boundaries)."""
+    import json
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        pq_subspace_codebooks,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    first = c.filter(F.col("c_id") % 2 == 0)
+    rest = c.filter(F.col("c_id") % 2 == 1)
+    cents = (
+        first.orderBy("c_id").limit(16)
+        .select(F.col("c_id").alias("cent_id"), "embedding")
+        .localCheckpoint()
+    )
+    cbs = pq_subspace_codebooks(first, 16, 32)
+
+    # m*n_codes = 512 >= 128, so the auto rule would pick arrow — the
+    # explicit expr build must override that for appends too
+    inc = tempfile.mkdtemp(prefix="ann_index_enc_")
+    meta = build_ann_index(first, inc, n_centroids=16, m=16, n_codes=32,
+                           centroids=cents, codebooks=cbs, encode="expr")
+    assert meta["encode"] == "expr"
+    with open(os.path.join(inc, "meta.json")) as f:
+        assert json.load(f)["encode"] == "expr"
+    append_to_ann_index(rest, inc)
+
+    full = tempfile.mkdtemp(prefix="ann_index_enc_full_")
+    build_ann_index(c, full, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs, encode="expr")
+    codes_inc = {
+        (r["c_id"], tuple(r["__codes"]))
+        for r in spark.read.parquet(os.path.join(inc, "codes")).collect()
+    }
+    codes_full = {
+        (r["c_id"], tuple(r["__codes"]))
+        for r in spark.read.parquet(os.path.join(full, "codes")).collect()
+    }
+    assert codes_inc == codes_full and codes_inc
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    assert probe_ann_index(spark, inc, q, k=10).count() > 0
+
+
+def test_stream_ingest_probe_equals_one_shot_rebuild(spark, sf_dir):
+    """The streaming-ingest loop (build on the corpus head, drain the rest
+    through foreachBatch -> append_to_ann_index) must leave an index whose
+    probe is BIT FOR BIT the probe of a one-shot rebuild over the full
+    corpus — the declared query's oracle already pins it to the inline
+    rung; this pins it to the REBUILD, closing the triangle."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        probe_ann_index,
+    )
+    from s4hanaconnector_spark.queries.llmops import (
+        _PQ_CODES,
+        _PQ_M,
+        _PQ_RERANK,
+        similarity_index_stream_ingest,
+    )
+
+    streamed = {
+        tuple(r) for r in similarity_index_stream_ingest(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    rebuilt = tempfile.mkdtemp(prefix="ann_rebuild_")
+    build_ann_index(c, rebuilt, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES)
+    probe = {
+        tuple(r)
+        for r in probe_ann_index(
+            spark, rebuilt, q, k=10, n_probe=4, rerank=_PQ_RERANK
+        ).collect()
+    }
+    assert streamed == probe and streamed
+
+
+def test_semdedup_on_trained_index_centroids(spark, sf_dir):
+    """The 100 TB SemDeDup shape end to end with PRODUCTION quantizers:
+    KMeans centroids are trained once, persisted inside an ANN index, read
+    back off disk, and drive semantic_dedup's cells — and the contraction
+    must equal semantic_dedup fed the same trained centroid table
+    directly. This is the composition the operator's docstring promises
+    (dedup reuses the index's quantizer for free); the declared
+    dedup_semdedup_indexed query pins the oracle-replayable prefix flavor,
+    this test pins the trained flavor."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        kmeans_centroids,
+    )
+    from s4hanaconnector_spark.queries.llmops import emb_aug
+
+    corpus = emb_aug(spark, sf_dir)
+    c = corpus.select(F.col("vec_id").alias("c_id"), "embedding")
+    trained = kmeans_centroids(c, n_centroids=16, seed=7).localCheckpoint()
+    path = tempfile.mkdtemp(prefix="ann_index_sem_")
+    build_ann_index(c, path, n_centroids=16, centroids=trained)
+    from_index = spark.read.parquet(os.path.join(path, "centroids"))
+
+    via_index = {
+        tuple(r)
+        for r in semantic_dedup(
+            corpus, "vec_id", threshold=0.95, centroids=from_index
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in semantic_dedup(
+            corpus, "vec_id", threshold=0.95, centroids=trained
+        ).collect()
+    }
+    assert via_index == direct and via_index
+    # the fixture's planted near-dups must actually contract
+    dups = sum(1 for vid, canon in via_index if vid != canon)
+    assert dups > 0
+
+
 def test_persisted_index_production_quantizers(spark, sf_dir):
     """The production build path through the persisted index: sampled
     KMeans centroids and per-subspace-trained codebooks (instead of the
