@@ -28,90 +28,88 @@ _MODULES = [_cdc]
 # driver verification accumulates across the registry (VERDICT r8 next #2:
 # 165 of 215 queries had never had a driver-produced CORRECTNESS row).
 #
-# Round-9 cohort: 47 first-time queries (streaming family, graph,
-# multimodal, full dedup + similarity ladders, text analysis, asof/range
-# joins) + regression canaries (cdc_delta, source_jdbc_roundtrip), the
-# round's one red r8 row re-pinned after its fix (source_jdbc_type_gallery),
-# and the round's new queries (similarity_topk_ivf_int8, similarity_topk_pq).
+# Round-10 cohort: 45 first-timers — the TPC-H tail (q2/q4/q11/q12/q16/
+# q17/q20/q21/q22), window_* / agg_* families, hash-sampling + splits,
+# text analysis, catalog/nesting/SAP-type surface, the three r9 recall/
+# probe gates that had only local rows, salted + null-safe joins, the six
+# queries whose oracles carried the latent HUGEINT dtype drift fixed this
+# round (user_retention_daily, cumulative_adopters, skew_diagnostics,
+# pipeline_pretraining_corpus, pack_training_sequences,
+# mixture_token_budget — driver rows prove the fixes), and the round's two
+# NEW queries (dedup_semdedup_indexed, similarity_index_stream_ingest).
+# Retained canaries: cdc_delta, source_jdbc_roundtrip,
+# source_jdbc_type_gallery. Re-pinned after their oracle-dtype fix:
+# multimodal_shard_manifest, dedup_minhash_estimate_quality.
 #
-# Displaced from the r8 head (coverage trade, explicit per ADVICE r8):
-# cdc_poll_jdbc_wire, source_jdbc_predicates, source_jdbc_pushdown,
-# cdc_materialize_evolving — all carry green r8 driver rows and stay covered
-# by CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
-# Mid-r9 trade: the round's four NEW queries (dedup_semdedup,
-# dedup_semantic_incremental, similarity_topk_ivf_pq,
-# similarity_ivf_pq_recall) take the slots of text_token_count /
-# text_quality / text_fingerprint / window_value_functions — each displaced
-# query keeps an in-head family sibling (text_stats+text_lang_id,
-# window_rank_functions) and full coverage in CORRECTNESS_FULL.json +
-# tests/test_oracle_parity.py.
-# Queries never driver-sampled in ANY round are tracked against the union of
-# committed CORRECTNESS_r0*.json keys (see tools/rotate_head.py).
+# Displaced from the r9 head (coverage trade, explicit per ADVICE r8): the
+# full r9 streaming/graph/dedup/similarity-ladder cohort — every displaced
+# query carries a green r9 driver row and stays covered by
+# CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
+# Queries never driver-sampled in ANY round are tracked against the union
+# of committed CORRECTNESS_r0*.json keys (see tools/rotate_head.py).
 _SAMPLE_HEAD = [
-    # canaries (driver-green in r8; regression tripwire)
+    # canaries (driver-green in r9; regression tripwire)
     "cdc_delta",
     "source_jdbc_roundtrip",
-    # r8's one red row, re-pinned after the hex-projection fix
     "source_jdbc_type_gallery",
-    # new this round: IVF cells + int8 rescore composition; PQ + exact rerank
-    "similarity_topk_ivf_int8",
-    "similarity_topk_pq",
-    # streaming family (first driver rows)
-    "streaming_stream_stream_join",
-    "streaming_dim_enrich",
-    "streaming_sliding_value",
-    "streaming_stateful_dedup",
-    "streaming_session_windows",
-    "streaming_late_data_drop",
-    "streaming_ss_join_cross_batch",
-    "streaming_incremental_dedup",
-    # graph / clustering
-    "graph_pagerank",
-    "graph_label_propagation",
-    "dedup_clusters",
-    # multimodal
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_image_resize",
+    # r9's two red rows, re-pinned after the CAST(... AS BIGINT) oracle fix
     "multimodal_shard_manifest",
-    # dedup ladder
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
     "dedup_minhash_estimate_quality",
-    "dedup_jaccard",
-    "dedup_simhash",
-    "dedup_ngram_coverage",
-    "dedup_embedding_cosine",
-    "dedup_edit_distance",
-    "dedup_keep_best",
-    "dedup_incremental_corpus",
-    "dedup_incremental_neardup",
-    # new mid-r9: cell-partitioned semantic dedup (SemDeDup) + its
-    # incremental batch-vs-corpus variant + char-level winnowing substring
-    # dedup (displacing asof_forward_next_click — two asof siblings stay)
-    "dedup_semdedup",
-    "dedup_semantic_incremental",
-    "dedup_substring_winnow",
-    # similarity ladder
-    "similarity_topk_bruteforce",
-    "similarity_lsh_pairs",
-    "similarity_topk_ivf",
-    "similarity_ivf_recall",
-    "similarity_topk_int8",
-    "similarity_int8_recall",
-    "similarity_topk_auto",
-    # new mid-r9: the composed IVFADC rung + its recall gate
-    "similarity_topk_ivf_pq",
-    "similarity_ivf_pq_recall",
+    # new this round: SemDeDup off the persisted ANN index's quantizer;
+    # streaming foreachBatch ingest into the index + bit-identical probe
+    "dedup_semdedup_indexed",
+    "similarity_index_stream_ingest",
+    # TPC-H tail (first driver rows)
+    "q2_min_cost_supplier",
+    "q4_late_shipment_priority",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_promotion_parts",
+    "q21_waiting_supplier",
+    "q22_wealthy_inactive",
+    # window / agg families
+    "window_value_functions",
+    "window_rolling_1h",
+    "window_rolling_distinct",
+    "window_percent_of_total",
+    "agg_latest_event_by_user",
+    "agg_approx_quantiles",
+    # deterministic hash sampling + leakage-safe splits
+    "sample_documents",
+    "sample_k_per_lang",
+    "sample_stratified_by_lang",
+    "split_train_val_test",
+    "split_leakage_free",
     # text analysis
-    "text_stats",
-    "text_lang_id",
-    # asof / range joins + window + null-safe join
-    "asof_error_last_click",
-    "asof_nearest_click",
-    "range_join_error_clicks",
-    "window_rank_functions",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "text_repetition",
+    # catalog / nesting / SAP type surface
+    "catalog_list_tables",
+    "catalog_pk_fallback",
+    "catalog_table_exists",
+    "nest_orders_items",
+    "nest_customer_orders_items",
+    "sap_type_casts",
+    "sap_type_edges",
+    "scalar_surface",
+    # recall / persisted-probe gates (local-pass only until now)
+    "similarity_ivf_int8_recall",
+    "similarity_pq_recall",
+    "similarity_index_probe",
+    # join strategies
+    "join_salted_supplier_revenue",
+    "join_null_safe",
+    # oracles fixed this round (latent HUGEINT drift) — driver-proof them
+    "user_retention_daily",
+    "cumulative_adopters",
+    "skew_diagnostics",
+    "pipeline_pretraining_corpus",
+    "pack_training_sequences",
+    "mixture_token_budget",
 ]
 
 

@@ -590,6 +590,53 @@ def test_semdedup_no_cartesian_and_rowlocal_assignment(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_semdedup_indexed_no_cartesian(spark, sf_dir):
+    """SemDeDup driven by the persisted index's centroid table: same
+    within-cell-only pairing contract as the inline rung — no cartesian,
+    no nested-loop join — with the centroids arriving from a parquet read
+    instead of the prefix rule."""
+    plan = plan_of(spark, sf_dir, "dedup_semdedup_indexed")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semdedup_from_index_skips_assignment(spark, sf_dir):
+    """semantic_dedup_from_index must go STRAIGHT to pairing: the plan
+    reads the index's cell-partitioned vectors (``__cell`` is a partition
+    column, no centroid argmax projection, no centroid scan) and its only
+    join is the within-cell self-join. This is the measured amortization
+    of the scale ladder's dedup_semdedup_from_index rung."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup_from_index
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+    from s4hanaconnector_spark.queries.llmops import emb_aug
+
+    from pyspark.sql import functions as F
+
+    c = emb_aug(spark, sf_dir).select(F.col("vec_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="sem_from_index_plan_")
+    build_ann_index(c, path, n_centroids=16, m=8, n_codes=16, c_id="vec_id")
+    df = semantic_dedup_from_index(spark, path, threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the quantizer never appears: no argmax-over-centroids projection
+    # (greatest( / aggregate( literal trees) and no centroids/ scan
+    assert "centroids" not in plan, plan
+    # the contraction must equal the inline operator's on the same corpus
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+
+    inline = {
+        tuple(r)
+        for r in semantic_dedup(
+            c, "vec_id", threshold=0.95, n_centroids=16
+        ).collect()
+    }
+    indexed = {tuple(r) for r in df.collect()}
+    assert indexed == inline and indexed
+
+
 def test_incremental_semantic_corpus_never_shuffles(spark, sf_dir):
     """Incremental semantic dedup: the corpus side must meet the batch
     through broadcast hash joins only, exactly like the fingerprint rung —

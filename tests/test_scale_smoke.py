@@ -657,6 +657,66 @@ def test_x100_scaling_ladder(spark):
         "exceeds even the N^1.5 design curve (alpha cap 1.75)"
     )
 
+    # SemDeDup OFF THE PERSISTED INDEX (r9 next #4): the 100 TB mitigation
+    # as a measured rung. The corpus is already indexed — the build is
+    # untimed (amortized ingest cost, like the probe rung below) — so
+    # dedup reads the index's cell-partitioned vectors and skips quantizer
+    # derivation AND the O(N·sqrt(N)) assignment scan entirely; only
+    # within-cell pairing + contraction is on the clock. Gated at the
+    # 1.5 design exponent itself (pairing alone is N^1.5 at sqrt(N)
+    # cells), strictly below the inline rung's 1.75 cap, because the
+    # indexed path must not add work on top of pairing.
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup_from_index
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+
+    def sem_indexed_run(n):
+        path = _tmp.mkdtemp(prefix="sem_index_ladder_")
+        build_ann_index(                       # untimed: ingest-time cost
+            sem_frame(n), path, n_centroids=max(4, int(n ** 0.5)),
+            m=8, n_codes=16, c_id="vec_id",
+        )
+        out = semantic_dedup_from_index(
+            spark, path, threshold=0.95, pairing="arrow"
+        )
+        n_rows = out.count()  # untimed, for the non-empty asserts
+        dups = out.filter(F.col("vec_id") != F.col("canonical_id")).count()
+        t0 = _t.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0, n_rows, dups
+
+    import os as _os
+    import tempfile as _tmp
+
+    ti10, _, di10 = sem_indexed_run(20_000)
+    ti100, ni100, di100 = sem_indexed_run(200_000)
+    assert di10 > 0 and di100 > 0, (di10, di100)
+    ri = ti100 / max(ti10, 0.5)
+    ientry = {
+        "t_x10": round(ti10, 2), "t_x100": round(ti100, 2),
+        "ratio": round(ri, 1), "rows_x100": ni100,
+        "design_alpha": 1.5,
+        "inline_rung_t_x100": round(t100, 2),
+        "note": "cells read from the persisted index (no quantizer, no "
+                "assignment scan) — the amortization shows up as the "
+                "LOWER ALPHA vs the inline rung (assignment's N*sqrt(N) "
+                "term is gone), not as a lower wall at these tiers: the "
+                "indexed path pays a parquet scan of the postings where "
+                "the inline rung reads a checkpointed in-memory frame, "
+                "and at 16-dim vectors that read dominates the saved "
+                "assignment; at production dims/scale the ratio inverts",
+    }
+    if ti10 >= 0.5:
+        ientry["alpha"] = round(_math.log10(max(ti100 / ti10, 0.1)), 2)
+    ladder["dedup_semdedup_from_index"] = ientry
+    _record_raw("scaling_ladder_x100", ladder)
+    print(f"LADDER dedup_semdedup_from_index: x10 {ti10:.2f}s -> "
+          f"x100 {ti100:.2f}s ({ri:.1f}x; inline x100 {t100:.2f}s)")
+    assert ri < 10 ** 1.5, (
+        f"semdedup-from-index: x10 {ti10:.2f}s -> x100 {ti100:.2f}s "
+        f"(ratio {ri:.1f}x) — exceeds the N^1.5 design curve, so the "
+        "indexed path is adding work beyond pairing"
+    )
+
     # persisted-index probe (r9): the index is BUILT untimed at each tier
     # (the amortized ingest-time cost) and ONLY the probe is on the clock —
     # the serving-path contract: partition pruning reads 4-of-16 cells'
@@ -678,18 +738,26 @@ def test_x100_scaling_ladder(spark):
         n = df.count()  # untimed, for the non-empty assert
         t0 = _t.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return _t.perf_counter() - t0, n, path
+        return _t.perf_counter() - t0, n, path, df
 
-    t10, _, p10 = persisted_probe(x10)
-    t100, n100, p100 = persisted_probe(x100)
+    t10, _, p10, _ = persisted_probe(x10)
+    t100, n100, p100, df100 = persisted_probe(x100)
     assert n100 > 0
-    # pruning proof at tier scale, not just the fixture plan test: the
-    # probed codes scan must list files from <= n_probe cell directories
-    probed_dirs = [
+    # pruning proof AT TIER SCALE, not just the fixture plan test
+    # (ADVICE r9): (a) the index has all 16 cells on disk, (b) the
+    # executed probe plan carries the probed-cell restriction as
+    # PartitionFilters on the cell-partitioned scans — a post-scan filter
+    # would re-read the whole index every query, invisible in wall time
+    # until the index dwarfs the probed cells
+    all_dirs = [
         e for e in _os.listdir(_os.path.join(p100, "codes"))
         if e.startswith("__cell=")
     ]
-    assert len(probed_dirs) >= 16  # the index HAS all cells on disk
+    assert len(all_dirs) >= 16, all_dirs  # the index HAS all cells on disk
+    import re as _re
+
+    plan100 = df100._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*__cell", plan100), plan100
     _ladder_entry(ladder, "similarity_persisted_index_probe", t10, t100, n100)
 
 
