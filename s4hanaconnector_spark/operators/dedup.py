@@ -559,6 +559,7 @@ def semantic_dedup(
     max_cell: int | None = None,
     assignment: str = "auto",
     pairing: str = "expr",
+    n_assign: int = 1,
 ) -> DataFrame:
     """Cluster-partitioned semantic dedup (the SemDeDup shape, Abbas et al.
     2023): a coarse quantizer assigns every vector to a k-means-style cell,
@@ -600,7 +601,16 @@ def semantic_dedup(
         df, n_centroids=n_centroids, c_id=id_col, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,
     )
-    cells = assign(df.select(id_col, vec), id_col, 1)
+    # n_assign > 1 is MULTI-PROBE SemDeDup: each vector joins pairing in
+    # its top-n cells, recovering the true near-dup pairs a single Voronoi
+    # assignment splits across a cell boundary (measured: single-probe
+    # cell recall on the fixture's planted twins is 79-86%; two probes
+    # recover the rest — dedup_semdedup_recall gates both). A pair sharing
+    # two cells is scored twice, which is harmless — the contraction is a
+    # min over neighbors — and cheaper than a pre-scoring distinct on the
+    # candidate set; pairing cost scales by <= n_assign², the same
+    # recall/cost dial as ivf_topk's n_probe.
+    cells = assign(df.select(id_col, vec), id_col, n_assign)
     return _contract_cells(
         df, cells, id_col, vec, threshold, round_digits, max_cell, pairing
     )

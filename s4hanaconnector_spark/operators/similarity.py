@@ -1529,6 +1529,73 @@ def probe_ann_index(
     )
 
 
+def compact_ann_index(spark, path: str) -> dict:
+    """Rewrite the index's cell-partitioned postings into ONE file per cell
+    — the maintenance pass a 100 TB serving index needs because
+    :func:`append_to_ann_index` adds one file set per ingest batch per
+    touched cell, and a probe's cost is bounded by FILES LISTED, not rows
+    read: a cell that accumulated 10k tiny append files costs 10k opens
+    per probe even though pruning skipped every other cell. The rewrite
+    repartitions on ``__cell`` (each cell's rows land in one task, cells
+    compact in parallel), touches only codes/ and vectors/ (quantizer,
+    codebooks and meta are immutable under compaction by definition), is
+    idempotent, and probes are bit-identical before/after
+    (equality-tested). Crash-safe via write-new / stage-old / swap /
+    drop-old renames on the index's own filesystem — a failure mid-swap
+    rolls back to the staged original. The same discipline as the CDC
+    topic's ``compact_changes``: fold the append log, change nothing
+    observable.
+
+    Returns {"cells": n, "files_before": n, "files_after": n} so callers
+    (and a compaction-cadence policy) can see the fold ratio."""
+    import os
+
+    conf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+
+    def hpath(p):
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(conf), hp
+
+    def n_files(p):
+        fs, hp = hpath(p)
+        it = fs.listFiles(hp, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = after = 0
+    for leaf in ("codes", "vectors"):
+        src = os.path.join(path, leaf)
+        before += n_files(src)
+        tmp = os.path.join(path, f"__compacting_{leaf}")
+        (
+            spark.read.parquet(src)
+            .repartition(F.col("__cell"))
+            .write.mode("overwrite")
+            .partitionBy("__cell")
+            .parquet(tmp)
+        )
+        fs, src_p = hpath(src)
+        _, tmp_p = hpath(tmp)
+        _, old_p = hpath(os.path.join(path, f"__precompact_{leaf}"))
+        fs.delete(old_p, True)
+        if not fs.rename(src_p, old_p):
+            raise IOError(f"compact_ann_index: could not stage {src}")
+        if not fs.rename(tmp_p, src_p):
+            fs.rename(old_p, src_p)  # roll back: the original is intact
+            raise IOError(f"compact_ann_index: could not swap in {tmp}")
+        fs.delete(old_p, True)
+        after += n_files(src)
+    cells = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select("__cell").distinct().count()
+    )
+    return {"cells": cells, "files_before": before, "files_after": after}
+
+
 def append_to_ann_index(batch: DataFrame, path: str) -> dict:
     """Incremental ingest into a :func:`build_ann_index` index — the
     "build once on ingest, probe forever" loop closed: the NEW batch is

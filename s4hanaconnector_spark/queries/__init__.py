@@ -45,6 +45,13 @@ _MODULES = [_cdc]
 # full r9 streaming/graph/dedup/similarity-ladder cohort — every displaced
 # query carries a green r9 driver row and stays covered by
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
+# Mid-r10 trade: the round's three LATER new queries
+# (similarity_index_compact, dedup_semdedup_multiprobe,
+# dedup_semdedup_recall) take the slots of catalog_table_exists /
+# nest_customer_orders_items / sap_type_edges — each displaced query keeps
+# an in-head family sibling (catalog_list_tables + catalog_pk_fallback,
+# nest_orders_items, sap_type_casts) and full coverage in
+# CORRECTNESS_FULL.json + tests/test_oracle_parity.py.
 # Queries never driver-sampled in ANY round are tracked against the union
 # of committed CORRECTNESS_r0*.json keys (see tools/rotate_head.py).
 _SAMPLE_HEAD = [
@@ -56,9 +63,14 @@ _SAMPLE_HEAD = [
     "multimodal_shard_manifest",
     "dedup_minhash_estimate_quality",
     # new this round: SemDeDup off the persisted ANN index's quantizer;
-    # streaming foreachBatch ingest into the index + bit-identical probe
+    # streaming foreachBatch ingest into the index + bit-identical probe;
+    # index compaction (fold append files, probe unchanged); multi-probe
+    # SemDeDup + the cell-recall gate that motivated it
     "dedup_semdedup_indexed",
     "similarity_index_stream_ingest",
+    "similarity_index_compact",
+    "dedup_semdedup_multiprobe",
+    "dedup_semdedup_recall",
     # TPC-H tail (first driver rows)
     "q2_min_cost_supplier",
     "q4_late_shipment_priority",
@@ -90,11 +102,8 @@ _SAMPLE_HEAD = [
     # catalog / nesting / SAP type surface
     "catalog_list_tables",
     "catalog_pk_fallback",
-    "catalog_table_exists",
     "nest_orders_items",
-    "nest_customer_orders_items",
     "sap_type_casts",
-    "sap_type_edges",
     "scalar_surface",
     # recall / persisted-probe gates (local-pass only until now)
     "similarity_ivf_int8_recall",

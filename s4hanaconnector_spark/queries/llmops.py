@@ -580,8 +580,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # cell assignment of an arbitrary source CTE to the 16 lowest-id prefix
 # centroids — the SAME quantizer rule as _IVF_CELLS_CTE, parametrized over
-# the vector universe so the SemDeDup rungs can assign e_aug / corpus+batch
-def _cells_over(src: str) -> str:
+# the vector universe so the SemDeDup rungs can assign e_aug / corpus+batch;
+# n_assign > 1 replays the multi-probe variant (top-n cells per vector)
+def _cells_over(src: str, n_assign: int = 1) -> str:
     return f"""
 cent AS (
     SELECT vec_id AS cent_id, embedding AS cv FROM {src} ORDER BY vec_id LIMIT 16
@@ -600,7 +601,7 @@ cells AS (
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
         FROM caff
-    ) WHERE rn = 1
+    ) WHERE rn <= {n_assign}
 )
 """
 
@@ -639,6 +640,168 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(
         emb_aug(spark, sf_dir), "vec_id", threshold=0.95, n_centroids=16
     )
+
+
+@register(
+    "dedup_semdedup_multiprobe",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+{_cells_over("e_aug", n_assign=2).strip()},
+ce AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN e_aug e USING (vec_id)),
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv, b.embedding AS cv
+    FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM p),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM expl GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.95
+)
+SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
+FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE SemDeDup (n_assign=2): each vector joins pairing in its
+    top-2 quantizer cells, recovering the true near-dup pairs a single
+    Voronoi assignment splits across a cell boundary — the measured
+    single-probe cell recall on the fixture's planted twins is only
+    79-86% (dedup_semdedup_recall), the exact failure mode IVF probing
+    solves with n_probe > 1, applied to dedup. Pairing cost scales by at
+    most n_assign²; pairs sharing both cells are scored twice, which the
+    min-contraction absorbs (and the oracle's GROUP BY merges — the
+    duplicated sums cancel in the cosine ratio). Same cells, rounding and
+    tiebreak contract as the single-probe rung."""
+    return D.semantic_dedup(
+        emb_aug(spark, sf_dir), "vec_id", threshold=0.95, n_centroids=16,
+        n_assign=2,
+    )
+
+
+@register(
+    "dedup_semdedup_recall",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv FROM e_aug ORDER BY vec_id LIMIT 16
+),
+cax AS (
+    SELECT v.vec_id, v.embedding AS qv, c.cent_id, c.cv,
+           unnest(range(1, len(v.embedding) + 1)) AS i
+    FROM e_aug v CROSS JOIN cent c
+),
+caff AS (
+    SELECT vec_id, cent_id, round({_COS_DOT}, 6) AS aff
+    FROM cax GROUP BY vec_id, cent_id
+),
+ranked AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cent_id) AS rn
+    FROM caff
+),
+ap AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv, b.embedding AS cv
+    FROM e_aug a JOIN e_aug b ON a.vec_id < b.vec_id
+),
+apx AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM ap),
+exact AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM apx GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.95
+),
+f1 AS (
+    SELECT DISTINCT e.id_a, e.id_b
+    FROM exact e
+    JOIN ranked ra ON ra.vec_id = e.id_a AND ra.rn = 1
+    JOIN ranked rb ON rb.vec_id = e.id_b AND rb.rn = 1 AND rb.cent_id = ra.cent_id
+),
+f2 AS (
+    SELECT DISTINCT e.id_a, e.id_b
+    FROM exact e
+    JOIN ranked ra ON ra.vec_id = e.id_a AND ra.rn <= 2
+    JOIN ranked rb ON rb.vec_id = e.id_b AND rb.rn <= 2 AND rb.cent_id = ra.cent_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_found_1probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM f2) AS n_found_2probe
+""",
+)
+def dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup CELL-RECALL gate (the sketch-accuracy contract, like the
+    MinHash estimator and IVF recall gates): of the TRUE >= 0.95-cosine
+    pairs (exact all-pairs at fixture scale — the measurement, not the
+    operator), how many share a quantizer cell under single-probe
+    assignment, and how many under 2-probe. Emits exact integer counts
+    under the hash gate and asserts floors: single-probe >= 70% (measured
+    79-86% across sfs — Voronoi boundaries split real twins) and 2-probe
+    >= 90% with at least single-probe's count (measured at or near 100%:
+    a split pair's two members almost always share their runner-up cell).
+    Estimator degradation — a broken argmax, drifted rounding, a bad
+    quantizer — fails loudly."""
+    from s4hanaconnector_spark.operators.similarity import cell_assigner, cosine
+
+    ea = emb_aug(spark, sf_dir)
+    assign = cell_assigner(
+        ea, n_centroids=16, c_id="vec_id", vec="embedding"
+    )
+    a, b = ea.alias("a"), ea.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.95)
+        .select("id_a", "id_b")
+    )
+    exact = exact.localCheckpoint(eager=False)
+
+    def found(n_probe: int, alias: str):
+        cells = assign(ea.select("vec_id", "embedding"), "vec_id", n_probe)
+        ca = cells.select(
+            F.col("vec_id").alias("id_a"), F.col("__cell").alias("__ca")
+        )
+        cb = cells.select(
+            F.col("vec_id").alias("id_b"), F.col("__cell").alias("__cb")
+        )
+        return (
+            exact.join(ca, "id_a")
+            .join(cb, "id_b")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .select("id_a", "id_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    out = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found(1, "n_found_1probe"))
+        .crossJoin(found(2, "n_found_2probe"))
+    )
+    out = out.localCheckpoint(eager=False)
+    r = out.collect()[0]
+    # explicit raise: the gate must survive `python -O` (see IVF gate)
+    if r["n_found_1probe"] * 100 < r["n_exact"] * 70:
+        raise AssertionError(
+            f"semdedup single-probe cell recall regression: "
+            f"{r['n_found_1probe']}/{r['n_exact']} below 70%"
+        )
+    if (
+        r["n_found_2probe"] * 100 < r["n_exact"] * 90
+        or r["n_found_2probe"] < r["n_found_1probe"]
+    ):
+        raise AssertionError(
+            f"semdedup 2-probe cell recall regression: "
+            f"{r['n_found_2probe']}/{r['n_exact']} "
+            f"(single-probe {r['n_found_1probe']})"
+        )
+    return out
 
 
 # the incremental-semantic fixture: corpus = the raw embeddings (double-
@@ -3169,6 +3332,52 @@ def similarity_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         raise AssertionError(
             f"ingest duplicated postings: {n_postings} codes for {n_corpus} vectors"
         )
+    return probe_ann_index(
+        spark, path, q, k=10, n_probe=4, rerank=_PQ_RERANK, q_id="q_id"
+    )
+
+
+@register(
+    "similarity_index_compact",
+    f"""
+WITH {_IVF_PQ_PIPE}
+SELECT q_id, c_id, cosine, rn FROM pqtop WHERE rn <= 10
+""",
+)
+def similarity_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE under incremental ingest: the index is built on
+    the corpus head, grown by two appends (each leaving its own file set
+    under every touched cell — exactly how a probe's file-listing cost
+    creeps at 100 TB), then ``compact_ann_index`` folds every cell back to
+    one file. The fold must strictly reduce the file count AND change
+    nothing observable: the probe after compaction is bit-identical to the
+    inline ``ivf_pq_topk`` of the full corpus (this oracle), and
+    before/after + idempotence equality is test-pinned. Same discipline as
+    the CDC topic's ``compact_changes``."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        probe_ann_index,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = os.path.join(tempfile.mkdtemp(prefix="ann_compact_"), "index")
+    build_ann_index(
+        c.filter(F.col("c_id") < 64), path,
+        n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES, c_id="c_id", vec="embedding",
+    )
+    rest = c.filter(F.col("c_id") >= 64)
+    append_to_ann_index(rest.filter(F.col("c_id") % 2 == 0), path)
+    append_to_ann_index(rest.filter(F.col("c_id") % 2 == 1), path)
+    stats = compact_ann_index(spark, path)
+    if stats["files_after"] >= stats["files_before"]:
+        raise AssertionError(f"compaction did not fold files: {stats}")
     return probe_ann_index(
         spark, path, q, k=10, n_probe=4, rerank=_PQ_RERANK, q_id="q_id"
     )

@@ -1167,6 +1167,68 @@ def test_semdedup_on_trained_index_centroids(spark, sf_dir):
     assert dups > 0
 
 
+def test_semdedup_multiprobe_contracts_superset(spark, sf_dir):
+    """Multi-probe SemDeDup must contract a SUPERSET of the single-probe
+    rung's duplicates: every pair that shares its top-1 cell also shares a
+    top-2 cell, so n_assign=2 can only ADD contractions — and on the
+    fixture it must actually add some (the measured single-probe recall
+    is 79-86%, so boundary-split twins exist to recover)."""
+    from s4hanaconnector_spark.operators.dedup import semantic_dedup
+    from s4hanaconnector_spark.queries.llmops import emb_aug
+
+    ea = emb_aug(spark, sf_dir)
+    one = {
+        r["vec_id"]: r["canonical_id"]
+        for r in semantic_dedup(ea, "vec_id", threshold=0.95).collect()
+    }
+    two = {
+        r["vec_id"]: r["canonical_id"]
+        for r in semantic_dedup(ea, "vec_id", threshold=0.95, n_assign=2).collect()
+    }
+    dups_one = {k for k, v in one.items() if k != v}
+    dups_two = {k for k, v in two.items() if k != v}
+    assert dups_one <= dups_two
+    assert len(dups_two) > len(dups_one), (len(dups_one), len(dups_two))
+
+
+def test_compact_ann_index_probe_identical_and_idempotent(spark, sf_dir):
+    """compact_ann_index must (a) strictly reduce the file count after
+    appends, (b) leave every probe bit-identical, (c) be idempotent — a
+    second compaction folds nothing further and still changes nothing."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = os.path.join(tempfile.mkdtemp(prefix="ann_compact_test_"), "index")
+    build_ann_index(c.filter(F.col("c_id") < 64), path,
+                    n_centroids=16, m=16, n_codes=32)
+    rest = c.filter(F.col("c_id") >= 64)
+    append_to_ann_index(rest.filter(F.col("c_id") % 3 == 0), path)
+    append_to_ann_index(rest.filter(F.col("c_id") % 3 == 1), path)
+    append_to_ann_index(rest.filter(F.col("c_id") % 3 == 2), path)
+
+    pre = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+    s1 = compact_ann_index(spark, path)
+    assert s1["files_after"] < s1["files_before"], s1
+    post = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+    assert post == pre and post
+    s2 = compact_ann_index(spark, path)
+    assert s2["files_after"] == s1["files_after"], (s1, s2)
+    again = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+    assert again == pre
+
+
 def test_persisted_index_production_quantizers(spark, sf_dir):
     """The production build path through the persisted index: sampled
     KMeans centroids and per-subspace-trained codebooks (instead of the
