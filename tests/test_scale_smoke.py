@@ -760,6 +760,51 @@ def test_x100_scaling_ladder(spark):
     assert _re.search(r"PartitionFilters: \[[^\]]*__cell", plan100), plan100
     _ladder_entry(ladder, "similarity_persisted_index_probe", t10, t100, n100)
 
+    # index COMPACTION at tier scale (r10): three appends fragment every
+    # touched cell with one file set each — the probe-listing creep a
+    # served index accrues under streaming ingest — then compact_ann_index
+    # folds each cell back to one file. The probe result must be IDENTICAL
+    # on the fragmented and the compacted index (50 rows, cheap to
+    # compare), the fold must strictly reduce files, and both probe walls
+    # plus the fold ratio land in the artifact.
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        compact_ann_index,
+    )
+
+    q100, c100 = emb(x100)
+    for k in range(3):
+        append_to_ann_index(
+            c100.filter(F.col("c_id") % 50 == k).select(
+                (F.col("c_id") + 10_000_000 * (k + 1)).alias("c_id"),
+                "embedding",
+            ),
+            p100,
+        )
+
+    def timed_probe():
+        df = probe_ann_index(spark, p100, q100, k=10, n_probe=4, rerank=100)
+        rows = {tuple(r) for r in df.collect()}  # untimed
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0, rows
+
+    t_frag, rows_frag = timed_probe()
+    stats = compact_ann_index(spark, p100)
+    t_comp, rows_comp = timed_probe()
+    assert rows_comp == rows_frag and rows_comp
+    assert stats["files_after"] < stats["files_before"], stats
+    _record_raw("index_compaction_at_x100", {
+        "files_before": stats["files_before"],
+        "files_after": stats["files_after"],
+        "cells": stats["cells"],
+        "probe_fragmented_sec": round(t_frag, 2),
+        "probe_compacted_sec": round(t_comp, 2),
+        "note": "probe rows identical pre/post compaction (asserted); "
+                "walls at this tier are file-listing noise-dominated — "
+                "the contract is the fold ratio and result equality",
+    })
+
 
 @pytest.mark.slow
 def test_oracle_parity_at_x100(spark):
