@@ -697,13 +697,15 @@ def test_x100_scaling_ladder(spark):
         "design_alpha": 1.5,
         "inline_rung_t_x100": round(t100, 2),
         "note": "cells read from the persisted index (no quantizer, no "
-                "assignment scan) — the amortization shows up as the "
+                "assignment scan) — the robust amortization signal is the "
                 "LOWER ALPHA vs the inline rung (assignment's N*sqrt(N) "
-                "term is gone), not as a lower wall at these tiers: the "
-                "indexed path pays a parquet scan of the postings where "
-                "the inline rung reads a checkpointed in-memory frame, "
-                "and at 16-dim vectors that read dominates the saved "
-                "assignment; at production dims/scale the ratio inverts",
+                "term is gone). Absolute walls additionally favor the "
+                "indexed path on quiet runs (measured 28.3s vs inline "
+                "53.3s at x100) but the indexed path reads postings from "
+                "parquet where the inline rung reads a checkpointed "
+                "in-memory frame, so disk contention can erase the wall "
+                "gap run-to-run (also measured 38.3 vs 36.9); alpha is "
+                "the gate, the wall comparison is recorded evidence",
     }
     if ti10 >= 0.5:
         ientry["alpha"] = round(_math.log10(max(ti100 / ti10, 0.1)), 2)
