@@ -35,8 +35,10 @@ _MODULES = [_cdc]
 # queries whose oracles carried the latent HUGEINT dtype drift fixed this
 # round (user_retention_daily, cumulative_adopters, skew_diagnostics,
 # pipeline_pretraining_corpus, pack_training_sequences,
-# mixture_token_budget — driver rows prove the fixes), and the round's two
-# NEW queries (dedup_semdedup_indexed, similarity_index_stream_ingest).
+# mixture_token_budget — driver rows prove the fixes), and the round's six
+# NEW queries (dedup_semdedup_indexed, similarity_index_stream_ingest,
+# similarity_index_compact, dedup_semdedup_multiprobe,
+# dedup_semdedup_recall, streaming_semantic_ingest).
 # Retained canaries: cdc_delta, source_jdbc_roundtrip,
 # source_jdbc_type_gallery. Re-pinned after their oracle-dtype fix:
 # multimodal_shard_manifest, dedup_minhash_estimate_quality.
@@ -45,10 +47,12 @@ _MODULES = [_cdc]
 # full r9 streaming/graph/dedup/similarity-ladder cohort — every displaced
 # query carries a green r9 driver row and stays covered by
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
-# Mid-r10 trade: the round's three LATER new queries
+# Mid-r10 trade: the round's four LATER new queries
 # (similarity_index_compact, dedup_semdedup_multiprobe,
-# dedup_semdedup_recall) take the slots of catalog_table_exists /
-# nest_customer_orders_items / sap_type_edges — each displaced query keeps
+# dedup_semdedup_recall, streaming_semantic_ingest) take the slots of
+# catalog_table_exists / nest_customer_orders_items / sap_type_edges /
+# window_rolling_distinct (window_rolling_1h, window_value_functions and
+# window_percent_of_total stay in-head for the family) — each displaced query keeps
 # an in-head family sibling (catalog_list_tables + catalog_pk_fallback,
 # nest_orders_items, sap_type_casts) and full coverage in
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py.
@@ -71,6 +75,7 @@ _SAMPLE_HEAD = [
     "similarity_index_compact",
     "dedup_semdedup_multiprobe",
     "dedup_semdedup_recall",
+    "streaming_semantic_ingest",
     # TPC-H tail (first driver rows)
     "q2_min_cost_supplier",
     "q4_late_shipment_priority",
@@ -84,7 +89,6 @@ _SAMPLE_HEAD = [
     # window / agg families
     "window_value_functions",
     "window_rolling_1h",
-    "window_rolling_distinct",
     "window_percent_of_total",
     "agg_latest_event_by_user",
     "agg_approx_quantiles",

@@ -3338,6 +3338,159 @@ def similarity_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_semantic_ingest",
+    f"""
+WITH {_SEM_INC_CTE.strip()},
+{_cells_over("allv").strip()},
+ccell AS (SELECT c.vec_id, cl.cell, c.embedding FROM corpus c JOIN cells cl USING (vec_id)),
+bcell AS (SELECT b.vec_id, cl.cell, b.embedding FROM batch b JOIN cells cl USING (vec_id)),
+chp AS (
+    SELECT cc.vec_id AS corpus_id, bc.vec_id AS bid,
+           cc.embedding AS qv, bc.embedding AS cv
+    FROM ccell cc JOIN bcell bc ON cc.cell = bc.cell
+),
+chx AS (SELECT corpus_id, bid, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM chp),
+corpus_hits AS (
+    SELECT bid, min(corpus_id) AS corpus_canonical FROM (
+        SELECT corpus_id, bid, round({_COS_DOT}, 6) AS cosine
+        FROM chx GROUP BY corpus_id, bid
+    ) WHERE cosine >= 0.95 GROUP BY bid
+),
+bhp AS (
+    SELECT lo.vec_id AS lo_id, hi.vec_id AS bid, lo.embedding AS qv, hi.embedding AS cv
+    FROM bcell lo JOIN bcell hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+),
+bhx AS (SELECT lo_id, bid, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM bhp),
+batch_hits AS (
+    SELECT bid, min(lo_id) AS batch_canonical FROM (
+        SELECT lo_id, bid, round({_COS_DOT}, 6) AS cosine
+        FROM bhx GROUP BY lo_id, bid
+    ) WHERE cosine >= 0.95 GROUP BY bid
+)
+SELECT b.vec_id AS batch_id,
+       CASE WHEN ch.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bh.batch_canonical IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       coalesce(ch.corpus_canonical, bh.batch_canonical, b.vec_id) AS canonical_id
+FROM batch b
+LEFT JOIN corpus_hits ch ON ch.bid = b.vec_id
+LEFT JOIN batch_hits bh ON bh.bid = b.vec_id
+""",
+)
+def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-GATED index ingest through the real streaming engine — the
+    production composition of the round's pieces, where the persisted ANN
+    index IS the dedup state: the feed lands as two poll files, each
+    ``foreachBatch`` classifies its vectors against the index's RESIDENT
+    vectors with ``incremental_semantic_dedup`` (frozen quantizer = the
+    index's own centroid table, corpus never shuffled), and ONLY the
+    ``new`` vectors are appended (O(|new|) under the frozen quantizer), so
+    later polls dedup against earlier polls' acceptances automatically —
+    no side state store, the index is the state, exactly what a
+    deduplicating embedding service persists.
+
+    The drained classification must hash-equal the ONE-SHOT
+    ``dedup_semantic_incremental`` of the whole feed (this oracle). The
+    only vocabulary seam: a dup of an EARLIER POLL's accepted vector is
+    index-resident at classification time ('dup_of_corpus' to the
+    operator) but 'dup_in_batch' to the one-shot; since feed ids are
+    >= 100000 by fixture construction, the remap is the deterministic
+    canonical-id test below. Canonicals agree because the fixture's only
+    cross-poll near-dups (+400000 perturbed-reversed) have exactly one
+    qualifying neighbor — their accepted +300000 source (the composition
+    argument is verified by the hash equality, not assumed). Postings
+    accounting is asserted after the drain: |index| == |corpus| + |new|."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    corpus, batch = _sem_inc_frames(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="sem_ingest_")
+    path = os.path.join(d, "index")
+    feed = os.path.join(d, "feed")
+    ckpt = os.path.join(d, "ckpt")
+    out_dir = os.path.join(d, "out")
+    build_ann_index(
+        corpus, path, n_centroids=16, m=_PQ_M, n_codes=_PQ_CODES,
+        c_id="vec_id", vec="embedding",
+    )
+    # poll 0 = the corpus near-dups (+100000) and the genuinely new
+    # reversed vectors (+300000); poll 1 = the +400000 near-dups OF POLL
+    # 0's acceptances — the cross-batch leg runs against the INDEX
+    batch.filter(F.col("vec_id") < 400000).coalesce(1).write.parquet(
+        os.path.join(feed, "poll=0")
+    )
+    batch.filter(F.col("vec_id") >= 400000).coalesce(1).write.parquet(
+        os.path.join(feed, "poll=1")
+    )
+
+    def ingest(bdf, batch_id: int) -> None:
+        s = bdf.sparkSession
+        cents = s.read.parquet(os.path.join(path, "centroids"))
+        resident = s.read.parquet(os.path.join(path, "vectors")).select(
+            "vec_id", "embedding"
+        )
+        out = D.incremental_semantic_dedup(
+            resident, bdf, "vec_id", threshold=0.95, centroids=cents
+        )
+        # overwrite: foreachBatch is at-least-once — a replayed batch id
+        # must replace its own prior output (same contract comment as the
+        # sibling streaming merges)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{batch_id:06d}")
+        )
+        accepted = (
+            s.read.parquet(os.path.join(out_dir, f"batch_{batch_id:06d}"))
+            .filter(F.col("status") == "new")
+            .join(
+                bdf.select(F.col("vec_id").alias("batch_id"), "embedding"),
+                "batch_id",
+            )
+            .select(F.col("batch_id").alias("vec_id"), "embedding")
+        )
+        append_to_ann_index(accepted, path)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "poll=*"))
+    )
+    sq = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("streaming_semantic_ingest did not drain")
+    res = spark.read.parquet(os.path.join(out_dir, "batch_*"))
+    n_new = res.filter(F.col("status") == "new").count()
+    n_postings = spark.read.parquet(os.path.join(path, "vectors")).count()
+    n_corpus = corpus.count()
+    if n_postings != n_corpus + n_new:
+        raise AssertionError(
+            f"dedup-gated ingest accounting broken: {n_postings} postings "
+            f"for {n_corpus} corpus + {n_new} accepted"
+        )
+    return res.select(
+        "batch_id",
+        F.when(
+            (F.col("status") == "dup_of_corpus")
+            & (F.col("canonical_id") >= 100000),
+            F.lit("dup_in_batch"),
+        )
+        .otherwise(F.col("status"))
+        .alias("status"),
+        "canonical_id",
+    )
+
+
+@register(
     "similarity_index_compact",
     f"""
 WITH {_IVF_PQ_PIPE}
