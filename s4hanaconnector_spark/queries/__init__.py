@@ -35,10 +35,11 @@ _MODULES = [_cdc]
 # queries whose oracles carried the latent HUGEINT dtype drift fixed this
 # round (user_retention_daily, cumulative_adopters, skew_diagnostics,
 # pipeline_pretraining_corpus, pack_training_sequences,
-# mixture_token_budget — driver rows prove the fixes), and the round's six
+# mixture_token_budget — driver rows prove the fixes), and the round's seven
 # NEW queries (dedup_semdedup_indexed, similarity_index_stream_ingest,
 # similarity_index_compact, dedup_semdedup_multiprobe,
-# dedup_semdedup_recall, streaming_semantic_ingest).
+# dedup_semdedup_recall, streaming_semantic_ingest,
+# dedup_semantic_incremental_multiprobe).
 # Retained canaries: cdc_delta, source_jdbc_roundtrip,
 # source_jdbc_type_gallery. Re-pinned after their oracle-dtype fix:
 # multimodal_shard_manifest, dedup_minhash_estimate_quality.
@@ -47,12 +48,14 @@ _MODULES = [_cdc]
 # full r9 streaming/graph/dedup/similarity-ladder cohort — every displaced
 # query carries a green r9 driver row and stays covered by
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
-# Mid-r10 trade: the round's four LATER new queries
+# Mid-r10 trade: the round's five LATER new queries
 # (similarity_index_compact, dedup_semdedup_multiprobe,
-# dedup_semdedup_recall, streaming_semantic_ingest) take the slots of
+# dedup_semdedup_recall, streaming_semantic_ingest,
+# dedup_semantic_incremental_multiprobe) take the slots of
 # catalog_table_exists / nest_customer_orders_items / sap_type_edges /
-# window_rolling_distinct (window_rolling_1h, window_value_functions and
-# window_percent_of_total stay in-head for the family) — each displaced query keeps
+# window_rolling_distinct / sample_stratified_by_lang (window_rolling_1h,
+# window_value_functions, window_percent_of_total and sample_k_per_lang
+# stay in-head for their families) — each displaced query keeps
 # an in-head family sibling (catalog_list_tables + catalog_pk_fallback,
 # nest_orders_items, sap_type_casts) and full coverage in
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py.
@@ -76,6 +79,7 @@ _SAMPLE_HEAD = [
     "dedup_semdedup_multiprobe",
     "dedup_semdedup_recall",
     "streaming_semantic_ingest",
+    "dedup_semantic_incremental_multiprobe",
     # TPC-H tail (first driver rows)
     "q2_min_cost_supplier",
     "q4_late_shipment_priority",
@@ -95,7 +99,6 @@ _SAMPLE_HEAD = [
     # deterministic hash sampling + leakage-safe splits
     "sample_documents",
     "sample_k_per_lang",
-    "sample_stratified_by_lang",
     "split_train_val_test",
     "split_leakage_free",
     # text analysis
