@@ -56,8 +56,15 @@ def main() -> None:
         for _ in range(3):
             runs.append(_time_once(spark, q, sf_dir))
         ref = prior.get(name)
+        # Sub-second prior-best queries get a TIGHTER 1.5x re-measure
+        # trigger (VERDICT r10 next #3): the three ANN rungs drifted
+        # 1.8-2.0x in lockstep in r10, each just UNDER the uniform
+        # trigger, so consistent just-under drift landed unchallenged.
+        # Multi-second walls keep 3x — their variance is dominated by
+        # genuine shuffle/host noise where 1.5x would re-run constantly.
+        trigger = 3.0 if ref is None or ref >= 1.0 else 1.5
         extra = 0
-        while ref is not None and min(runs) > 3 * ref and extra < 2:
+        while ref is not None and min(runs) > trigger * ref and extra < 2:
             runs.append(_time_once(spark, q, sf_dir))
             extra += 1
         samples[name] = [round(r, 3) for r in runs]

@@ -637,11 +637,19 @@ def semantic_dedup_from_index(
     import json
     import os
 
-    from s4hanaconnector_spark.operators.similarity import _fs_read_text
+    from s4hanaconnector_spark.operators.similarity import (
+        _fs_read_text,
+        _index_tombstones,
+    )
 
     meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
     id_col, vec = meta["c_id"], meta["vec"]
     cells = spark.read.parquet(os.path.join(path, "vectors"))
+    tomb = _index_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # deleted ids are not corpus members: excluded from pairing AND
+        # from the output id set (same reader contract as probe_ann_index)
+        cells = cells.join(F.broadcast(tomb), on=id_col, how="left_anti")
     return _contract_cells(
         cells.select(id_col, vec), cells, id_col, vec,
         threshold, meta["round_digits"], max_cell, pairing,
@@ -666,6 +674,15 @@ def _contract_cells(
 
     from s4hanaconnector_spark.operators.similarity import cosine
 
+    # max_cell bounds cell MEMBERSHIP — under multi-probe (n_assign > 1)
+    # that includes secondary (probe) members, so a cell can be dropped
+    # whose primary occupancy is under the cap (ADVICE r10). Deliberate:
+    # the self-join below is quadratic in MEMBERS, probe members included,
+    # so membership is exactly the quantity the cap must bound to keep the
+    # pairing stage N^1.5; a primary-only cap would re-admit the quadratic
+    # blowup through probe fan-in. Within one cell each id appears at most
+    # once (a row's n_assign cells are distinct by rank), so this count IS
+    # the distinct-id membership — no dedup needed before counting.
     if max_cell is not None:
         cells = (
             cells.withColumn(
@@ -805,7 +822,7 @@ def incremental_semantic_dedup(
     the small side by contract. Determinism: rounded affinities/cosines
     with id tiebreaks end to end. Returns (batch_id, status, canonical_id).
     """
-    from s4hanaconnector_spark.operators.similarity import cell_assigner, cosine
+    from s4hanaconnector_spark.operators.similarity import cell_assigner
 
     assign = cell_assigner(
         corpus, n_centroids=n_centroids, c_id=id_col, vec=vec,
@@ -822,6 +839,26 @@ def incremental_semantic_dedup(
         .select(F.col(id_col).alias("batch_id"), F.col(vec).alias("__bv"), "__cell")
         .localCheckpoint(eager=False)
     )
+    return _classify_batch_vs_cells(batch, c_cells, b_cells, id_col,
+                                    threshold, round_digits)
+
+
+def _classify_batch_vs_cells(
+    batch: DataFrame,
+    c_cells: DataFrame,
+    b_cells: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Shared classification tail of :func:`incremental_semantic_dedup` and
+    :func:`incremental_semantic_dedup_from_index`: given corpus cells
+    ``(__cid, __cv, __cell)`` and batch cells ``(batch_id, __bv, __cell)``,
+    produce one (batch_id, status, canonical_id) row per batch vector
+    under the rounded-cosine / id-tiebreak contract documented on the
+    public operator."""
+    from s4hanaconnector_spark.operators.similarity import cosine
+
     ccos = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
     corpus_hits = (
         c_cells.join(F.broadcast(b_cells), on="__cell")
@@ -857,6 +894,79 @@ def incremental_semantic_dedup(
             ).alias("canonical_id"),
         )
     )
+
+
+def incremental_semantic_dedup_from_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Batch-vs-INDEX semantic dedup — :func:`incremental_semantic_dedup`
+    where the accepted corpus IS a persisted :func:`build_ann_index` index,
+    the per-batch shape of the dedup-gated ingest loop
+    (streaming_semantic_ingest) done scale-correctly:
+
+      * the resident side's cells are NOT recomputed — ``vectors/`` already
+        carries ``(id, vec, __cell)`` in its partition layout, assigned at
+        build/append time with the index's frozen backend (meta.json
+        ``assignment``), so the values are bit-identical to a re-assignment;
+      * the resident read is PARTITION-PRUNED to the batch's own cell set:
+        a cell no batch vector probes can contribute no pair, so skipping
+        it is exact — per-batch resident bytes are |batch cells| x cell
+        size (the IVF probe discipline) instead of one full index scan per
+        micro-batch, which is the difference between O(index) and
+        O(probed cells) ingest at 100 TB.
+
+    The batch is assigned with the index's frozen quantizer (same
+    ``cell_assigner`` seam as :func:`append_to_ann_index`), multi-probed
+    on the batch side only when ``n_assign > 1``; classification
+    semantics, rounding and tiebreaks are the shared tail
+    (:func:`_classify_batch_vs_cells`) — equality with the full-scan
+    operator on the same frozen centroids is test-pinned. Returns
+    (batch_id, status, canonical_id) keyed by the index's own id column.
+    """
+    import json
+    import os
+
+    from s4hanaconnector_spark.operators.similarity import (
+        _fs_read_text,
+        _index_tombstones,
+        cell_assigner,
+    )
+
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    id_col, vec = meta["c_id"], meta["vec"]
+    round_digits = meta["round_digits"]
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    assignment = meta.get("assignment") or (
+        "expr" if centroids.count() <= 2048 else "arrow"
+    )
+    assign = cell_assigner(
+        None, n_centroids=meta["n_centroids"], c_id=id_col, vec=vec,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
+    )
+    b_cells = (
+        assign(batch.select(id_col, vec), id_col, n_assign)
+        .select(F.col(id_col).alias("batch_id"), F.col(vec).alias("__bv"), "__cell")
+        .localCheckpoint(eager=False)
+    )
+    # bounded collect: <= |batch| * n_assign distinct cell ids (the batch is
+    # the small side by contract) — becomes the partition-pruning predicate
+    cells = [r["__cell"] for r in b_cells.select("__cell").distinct().collect()]
+    resident = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("__cell").isin(cells)
+    )
+    tomb = _index_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # a deleted id must not veto new ingest: it is no longer corpus
+        resident = resident.join(F.broadcast(tomb), on=id_col, how="left_anti")
+    c_cells = resident.select(
+        F.col(id_col).alias("__cid"), F.col(vec).alias("__cv"), "__cell"
+    )
+    return _classify_batch_vs_cells(batch, c_cells, b_cells, id_col,
+                                    threshold, round_digits)
 
 
 def winnowed_fingerprints(

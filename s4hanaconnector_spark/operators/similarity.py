@@ -1341,6 +1341,17 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem API — same
+    any-filesystem discipline as :func:`_fs_write_text` (an os.path check
+    would silently answer about the driver's local disk for an s3a://
+    or hdfs:// index)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _fs_read_text(spark, path: str) -> str:
     """Read small text metadata via the Hadoop FileSystem API (the read
     half of :func:`_fs_write_text`)."""
@@ -1410,6 +1421,21 @@ def build_ann_index(
     # materialize the centroid table once: it feeds the assigner here AND
     # is persisted for probe-time reuse
     centroids = centroids.localCheckpoint(eager=False)
+    # Resolve 'auto' to the concrete backend HERE so the RESOLVED name can
+    # be persisted in meta.json — append_to_ann_index must re-assign new
+    # rows with the exact backend the index was built with (the backends
+    # differ on documented _arrow_assign rounding-tie boundaries), the same
+    # bit-identical-append contract the persisted 'encode' key carries
+    # (ADVICE r10: an explicit assignment='arrow' build was getting
+    # auto-resolved appends). The rule mirrors cell_assigner's auto branch:
+    # <= literal_centroid_max (its 2048 default — build_ann_index always
+    # calls it with that default) centroids -> expr, else arrow; the
+    # centroid table is frozen on disk, so the same count resolves the same
+    # backend at every future append.
+    if assignment not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown assignment backend: {assignment}")
+    if assignment == "auto":
+        assignment = "expr" if centroids.count() <= 2048 else "arrow"
     assign = cell_assigner(
         corpus, n_centroids=n_centroids, c_id=c_id, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,
@@ -1440,7 +1466,7 @@ def build_ann_index(
     meta = {
         "n_centroids": n_centroids, "m": m, "n_codes": n_codes,
         "c_id": c_id, "vec": vec, "round_digits": round_digits,
-        "encode": encode,
+        "encode": encode, "assignment": assignment,
     }
     spark = corpus.sparkSession
     _fs_write_text(spark, os.path.join(path, "codebooks.json"), json.dumps(codebooks))
@@ -1498,6 +1524,12 @@ def probe_ann_index(
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("__cell").isin(probed_cells)
     )
+    # tombstoned ids never become candidates — a broadcast anti-join on the
+    # (small, deletes-are-rare) tombstone table; the vectors fetch below
+    # needs no second exclusion because it is keyed by the shortlist
+    tomb = _index_tombstones(spark, path, c_id)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), on=c_id, how="left_anti")
     qn = probes.withColumn("__qnorm", _norm(F.col("__qv")))
     cand = (
         codes.join(F.broadcast(qn), on="__cell")
@@ -1529,7 +1561,55 @@ def probe_ann_index(
     )
 
 
-def compact_ann_index(spark, path: str) -> dict:
+def _index_tombstones(spark, path: str, c_id: str):
+    """The index's tombstone table as a one-column (id) DataFrame, or None
+    if no delete has ever been issued. Shared by probe / compact / the
+    from-index dedup readers so every consumer excludes deleted ids the
+    same way."""
+    import os
+
+    tpath = os.path.join(path, "tombstones")
+    if not _fs_exists(spark, tpath):
+        return None
+    return spark.read.parquet(tpath).select(c_id).distinct()
+
+
+def delete_from_ann_index(batch: DataFrame, path: str) -> dict:
+    """Delete vectors from a :func:`build_ann_index` index by id — the
+    maintenance verb a SERVED index cannot ship without (right-to-be-
+    forgotten / takedown / bad-ingest rollback at 100 TB cannot rebuild
+    the index per request). Deletes are TOMBSTONES: the batch's ids land
+    as an append-only one-column parquet under ``tombstones/`` — an O(|
+    batch|) write that never touches the postings — and take effect
+    IMMEDIATELY on every reader (:func:`probe_ann_index`,
+    :func:`semantic_dedup_from_index`,
+    dedup.incremental_semantic_dedup_from_index) via a broadcast anti-join
+    on the (small, deletes-are-rare) tombstone table. The next
+    :func:`compact_ann_index` applies them PHYSICALLY — postings dropped,
+    tombstone table cleared — so steady-state probe cost never carries an
+    ever-growing exclusion list: the same log-then-fold discipline as the
+    CDC topic (deletes are rows in a log until compaction materializes
+    them).
+
+    Contract: delete WINS until a compaction clears the tombstone — ids
+    re-appended while their tombstone is live stay hidden, and that
+    compaction drops BOTH the tombstone and every posting of the id (old
+    and re-appended). Re-ingesting a deleted id is therefore a
+    compact-then-append sequence, never a bare append. ``batch`` needs
+    only the index's id column. Returns {"tombstones": total} after the
+    append."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
+    c_id = meta["c_id"]
+    tpath = os.path.join(path, "tombstones")
+    batch.select(c_id).distinct().write.mode("append").parquet(tpath)
+    return {"tombstones": spark.read.parquet(tpath).select(c_id).distinct().count()}
+
+
+def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
     """Rewrite the index's cell-partitioned postings into ONE file per cell
     — the maintenance pass a 100 TB serving index needs because
     :func:`append_to_ann_index` adds one file set per ingest batch per
@@ -1540,16 +1620,49 @@ def compact_ann_index(spark, path: str) -> dict:
     compact in parallel), touches only codes/ and vectors/ (quantizer,
     codebooks and meta are immutable under compaction by definition), is
     idempotent, and probes are bit-identical before/after
-    (equality-tested). Crash-safe via write-new / stage-old / swap /
-    drop-old renames on the index's own filesystem — a failure mid-swap
-    rolls back to the staged original. The same discipline as the CDC
-    topic's ``compact_changes``: fold the append log, change nothing
-    observable.
+    (equality-tested — including with live tombstones, which compaction
+    applies PHYSICALLY and clears: probes already excluded those ids, so
+    materializing the deletes changes nothing observable; see
+    :func:`delete_from_ann_index`). Durability contract (ADVICE r10): renames follow
+    write-new / stage-old / swap / drop-old on the index's own filesystem;
+    a rename that FAILS (returns false) is rolled back in-process, and a
+    PROCESS CRASH in the stage→swap window (postings dir missing, original
+    stranded under ``__precompact_<leaf>``) is detected and auto-recovered
+    on the next compaction — the stranded original is renamed back before
+    any rewrite starts, so re-running ``compact_ann_index`` after any
+    crash restores a consistent index. Compaction is NOT concurrent-probe
+    safe: a probe issued inside the swap window can fail on a missing
+    path (single-writer maintenance pass by design — schedule it like any
+    table-service OPTIMIZE). Same discipline as the CDC topic's
+    ``compact_changes``: fold the append log, change nothing observable.
+
+    ``dedup_ids=True`` additionally drops duplicate postings by id during
+    the rewrite — the REPAIR for at-least-once ingest replay (ADVICE r10):
+    ``append_to_ann_index`` inside a foreachBatch is not idempotent, so a
+    replayed micro-batch duplicates its postings. Replay rows are
+    bit-identical (same vector, frozen quantizer/codebooks → same cell and
+    codes deterministically), so keeping one row per id is exact; ids are
+    unique in the index by contract (re-appending an id with a DIFFERENT
+    vector is an upsert, which this index deliberately does not support —
+    that's a recall-gated rebuild decision).
 
     Returns {"cells": n, "files_before": n, "files_after": n} so callers
     (and a compaction-cadence policy) can see the fold ratio."""
+    import json
     import os
 
+    id_col = json.loads(
+        _fs_read_text(spark, os.path.join(path, "meta.json"))
+    )["c_id"]
+    # tombstones are applied PHYSICALLY here (delete_from_ann_index logs
+    # them; readers exclude them; compaction materializes the deletes and
+    # clears the log). EAGER localCheckpoint: the rewrite below must not
+    # re-read the tombstones directory through lazy lineage after the
+    # clear — and an anti-join (not a driver-side isin literal) keeps a
+    # million-id takedown off the driver and out of the plan tree.
+    tomb = _index_tombstones(spark, path, id_col)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint()
     conf = spark._jsc.hadoopConfiguration()
     jvm = spark._jvm
 
@@ -1569,11 +1682,31 @@ def compact_ann_index(spark, path: str) -> dict:
     before = after = 0
     for leaf in ("codes", "vectors"):
         src = os.path.join(path, leaf)
+        # crash recovery: a prior compaction that died between
+        # rename(src -> __precompact_) and rename(tmp -> src) leaves the
+        # original stranded and the live path missing — restore it before
+        # rewriting (a stranded dir WITH a live src is post-swap garbage
+        # and is deleted by the normal stage step below).
+        fs_r, src_r = hpath(src)
+        _, stranded = hpath(os.path.join(path, f"__precompact_{leaf}"))
+        if fs_r.exists(stranded) and not fs_r.exists(src_r):
+            if not fs_r.rename(stranded, src_r):
+                raise IOError(
+                    f"compact_ann_index: could not recover stranded "
+                    f"__precompact_{leaf}"
+                )
         before += n_files(src)
         tmp = os.path.join(path, f"__compacting_{leaf}")
+        folded = spark.read.parquet(src)
+        if tomb is not None:
+            folded = folded.join(F.broadcast(tomb), on=id_col, how="left_anti")
+        if dedup_ids:
+            # replay duplicates are whole-row identical, so any survivor is
+            # THE row; dropDuplicates on the id alone keeps the contract
+            # visible (one posting per id per index)
+            folded = folded.dropDuplicates([id_col])
         (
-            spark.read.parquet(src)
-            .repartition(F.col("__cell"))
+            folded.repartition(F.col("__cell"))
             .write.mode("overwrite")
             .partitionBy("__cell")
             .parquet(tmp)
@@ -1589,11 +1722,21 @@ def compact_ann_index(spark, path: str) -> dict:
             raise IOError(f"compact_ann_index: could not swap in {tmp}")
         fs.delete(old_p, True)
         after += n_files(src)
+    n_tomb = 0
+    if tomb is not None:
+        # both leaves rewrote without the deleted ids — clear the log so
+        # probes stop paying the anti-join for already-applied deletes
+        n_tomb = tomb.count()
+        fs, tomb_p = hpath(os.path.join(path, "tombstones"))
+        fs.delete(tomb_p, True)
     cells = (
         spark.read.parquet(os.path.join(path, "codes"))
         .select("__cell").distinct().count()
     )
-    return {"cells": cells, "files_before": before, "files_after": after}
+    return {
+        "cells": cells, "files_before": before, "files_after": after,
+        "tombstones_applied": n_tomb,
+    }
 
 
 def append_to_ann_index(batch: DataFrame, path: str) -> dict:
@@ -1627,9 +1770,16 @@ def append_to_ann_index(batch: DataFrame, path: str) -> dict:
     # auto default for indexes written before it)
     encode = meta.get("encode") or ("arrow" if m * n_codes >= 128 else "expr")
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    # same frozen-backend rule for cell ASSIGNMENT (ADVICE r10): use the
+    # resolved backend persisted at build; for indexes written before the
+    # key existed, reconstruct cell_assigner's auto rule from the frozen
+    # centroid table (<= its 2048 literal_centroid_max default -> expr).
+    assignment = meta.get("assignment") or (
+        "expr" if centroids.count() <= 2048 else "arrow"
+    )
     assign = cell_assigner(
         None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
-        round_digits=round_digits, centroids=centroids,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
     )
     cells = assign(batch.select(c_id, vec), c_id, 1)
     if encode == "arrow":

@@ -1123,6 +1123,280 @@ def test_stream_ingest_probe_equals_one_shot_rebuild(spark, sf_dir):
     assert streamed == probe and streamed
 
 
+def test_index_append_reuses_build_assignment_backend(spark, sf_dir):
+    """ADVICE r10 (the assignment twin of the r9 encode fix): an index
+    built with an EXPLICIT cell-assignment backend must append with that
+    same backend — build_ann_index resolves 'auto' and persists the
+    resolved name in meta.json, append_to_ann_index reads it back, so a
+    rounding-tie-boundary vector appended later lands in the same cell a
+    one-shot rebuild would give it (the append==rebuild bit-identical
+    contract)."""
+    import json
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        pq_subspace_codebooks,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    first = c.filter(F.col("c_id") % 2 == 0)
+    rest = c.filter(F.col("c_id") % 2 == 1)
+    cents = (
+        first.orderBy("c_id").limit(16)
+        .select(F.col("c_id").alias("cent_id"), "embedding")
+        .localCheckpoint()
+    )
+    cbs = pq_subspace_codebooks(first, 16, 32)
+
+    # 16 centroids <= literal_centroid_max, so the auto rule resolves to
+    # expr — an explicit arrow build must override that for appends too
+    inc = tempfile.mkdtemp(prefix="ann_index_asgn_")
+    meta = build_ann_index(first, inc, n_centroids=16, m=16, n_codes=32,
+                           centroids=cents, codebooks=cbs,
+                           assignment="arrow")
+    assert meta["assignment"] == "arrow"
+    with open(os.path.join(inc, "meta.json")) as f:
+        assert json.load(f)["assignment"] == "arrow"
+    append_to_ann_index(rest, inc)
+
+    full = tempfile.mkdtemp(prefix="ann_index_asgn_full_")
+    build_ann_index(c, full, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs, assignment="arrow")
+    cells_inc = {
+        (r["c_id"], r["__cell"])
+        for r in spark.read.parquet(os.path.join(inc, "vectors")).collect()
+    }
+    cells_full = {
+        (r["c_id"], r["__cell"])
+        for r in spark.read.parquet(os.path.join(full, "vectors")).collect()
+    }
+    assert cells_inc == cells_full and cells_inc
+
+    # an 'auto' build persists the RESOLVED backend (expr at 16 centroids),
+    # never the literal string 'auto'
+    auto = tempfile.mkdtemp(prefix="ann_index_asgn_auto_")
+    meta2 = build_ann_index(first, auto, n_centroids=16, m=16, n_codes=32,
+                            centroids=cents, codebooks=cbs)
+    assert meta2["assignment"] == "expr"
+
+
+def test_compact_dedup_ids_repairs_replayed_append(spark, sf_dir):
+    """The documented at-least-once REPAIR (ADVICE r10): a replayed
+    micro-batch re-runs append_to_ann_index and duplicates its postings;
+    compact_ann_index(dedup_ids=True) must fold the index back to one
+    posting per id, after which a probe is BIT FOR BIT the probe of an
+    index that never saw the replay."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        pq_subspace_codebooks,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    first = c.filter(F.col("c_id") % 2 == 0)
+    rest = c.filter(F.col("c_id") % 2 == 1)
+    cents = (
+        first.orderBy("c_id").limit(16)
+        .select(F.col("c_id").alias("cent_id"), "embedding")
+        .localCheckpoint()
+    )
+    cbs = pq_subspace_codebooks(first, 16, 32)
+
+    replayed = tempfile.mkdtemp(prefix="ann_index_replay_")
+    build_ann_index(first, replayed, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs)
+    append_to_ann_index(rest, replayed)
+    append_to_ann_index(rest, replayed)  # the replay
+    n_total = c.count()
+    n_rest = rest.count()
+    codes = os.path.join(replayed, "codes")
+    assert spark.read.parquet(codes).count() == n_total + n_rest
+    compact_ann_index(spark, replayed, dedup_ids=True)
+    assert spark.read.parquet(codes).count() == n_total
+    assert (
+        spark.read.parquet(os.path.join(replayed, "vectors")).count() == n_total
+    )
+
+    clean = tempfile.mkdtemp(prefix="ann_index_noreplay_")
+    build_ann_index(first, clean, n_centroids=16, m=16, n_codes=32,
+                    centroids=cents, codebooks=cbs)
+    append_to_ann_index(rest, clean)
+    p_repaired = {
+        tuple(r) for r in probe_ann_index(spark, replayed, q, k=10).collect()
+    }
+    p_clean = {
+        tuple(r) for r in probe_ann_index(spark, clean, q, k=10).collect()
+    }
+    assert p_repaired == p_clean and p_repaired
+
+
+def test_compact_recovers_stranded_precompact(spark, sf_dir):
+    """Crash recovery (ADVICE r10): a compaction that died between
+    rename(codes -> __precompact_codes) and rename(tmp -> codes) leaves
+    the live postings dir MISSING and the original stranded — the next
+    compact_ann_index must detect that, restore the stranded original,
+    and complete normally (probe unchanged)."""
+    import os
+    import shutil
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_index_crash_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    before = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+
+    # simulate the crash window: live dir gone, original stranded
+    shutil.move(os.path.join(path, "codes"),
+                os.path.join(path, "__precompact_codes"))
+    assert not os.path.exists(os.path.join(path, "codes"))
+    stats = compact_ann_index(spark, path)
+    assert stats["cells"] > 0
+    assert not os.path.exists(os.path.join(path, "__precompact_codes"))
+    after = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+    assert after == before and after
+
+
+def test_index_delete_tombstones_then_compaction_applies(spark, sf_dir):
+    """Delete lifecycle end to end: tombstoned ids must (a) vanish from
+    probes IMMEDIATELY — the probe of the tombstoned index is BIT FOR BIT
+    the probe of an index built without those vectors (the deleted range
+    sits above the quantizer/codebook prefixes, so the one-shot
+    comparison build derives the same frozen tables); (b) vanish from the
+    from-index dedup readers; (c) be applied PHYSICALLY by the next
+    compaction — postings dropped, tombstone log cleared, probe unchanged
+    — and a deleted id must no longer veto new ingest in the incremental
+    classifier."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.dedup import (
+        incremental_semantic_dedup_from_index,
+        semantic_dedup_from_index,
+    )
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    dead = c.filter(F.col("c_id").between(100, 199))
+    n_dead = dead.count()
+    assert n_dead > 0
+
+    path = tempfile.mkdtemp(prefix="ann_index_del_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    delete_from_ann_index(dead.select("c_id"), path)
+
+    # (a) probe == one-shot build without the deleted vectors
+    clean = tempfile.mkdtemp(prefix="ann_index_nodel_")
+    build_ann_index(
+        c.filter(~F.col("c_id").between(100, 199)), clean,
+        n_centroids=16, m=16, n_codes=32,
+    )
+    p_tomb = {
+        tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()
+    }
+    p_clean = {
+        tuple(r) for r in probe_ann_index(spark, clean, q, k=10).collect()
+    }
+    assert p_tomb == p_clean and p_tomb
+
+    # (b) the dedup readers exclude deleted ids too
+    sem_ids = {
+        r["c_id"]
+        for r in semantic_dedup_from_index(spark, path, threshold=0.95)
+        .select(F.col("c_id")).collect()
+    }
+    assert not any(100 <= i <= 199 for i in sem_ids) and sem_ids
+
+    # ...and a deleted id no longer vetoes new ingest: re-submitting the
+    # deleted vectors classifies them against the REMAINING corpus only
+    recls = incremental_semantic_dedup_from_index(
+        spark, path, dead, threshold=0.999999
+    )
+    assert recls.filter(F.col("status") == "dup_of_corpus").count() == 0
+
+    # (c) compaction applies physically and clears the log
+    n_before = spark.read.parquet(os.path.join(path, "codes")).count()
+    stats = compact_ann_index(spark, path)
+    assert stats["tombstones_applied"] == n_dead, stats
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    n_after = spark.read.parquet(os.path.join(path, "codes")).count()
+    assert n_after == n_before - n_dead
+    p_compacted = {
+        tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()
+    }
+    assert p_compacted == p_tomb
+
+
+def test_incremental_dedup_from_index_equals_full_scan(spark, sf_dir):
+    """The partition-pruned batch-vs-INDEX classifier must reproduce the
+    full-scan incremental_semantic_dedup BIT FOR BIT on the same frozen
+    quantizer, at n_assign 1 AND 2 — the pruning argument (a cell no
+    batch vector probes contributes no pair) and the persisted-__cell
+    argument (resident cells on disk == re-assignment under the frozen
+    backend) verified together. This is the per-batch shape
+    streaming_semantic_ingest now runs (O(probed cells), not O(index))."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_from_index,
+    )
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+    from s4hanaconnector_spark.queries.llmops import _sem_inc_frames
+
+    corpus, batch = _sem_inc_frames(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_index_incdedup_")
+    build_ann_index(corpus, path, n_centroids=16, m=16, n_codes=32,
+                    c_id="vec_id", vec="embedding")
+    cents = spark.read.parquet(f"{path}/centroids")
+    for n_assign in (1, 2):
+        full = {
+            tuple(r)
+            for r in incremental_semantic_dedup(
+                corpus, batch, "vec_id", threshold=0.95,
+                centroids=cents, n_assign=n_assign,
+            ).collect()
+        }
+        pruned = {
+            tuple(r)
+            for r in incremental_semantic_dedup_from_index(
+                spark, path, batch, threshold=0.95, n_assign=n_assign
+            ).collect()
+        }
+        assert pruned == full and pruned, f"n_assign={n_assign}"
+
+
 def test_semdedup_on_trained_index_centroids(spark, sf_dir):
     """The 100 TB SemDeDup shape end to end with PRODUCTION quantizers:
     KMeans centroids are trained once, persisted inside an ANN index, read
