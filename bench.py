@@ -56,13 +56,7 @@ def main() -> None:
         for _ in range(3):
             runs.append(_time_once(spark, q, sf_dir))
         ref = prior.get(name)
-        # Sub-second prior-best queries get a TIGHTER 1.5x re-measure
-        # trigger (VERDICT r10 next #3): the three ANN rungs drifted
-        # 1.8-2.0x in lockstep in r10, each just UNDER the uniform
-        # trigger, so consistent just-under drift landed unchallenged.
-        # Multi-second walls keep 3x — their variance is dominated by
-        # genuine shuffle/host noise where 1.5x would re-run constantly.
-        trigger = 3.0 if ref is None or ref >= 1.0 else 1.5
+        trigger = _remeasure_trigger(ref)
         extra = 0
         while ref is not None and min(runs) > trigger * ref and extra < 2:
             runs.append(_time_once(spark, q, sf_dir))
@@ -501,6 +495,16 @@ def _prior_ivf_scalar(field: str, expect_sf: str | None = None) -> float | None:
         except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
             continue
     return best
+
+
+def _remeasure_trigger(ref: float | None) -> float:
+    """Outlier re-run threshold vs the best committed prior for a query.
+    Sub-second priors get a TIGHTER 1.5x trigger (VERDICT r10 next #3):
+    three sub-second ANN rungs drifted 1.8-2.0x in lockstep in r10, each
+    just UNDER the old uniform 3x, so consistent just-under drift landed
+    unchallenged. Multi-second walls keep 3x — their variance is dominated
+    by genuine shuffle/host noise where 1.5x would re-run constantly."""
+    return 3.0 if ref is None or ref >= 1.0 else 1.5
 
 
 def _prior_round_timings(

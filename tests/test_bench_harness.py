@@ -47,3 +47,18 @@ def test_last_full_artifact_is_current_shape():
         assert k in d["summary"]
     # summary must be the LAST key so any stdout tail window keeps it
     assert list(d.keys())[-1] == "summary"
+
+
+def test_remeasure_trigger_tiers():
+    """Sub-second prior-best queries re-measure at 1.5x, multi-second at
+    3x, and an unknown prior never triggers (VERDICT r10 next #3: the
+    r10 ANN rungs drifted just under a uniform 3x — 1.909 s vs a 0.963 s
+    prior must now trip the guard)."""
+    import bench
+
+    assert bench._remeasure_trigger(None) == 3.0
+    assert bench._remeasure_trigger(5.0) == 3.0
+    assert bench._remeasure_trigger(1.0) == 3.0
+    assert bench._remeasure_trigger(0.963) == 1.5
+    # the r10 case: min-of-3 1.909 vs prior 0.963 -> re-measure fires
+    assert 1.909 > bench._remeasure_trigger(0.963) * 0.963

@@ -670,3 +670,16 @@ def test_index_probe_prunes_cell_partitions(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_index_probe")
     assert re.search(r"PartitionFilters: \[[^\]]*__cell", plan), plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_index_probe_with_tombstones_keeps_pruning(spark, sf_dir):
+    """A LIVE tombstone log must not change the probe's plan class: the
+    deleted-id exclusion is a BROADCAST anti-join layered on the already
+    cell-pruned codes scan — PartitionFilters still restrict the file
+    listing to the probed cells, and no sort-merge join or full-index
+    rescan appears (at 100 TB an exclusion that defeated pruning would
+    turn every delete into a whole-index probe tax)."""
+    plan = plan_of(spark, sf_dir, "similarity_index_delete")
+    assert re.search(r"PartitionFilters: \[[^\]]*__cell", plan), plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
