@@ -1252,13 +1252,14 @@ def _estimate_corpus_rows(corpus: DataFrame, bound: int) -> int:
 
 def topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 10,
     strategy: str = "auto",
     brute_force_max_rows: int = 100_000,
     q_id: str = "q_id",
     c_id: str = "c_id",
     vec: str = "embedding",
+    index_path: str | None = None,
     **ivf_kwargs,
 ) -> DataFrame:
     """Strategy-planning front door for similarity search — the "planner
@@ -1278,9 +1279,26 @@ def topk(
         unaffordable brute pass); any non-file plan falls back to a bounded
         ``limit(bound+1).count()`` probe.
 
+      * ``"index"`` — probe a PERSISTED :func:`build_ann_index` index at
+        ``index_path`` (``corpus`` may be None — the index IS the corpus).
+        Under ``"auto"``, a provided ``index_path`` always wins: an
+        already-built disk index amortizes quantizer + encode, so probing
+        it beats re-deriving any inline rung regardless of corpus size.
+        ``n_probe``/``rerank`` ride through ``ivf_kwargs``.
+
     At 100 TB nobody should hand-pick the rung per corpus; pipelines call
     this and get the exact answer when it is cheap and the indexed answer
     when exactness would be a job-killer cross-join."""
+    if index_path is not None and strategy in ("auto", "index"):
+        return probe_ann_index(
+            queries.sparkSession, index_path, queries, k=k,
+            n_probe=ivf_kwargs.pop("n_probe", 4),
+            rerank=ivf_kwargs.pop("rerank", 100), q_id=q_id,
+        )
+    if strategy == "index":
+        raise ValueError("strategy='index' requires index_path")
+    if corpus is None:
+        raise ValueError("corpus is required unless index_path is given")
     if strategy == "auto":
         est = _estimate_corpus_rows(corpus, brute_force_max_rows)
         strategy = "brute" if est <= brute_force_max_rows else "ivf"

@@ -1279,6 +1279,51 @@ def test_compact_recovers_stranded_precompact(spark, sf_dir):
     assert after == before and after
 
 
+def test_topk_planner_routes_to_persisted_index(spark, sf_dir):
+    """topk(index_path=...) must route straight to probe_ann_index —
+    bit-identical rows, corpus argument optional (the index IS the
+    corpus), 'auto' preferring the persisted index over every inline
+    rung — and strategy='index' without a path must fail loudly."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        probe_ann_index,
+        topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_index_planner_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    direct = {
+        tuple(r)
+        for r in probe_ann_index(
+            spark, path, q, k=10, n_probe=4, rerank=100
+        ).collect()
+    }
+    via_auto = {
+        tuple(r)
+        for r in topk(q, None, k=10, index_path=path, n_probe=4,
+                      rerank=100).collect()
+    }
+    via_explicit = {
+        tuple(r)
+        for r in topk(q, c, k=10, strategy="index", index_path=path,
+                      n_probe=4, rerank=100).collect()
+    }
+    assert via_auto == direct == via_explicit and direct
+    with _pytest.raises(ValueError, match="index_path"):
+        topk(q, c, k=10, strategy="index")
+    with _pytest.raises(ValueError, match="corpus"):
+        topk(q, None, k=10)
+
+
 def test_index_delete_tombstones_then_compaction_applies(spark, sf_dir):
     """Delete lifecycle end to end: tombstoned ids must (a) vanish from
     probes IMMEDIATELY — the probe of the tombstoned index is BIT FOR BIT
