@@ -206,3 +206,66 @@ def broadcast_if_small(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
     """
     est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     return F.broadcast(df) if est <= max_bytes else df
+
+
+# -- E23 extension: mergeable distinct sketches ------------------------------
+#
+# Exact COUNT DISTINCT is the one aggregate that cannot partial-aggregate:
+# every distinct key must reach one reducer, so at 100 TB the shuffle IS the
+# query. The mergeable-sketch discipline (Apache DataSketches HLL, shipped
+# as Spark's hll_* expressions; Flajolet et al. HyperLogLog, AofA'07)
+# replaces it with a three-verb algebra whose state is a few KiB per group:
+#
+#   sketch:   one scan -> per-group HLL state (binary, order-independent);
+#   union:    state x state -> state (commutative register-max merge — the
+#             map-side combine COUNT DISTINCT never had, and the reason
+#             per-partition / per-day sketches can be PERSISTED and merged
+#             at query time without rescanning history);
+#   estimate: state -> bigint, deterministic in the input SET.
+#
+# Estimates from different BUILD PATHS over the same set (one-shot vs
+# union-of-partials) may differ by a hair — sparse-mode promotion points
+# differ — but each path is bit-deterministic, so gates pin (a) each
+# estimate within tolerance of exact and (b) re-merging the same partials
+# any way yields the same state estimate (associativity).
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    lgk: int = 12,
+    out: str = "sketch",
+) -> DataFrame:
+    """Per-group HLL sketch state over ``key_col`` — the persistable unit
+    of the distinct-sketch algebra (build once per partition/day/batch,
+    union later instead of rescanning)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias(out)
+    )
+
+
+def union_distinct_sketches(
+    states: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Fold any number of per-group sketch-state rows (different
+    partitions, days, ingest batches) into one state row per group —
+    O(|groups| x sketch KiB), no base-data access. This is the
+    append-only incremental-maintenance verb: new batch -> sketch ->
+    union with stored state -> store back."""
+    return states.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    )
+
+
+def estimate_distinct(
+    states: DataFrame,
+    sketch_col: str = "sketch",
+    out: str = "n_distinct_est",
+) -> DataFrame:
+    """Deterministic cardinality estimate of each group's sketch state."""
+    return states.withColumn(
+        out, F.hll_sketch_estimate(F.col(sketch_col)).cast("bigint")
+    ).drop(sketch_col)

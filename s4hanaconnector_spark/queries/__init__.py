@@ -28,15 +28,16 @@ _MODULES = [_cdc]
 # driver verification accumulates across the registry (VERDICT r8 next #2).
 #
 # Round-11 cohort (VERDICT r10 next #1: "finish the rotation"): 47
-# first-timers — 46 of the 53 queries that had never had a driver-produced
-# CORRECTNESS row after r10, plus the round's one NEW query
-# (similarity_index_delete). The seven deferred to r12
-# (cross_join_region_nation, funnel_conversion, cohort_retention_matrix,
-# timeseries_interpolate, layout_zorder_spans, window_rolling_distinct,
-# map_priority_rank) include the six rows the r10 judge ALREADY re-ran
-# independently against their DuckDB oracles (12/12 parity-exact, VERDICT
-# r10) — they carry the strongest non-driver evidence, so they wait one
-# round while the never-verified tail lands.
+# first-timers — 45 of the 53 queries that had never had a driver-produced
+# CORRECTNESS row after r10, plus the round's two NEW queries
+# (similarity_index_delete, agg_distinct_sketch_merge). The eight deferred
+# to r12 (cross_join_region_nation, funnel_conversion,
+# cohort_retention_matrix, timeseries_interpolate, layout_zorder_spans,
+# window_rolling_distinct, map_priority_rank, histogram_doc_lengths)
+# include the six rows the r10 judge ALREADY re-ran independently against
+# their DuckDB oracles (12/12 parity-exact, VERDICT r10) — they carry the
+# strongest non-driver evidence, so they wait one round while the
+# never-verified tail lands.
 # Retained canaries: cdc_delta, source_jdbc_roundtrip,
 # source_jdbc_type_gallery (driver-green r9+r10; regression tripwire).
 #
@@ -85,7 +86,11 @@ _SAMPLE_HEAD = [
     "customer_rfm_segments",
     "basket_part_pairs",
     "quantile_outlier_docs",
-    "histogram_doc_lengths",
+    # NEW this round: mergeable HLL distinct sketches (takes
+    # histogram_doc_lengths' slot — that query defers to r12; its
+    # histogram family keeps in-head coverage via orders_price_histogram
+    # and quantile_outlier_docs)
+    "agg_distinct_sketch_merge",
     "feature_zscore",
     # text / retrieval / LLM-data pipeline tail
     "text_clean_pipeline",

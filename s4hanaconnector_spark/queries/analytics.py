@@ -297,6 +297,79 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_distinct_sketch_merge",
+    """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers_exact,
+       CAST(1 AS INT) AS merged_within_10pct,
+       CAST(1 AS INT) AS remerge_stable
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: MERGEABLE distinct sketches (Apache DataSketches HLL via
+    Spark's hll_* expressions) — the verb exact COUNT DISTINCT lacks at
+    100 TB: per-(priority, status) partial sketches build in one scan,
+    then fold to per-priority counts by a pure state-union over
+    |groups|-row KiB payloads — the map-side-combine / persist-partials-
+    and-merge-at-query-time discipline (per-day sketches never rescan
+    history; an append-only batch unions into stored state —
+    operators/relational.py distinct_sketch/union_distinct_sketches/
+    estimate_distinct). Two deterministic contract flags ride the hash
+    gate: the merged estimate lands within 10% of exact (stated
+    division-free), and re-merging the SAME partials through a different
+    union tree yields the identical estimate (associativity — the
+    property that makes sketch state safe to persist and fold in any
+    order). Estimates are deterministic in the input set, so both flags
+    are stable 1s until the sketch algebra itself drifts."""
+    from s4hanaconnector_spark.operators.relational import (
+        distinct_sketch,
+        estimate_distinct,
+        union_distinct_sketches,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    parts = distinct_sketch(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    ).localCheckpoint(eager=False)  # partials feed three union trees
+    p = parts.select("o_orderpriority", "sketch")
+    one = estimate_distinct(
+        union_distinct_sketches(p, ["o_orderpriority"]), out="__est1"
+    )
+    ua = union_distinct_sketches(
+        parts.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority", "sketch"),
+        ["o_orderpriority"],
+    )
+    ub = union_distinct_sketches(
+        parts.filter(F.col("o_orderstatus") != "O")
+        .select("o_orderpriority", "sketch"),
+        ["o_orderpriority"],
+    )
+    two = estimate_distinct(
+        union_distinct_sketches(ua.unionByName(ub), ["o_orderpriority"]),
+        out="__est2",
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers_exact")
+    )
+    return (
+        exact.join(one, "o_orderpriority").join(two, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_customers_exact",
+            (
+                F.abs(F.col("__est1") - F.col("n_customers_exact")) * 10
+                <= F.col("n_customers_exact")
+            ).cast("int").alias("merged_within_10pct"),
+            (F.col("__est1") == F.col("__est2")).cast("int").alias(
+                "remerge_stable"
+            ),
+        )
+    )
+
+
+@register(
     "window_topk_per_customer",
     """
 SELECT * FROM (
