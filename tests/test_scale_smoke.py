@@ -1052,3 +1052,83 @@ def test_oracle_parity_at_sf1(spark):
         "queries_green": len(lifecycle),
         "rows": sum(lifecycle.values()),
     })
+
+
+@pytest.mark.slow
+def test_index_delete_at_x100(spark):
+    """The delete verb at the tier where it matters: on the x100 index
+    (~200k vectors, 16 cells) a 2k-id takedown must (a) land as an
+    O(|batch|) tombstone write, (b) remove every deleted id from probe
+    results immediately while the probe still partition-prunes (the
+    broadcast anti-join must not degrade the plan class), and (c) be
+    applied physically by one compaction — postings shrink by exactly the
+    tombstone count, the log clears, and the probe result is unchanged.
+    Walls for the tombstoned vs compacted probe land in the artifact."""
+    import os as _os
+    import re as _re
+    import tempfile as _tmp
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        probe_ann_index,
+    )
+    from s4hanaconnector_spark.scale_data import (
+        default_tier_dir,
+        synthesize_tier,
+    )
+
+    x100 = synthesize_tier(spark, BASE, default_tier_dir(BASE, 100), 100)
+    e = spark.read.parquet(_os.path.join(x100, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = _tmp.mkdtemp(prefix="ann_x100_del_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+
+    dead = c.filter((F.col("c_id") >= 100) & (F.col("c_id") < 2100)).select("c_id")
+    n_dead = dead.count()
+    t0 = _t.perf_counter()
+    delete_from_ann_index(dead, path)
+    t_delete = _t.perf_counter() - t0
+
+    df = probe_ann_index(spark, path, q, k=10, n_probe=4, rerank=100)
+    rows_tomb = {tuple(r) for r in df.collect()}
+    t0 = _t.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    t_probe_tomb = _t.perf_counter() - t0
+    assert rows_tomb and not any(100 <= r[1] < 2100 for r in rows_tomb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*__cell", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+    n_before = spark.read.parquet(_os.path.join(path, "codes")).count()
+    stats = compact_ann_index(spark, path)
+    assert stats["tombstones_applied"] == n_dead, stats
+    n_after = spark.read.parquet(_os.path.join(path, "codes")).count()
+    assert n_after == n_before - n_dead, (n_before, n_after, n_dead)
+
+    df2 = probe_ann_index(spark, path, q, k=10, n_probe=4, rerank=100)
+    rows_comp = {tuple(r) for r in df2.collect()}
+    t0 = _t.perf_counter()
+    df2.write.format("noop").mode("overwrite").save()
+    t_probe_comp = _t.perf_counter() - t0
+    assert rows_comp == rows_tomb
+
+    _record_raw("index_delete_at_x100", {
+        "index_rows": n_before,
+        "deleted_ids": n_dead,
+        "delete_log_write_sec": round(t_delete, 2),
+        "probe_with_live_tombstones_sec": round(t_probe_tomb, 2),
+        "probe_after_compaction_sec": round(t_probe_comp, 2),
+        "note": "probe rows identical with live tombstones vs after "
+                "physical application (asserted); deleted ids absent from "
+                "results; plan keeps PartitionFilters + broadcast anti-join",
+    })
+    print(f"DELETE x100: log {t_delete:.2f}s, probe tomb {t_probe_tomb:.2f}s,"
+          f" probe compacted {t_probe_comp:.2f}s")
