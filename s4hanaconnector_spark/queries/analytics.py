@@ -2075,6 +2075,118 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_distinct_sketch",
+    """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers_exact,
+       CAST(1 AS INT) AS est_within_10pct,
+       CAST(1 AS INT) AS matches_one_shot_union
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT maintenance as mergeable sketch state — the
+    three-verb HLL algebra (agg_distinct_sketch_merge) driven by the REAL
+    streaming engine: the feed lands as two poll files, a file stream
+    drains them one micro-batch each, and every foreachBatch sketches its
+    batch and UNIONS it into the persisted per-group state — KiB per
+    group, never a rescan of earlier polls, never raw keys in state
+    (exact streaming COUNT DISTINCT would have to hold every key ever
+    seen; the sketch holds registers). mode("overwrite") per state
+    version keeps at-least-once replay safe, same contract as the
+    streaming dedup/IVM merges. Two deterministic flags ride the hash
+    gate: the drained state's estimate lands within 10% of the exact
+    distinct over the whole feed, and it EQUALS the one-shot union of the
+    per-poll sketches — the associativity that makes incremental folding
+    indistinguishable from never having split the feed."""
+    import glob as _glob
+    import os
+
+    from s4hanaconnector_spark.operators.relational import (
+        distinct_sketch,
+        estimate_distinct,
+        union_distinct_sketches,
+    )
+    from s4hanaconnector_spark.queries.llmops import _scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    d = _scratch_dir("stream_sketch", sf_dir)
+    feed = os.path.join(d, "feed")
+    state_dir = os.path.join(d, "state")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(state_dir)
+    p0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    p1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    p0.coalesce(1).write.parquet(os.path.join(feed, "poll=0"))
+    p1.coalesce(1).write.parquet(os.path.join(feed, "poll=1"))
+
+    def fold(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bstate = distinct_sketch(batch_df, ["o_orderpriority"], "o_custkey")
+        versions = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))
+        prev = [
+            v for v in versions
+            if v < os.path.join(state_dir, f"v_{batch_id:06d}")
+        ]
+        if prev:
+            bstate = union_distinct_sketches(
+                s.read.parquet(prev[-1]).unionByName(bstate),
+                ["o_orderpriority"],
+            )
+        bstate.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:06d}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderpriority string, o_custkey bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "poll=*"))
+    )
+    sq = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("streaming_distinct_sketch did not drain")
+    last = sorted(_glob.glob(os.path.join(state_dir, "v_0*")))[-1]
+    drained = estimate_distinct(spark.read.parquet(last), out="__est")
+    one_shot = estimate_distinct(
+        union_distinct_sketches(
+            distinct_sketch(p0, ["o_orderpriority"], "o_custkey").unionByName(
+                distinct_sketch(p1, ["o_orderpriority"], "o_custkey")
+            ),
+            ["o_orderpriority"],
+        ),
+        out="__est1",
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers_exact")
+    )
+    return (
+        exact.join(drained, "o_orderpriority")
+        .join(one_shot, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_customers_exact",
+            (
+                F.abs(F.col("__est") - F.col("n_customers_exact")) * 10
+                <= F.col("n_customers_exact")
+            ).cast("int").alias("est_within_10pct"),
+            (F.col("__est") == F.col("__est1")).cast("int").alias(
+                "matches_one_shot_union"
+            ),
+        )
+    )
+
+
+@register(
     "streaming_session_windows",
     """
 WITH gaps AS (
