@@ -931,6 +931,7 @@ def incremental_semantic_dedup_from_index(
     import os
 
     from s4hanaconnector_spark.operators.similarity import (
+        _auto_assignment,
         _fs_read_text,
         _index_tombstones,
         cell_assigner,
@@ -940,9 +941,7 @@ def incremental_semantic_dedup_from_index(
     id_col, vec = meta["c_id"], meta["vec"]
     round_digits = meta["round_digits"]
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    assignment = meta.get("assignment") or (
-        "expr" if centroids.count() <= 2048 else "arrow"
-    )
+    assignment = meta.get("assignment") or _auto_assignment(centroids)
     assign = cell_assigner(
         None, n_centroids=meta["n_centroids"], c_id=id_col, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,

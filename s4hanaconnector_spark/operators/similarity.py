@@ -232,6 +232,21 @@ def ivf_assign(
 
 
 
+_LITERAL_CENTROID_MAX = 2048  # cell_assigner's literal-delivery threshold
+
+
+def _auto_assignment(centroids: DataFrame) -> str:
+    """The ONE auto-resolution rule for the cell-assignment backend,
+    shared by build_ann_index (persisting the resolved name),
+    append_to_ann_index and the from-index dedup readers (reconstructing
+    it for indexes written before the meta key existed). Mirrors
+    cell_assigner's auto branch at its default ``literal_centroid_max`` —
+    centralized so the rule cannot drift per call site (a drifted copy
+    re-opens the exact rounding-tie append/build divergence the persisted
+    backend closes)."""
+    return "expr" if centroids.count() <= _LITERAL_CENTROID_MAX else "arrow"
+
+
 def cell_assigner(
     corpus: DataFrame | None,
     n_centroids: int = 16,
@@ -239,7 +254,7 @@ def cell_assigner(
     vec: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
-    literal_centroid_max: int = 2048,
+    literal_centroid_max: int = _LITERAL_CENTROID_MAX,
     assignment: str = "auto",
 ):
     """Resolve the coarse quantizer ONCE (centroid table, delivery mode,
@@ -1290,8 +1305,21 @@ def topk(
     this and get the exact answer when it is cheap and the indexed answer
     when exactness would be a job-killer cross-join."""
     if index_path is not None and strategy in ("auto", "index"):
+        import json
+        import os
+
+        spark = queries.sparkSession
+        # honor the caller's vec/q_id contract exactly like every inline
+        # rung: the probe resolves columns by the INDEX meta's names, so a
+        # caller-named vector column is projected onto the index's before
+        # probing (otherwise a frame carrying both names would silently
+        # score the wrong column)
+        meta_vec = json.loads(
+            _fs_read_text(spark, os.path.join(index_path, "meta.json"))
+        )["vec"]
+        q = queries.select(F.col(q_id), F.col(vec).alias(meta_vec))
         return probe_ann_index(
-            queries.sparkSession, index_path, queries, k=k,
+            spark, index_path, q, k=k,
             n_probe=ivf_kwargs.pop("n_probe", 4),
             rerank=ivf_kwargs.pop("rerank", 100), q_id=q_id,
         )
@@ -1453,7 +1481,7 @@ def build_ann_index(
     if assignment not in ("auto", "expr", "arrow"):
         raise ValueError(f"unknown assignment backend: {assignment}")
     if assignment == "auto":
-        assignment = "expr" if centroids.count() <= 2048 else "arrow"
+        assignment = _auto_assignment(centroids)
     assign = cell_assigner(
         corpus, n_centroids=n_centroids, c_id=c_id, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,
@@ -1614,8 +1642,11 @@ def delete_from_ann_index(batch: DataFrame, path: str) -> dict:
     compaction drops BOTH the tombstone and every posting of the id (old
     and re-appended). Re-ingesting a deleted id is therefore a
     compact-then-append sequence, never a bare append. ``batch`` needs
-    only the index's id column. Returns {"tombstones": total} after the
-    append."""
+    only the index's id column. Returns {"tombstones_appended": |batch|}
+    — the BATCH's distinct count only, keeping each delete O(|batch|)
+    (re-counting the accumulated log here would make every small takedown
+    pay a full log scan; the applied total comes back from
+    ``compact_ann_index`` as ``tombstones_applied``)."""
     import json
     import os
 
@@ -1623,8 +1654,9 @@ def delete_from_ann_index(batch: DataFrame, path: str) -> dict:
     meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
     c_id = meta["c_id"]
     tpath = os.path.join(path, "tombstones")
-    batch.select(c_id).distinct().write.mode("append").parquet(tpath)
-    return {"tombstones": spark.read.parquet(tpath).select(c_id).distinct().count()}
+    ids = batch.select(c_id).distinct().localCheckpoint(eager=False)
+    ids.write.mode("append").parquet(tpath)
+    return {"tombstones_appended": ids.count()}
 
 
 def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
@@ -1729,6 +1761,20 @@ def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
             .partitionBy("__cell")
             .parquet(tmp)
         )
+        if n_files(tmp) == 0:
+            # tombstones (or a pathological dedup) covered EVERY resident
+            # row: swapping in a fileless postings dir would brick every
+            # future read of the index AND clear the log that explains
+            # why. Abort BEFORE the stage — src and tombstones/ stay
+            # intact — because emptying an index is a DROP decision the
+            # caller must make explicitly, not a compaction side effect.
+            fs_t, tmp_p0 = hpath(tmp)
+            fs_t.delete(tmp_p0, True)
+            raise ValueError(
+                "compact_ann_index: compaction would leave the index "
+                "empty (every resident id is tombstoned or deduplicated "
+                "away) — drop and rebuild the index instead"
+            )
         fs, src_p = hpath(src)
         _, tmp_p = hpath(tmp)
         _, old_p = hpath(os.path.join(path, f"__precompact_{leaf}"))
@@ -1792,9 +1838,7 @@ def append_to_ann_index(batch: DataFrame, path: str) -> dict:
     # resolved backend persisted at build; for indexes written before the
     # key existed, reconstruct cell_assigner's auto rule from the frozen
     # centroid table (<= its 2048 literal_centroid_max default -> expr).
-    assignment = meta.get("assignment") or (
-        "expr" if centroids.count() <= 2048 else "arrow"
-    )
+    assignment = meta.get("assignment") or _auto_assignment(centroids)
     assign = cell_assigner(
         None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
         round_digits=round_digits, centroids=centroids, assignment=assignment,

@@ -3165,11 +3165,19 @@ def _scratch_dir(name: str, sf_dir: str, wipe: bool = True) -> str:
     import shutil
     import tempfile
 
+    import hashlib
+
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="llmops_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    # slug is for humans; the md5 suffix makes distinct sf_dirs that
+    # sanitize identically ('/a/b' vs '/a_b') land in distinct dirs — a
+    # collision would let one dataset's wipe-and-rebuild silently replace
+    # another's cached index
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir).strip("_")
     d = os.path.join(
-        _SCRATCH_ROOT, name, re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir).strip("_")
+        _SCRATCH_ROOT, name,
+        f"{slug}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     if wipe and os.path.exists(d):
         shutil.rmtree(d)
@@ -3709,10 +3717,18 @@ def similarity_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come from the FULL corpus on both sides, because the index was built
 # before the delete and deletes never retrain (ids 100-199 sit outside the
 # 16-centroid / 32-codeword prefixes by construction)
+_DEL_JOIN_PAT = "FROM probes p JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id"
+if _DEL_JOIN_PAT not in _IVF_PQ_SCORERAW_CTE:  # pragma: no cover
+    # loud at IMPORT time: a silent no-op replace would ship a delete
+    # oracle that stopped excluding the tombstoned range, going red only
+    # at the next full parity run, far from the edit that broke it
+    raise RuntimeError(
+        "similarity_index_delete oracle: candidate-join pattern no longer "
+        "matches _IVF_PQ_SCORERAW_CTE — update _DEL_JOIN_PAT"
+    )
 _IVF_PQ_SCORERAW_DEL_CTE = _IVF_PQ_SCORERAW_CTE.replace(
-    "FROM probes p JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id",
-    "FROM probes p JOIN cells c ON c.cell = p.cell AND c.c_id <> p.q_id"
-    " AND NOT (c.c_id BETWEEN 100 AND 199)",
+    _DEL_JOIN_PAT,
+    _DEL_JOIN_PAT + " AND NOT (c.c_id BETWEEN 100 AND 199)",
 )
 _IVF_PQ_DEL_PIPE = (
     _IVF_CELLS_CTE.strip() + ",\n" + _PQ_ENC_CTE.strip() + ",\n"

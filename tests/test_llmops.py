@@ -1403,6 +1403,41 @@ def test_index_delete_tombstones_then_compaction_applies(spark, sf_dir):
     assert p_compacted == p_tomb
 
 
+def test_compact_refuses_to_empty_the_index(spark, sf_dir):
+    """Tombstoning EVERY resident id then compacting must not brick the
+    index: compaction detects the would-be-empty rewrite and aborts
+    BEFORE the swap — postings and the tombstone log both survive, probes
+    still answer (empty, since everything is deleted), and the caller is
+    told emptying an index is a drop decision, not a compaction."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_index_empty_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    delete_from_ann_index(c.select("c_id"), path)
+
+    with _pytest.raises(ValueError, match="empty"):
+        compact_ann_index(spark, path)
+    # nothing was lost: postings dir readable, log intact, probe runs
+    assert spark.read.parquet(os.path.join(path, "codes")).count() > 0
+    assert os.path.exists(os.path.join(path, "tombstones"))
+    assert probe_ann_index(spark, path, q, k=10).count() == 0
+
+
 def test_incremental_dedup_from_index_equals_full_scan(spark, sf_dir):
     """The partition-pruned batch-vs-INDEX classifier must reproduce the
     full-scan incremental_semantic_dedup BIT FOR BIT on the same frozen
