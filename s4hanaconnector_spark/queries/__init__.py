@@ -27,94 +27,85 @@ _MODULES = [_cdc]
 # harness samples the first 50 entries. The head is ROTATED each round so
 # driver verification accumulates across the registry (VERDICT r8 next #2).
 #
-# Round-11 cohort (VERDICT r10 next #1: "finish the rotation"): 47
-# first-timers — 44 of the 53 queries that had never had a driver-produced
-# CORRECTNESS row after r10, plus the round's three NEW queries
-# (similarity_index_delete, agg_distinct_sketch_merge,
-# streaming_distinct_sketch). The nine deferred to r12
-# (cross_join_region_nation, funnel_conversion, cohort_retention_matrix,
-# timeseries_interpolate, layout_zorder_spans, window_rolling_distinct,
-# map_priority_rank, histogram_doc_lengths, feature_zscore) include the
-# six rows the r10 judge ALREADY re-ran independently against their
-# DuckDB oracles (12/12 parity-exact, VERDICT r10) — they carry the
-# strongest non-driver evidence, so they wait one round while the
-# never-verified tail lands.
+# Round-12 cohort (VERDICT r11 next #1: "close the driver-rotation tail"):
+# the 9 queries never driver-sampled in ANY round (cohort_retention_matrix,
+# cross_join_region_nation, feature_zscore, funnel_conversion,
+# histogram_doc_lengths, layout_zorder_spans, map_priority_rank,
+# timeseries_interpolate, window_rolling_distinct) are pinned first — a
+# green row for each ends the rotation at cumulative 235/235. The
+# remaining 37 backfill slots go to the STALEST previously-sampled
+# queries (last driver row in r2–r7), refreshing driver evidence that
+# predates the current engine by 5+ rounds, plus this round's new
+# dedup_semdedup_pair_budget.
 # Retained canaries: cdc_delta, source_jdbc_roundtrip,
-# source_jdbc_type_gallery (driver-green r9+r10; regression tripwire).
+# source_jdbc_type_gallery (driver-green r9–r11; regression tripwire).
 #
-# Displaced from the r10 head: the full r10 cohort — every displaced query
-# carries a green r10 driver row and stays covered by
+# Displaced from the r11 head: the full r11 cohort — every displaced query
+# carries a green r11 driver row and stays covered by
 # CORRECTNESS_FULL.json + tests/test_oracle_parity.py every round.
 # Queries never driver-sampled in ANY round are tracked against the union
 # of committed CORRECTNESS_r0*.json keys (see tools/rotate_head.py).
 _SAMPLE_HEAD = [
-    # canaries (driver-green in r9 and r10; regression tripwire)
+    # canaries (driver-green r9–r11; regression tripwire)
     "cdc_delta",
     "source_jdbc_roundtrip",
     "source_jdbc_type_gallery",
-    # catalog / schema / type surface
-    "catalog_table_exists",
-    "sap_type_edges",
-    "avro_schema_export",
-    "cdc_txn_latency_alert",
-    "nest_customer_orders_items",
-    # relational / set / reshape surface
-    "union_mixed_schemas",
-    "unpivot_order_metrics",
-    "json_extract_events",
-    # NEW this round: tombstone-delete lifecycle on the persisted ANN
-    # index (takes map_priority_rank's slot — that query defers to r12
-    # with the six judge-re-verified rows; its scalar family keeps r10
-    # driver coverage via scalar_surface)
-    "similarity_index_delete",
-    "join_salted_nation_revenue",
-    "profile_orders",
-    "dq_constraint_report",
-    # time-series / sessionization / behavioral analytics
-    "asof_forward_next_click",
-    "user_event_sequences",
-    "user_event_type_profile",
-    "event_transition_matrix",
-    "orders_monthly_series",
-    "timeseries_densify",
-    "events_time_weighted_avg",
-    "events_rolling_anomaly",
-    "audit_sequence_gaps",
-    "audit_sequence_islands",
-    # business analytics
-    "orders_price_histogram",
-    "orders_pareto_customers",
-    "customer_rfm_segments",
-    "basket_part_pairs",
-    "quantile_outlier_docs",
-    # NEW this round: mergeable HLL distinct sketches (takes
-    # histogram_doc_lengths' slot — that query defers to r12; its
-    # histogram family keeps in-head coverage via orders_price_histogram
-    # and quantile_outlier_docs)
-    "agg_distinct_sketch_merge",
-    # NEW this round: streaming distinct maintenance as mergeable sketch
-    # state (takes feature_zscore's slot — defers to r12; its scaling
-    # family keeps coverage via quantile_outlier_docs in-head)
-    "streaming_distinct_sketch",
-    # text / retrieval / LLM-data pipeline tail
-    "text_clean_pipeline",
-    "chunk_documents",
-    "dedup_chunks",
-    "vocab_term_stats",
-    "collocations_pmi",
-    "tfidf_retrieval",
-    "bm25_retrieval",
-    "retrieval_rrf_fusion",
-    "pii_redaction",
-    "lm_fluency_scores",
-    "decontaminate_train_set",
-    "decontaminate_semantic",
-    "embedding_label_centroids",
-    "embedding_training_pairs",
-    "curriculum_order",
-    "corpus_budget_selection",
-    "sample_stratified_by_lang",
-    "sample_importance_weighted",
+    # the rotation tail: never driver-sampled before this round
+    "cohort_retention_matrix",
+    "cross_join_region_nation",
+    "feature_zscore",
+    "funnel_conversion",
+    "histogram_doc_lengths",
+    "layout_zorder_spans",
+    "map_priority_rank",
+    "timeseries_interpolate",
+    "window_rolling_distinct",
+    # NEW this round: SemDeDup with a per-cell pair budget (VERDICT r11
+    # next #5 — the winnowed rung that caps within-cell quadratic work)
+    "dedup_semdedup_pair_budget",
+    # stalest backfill: last driver row r2 (10 rounds ago)
+    "q18_large_volume_orders",
+    "supplier_nation_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "streaming_tumbling_revenue",
+    # stalest backfill: last driver row r3
+    "events_tumbling_window",
+    "events_sessionize",
+    "pivot_status_by_priority",
+    "join_semi_priority_count",
+    "join_anti_idle_customers",
+    "join_agg_small_qty_revenue",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "window_lag_lead_gaps",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    # stalest backfill: last driver row r4
+    "window_topk_per_customer",
+    "window_running_sum",
+    "setops_customer_segments",
+    # stalest backfill: last driver row r5
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    # stalest backfill: last driver row r6
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    # stalest backfill: last driver row r7
+    "cdc_temporal_join",
+    "cdc_snapshot_checksum",
+    "cdc_quarantine_malformed",
+    "streaming_nested_bo_maintenance",
+    "streaming_nested_bo_2level",
+    "streaming_forget_cascade",
 ]
 
 

@@ -19,7 +19,10 @@ import json
 import os
 import sys
 
-MIN_NEW = 40  # the judge's bar for a useful rotation
+# The rotation bar: a useful head adds MIN_NEW first-timers — OR, once
+# fewer than MIN_NEW queries remain never-sampled (the r12 endgame), the
+# head must contain ALL of them so cumulative driver coverage closes.
+MIN_NEW = 40
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,7 +56,8 @@ def main() -> int:
     for n in remaining:
         print(f"  {n}")
 
-    if "--check" in sys.argv and (len(first_timers) < MIN_NEW or missing):
+    bar = min(MIN_NEW, len(never))
+    if "--check" in sys.argv and (len(first_timers) < bar or missing):
         return 1
     return 0
 
