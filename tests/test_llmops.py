@@ -1637,3 +1637,165 @@ def test_semdedup_pairing_backends_agree(spark, sf_dir):
     assert arrow == expr and expr
     with _pytest.raises(ValueError, match="pairing"):
         semantic_dedup(d, "vec_id", pairing="nope").collect()
+
+
+def test_probe_uses_persisted_assignment_backend(spark, sf_dir, monkeypatch):
+    """ADVICE r11 (the probe leg of the r10 build/append fix): the PRIMARY
+    reader must assign query vectors with the index's persisted backend —
+    an explicit-'arrow' build at 16 centroids would otherwise probe
+    through cell_assigner's auto rule (expr at that count) and diverge
+    from the frozen backend on the documented rounding-tie boundaries.
+    Spied via the cell_assigner seam: the backends are constructed to
+    agree except on tie boundaries, so a result diff can't detect the
+    regression on arbitrary data — the resolved-backend plumbing is the
+    contract under test."""
+    import tempfile
+
+    from s4hanaconnector_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ann_probe_asgn_")
+    meta = S.build_ann_index(
+        c, path, n_centroids=16, m=16, n_codes=32, assignment="arrow"
+    )
+    assert meta["assignment"] == "arrow"
+
+    seen: list = []
+    orig = S.cell_assigner
+
+    def spy(*a, **kw):
+        seen.append(kw.get("assignment", "auto"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "cell_assigner", spy)
+    assert S.probe_ann_index(spark, path, q, k=5).count() > 0
+    assert seen == ["arrow"]
+
+
+def test_append_of_tombstoned_id_raises(spark, sf_dir):
+    """VERDICT r11 wrong #3: the delete-wins contract is ENFORCED, not a
+    caller convention — appending a live-tombstoned id raises with the
+    compact-then-append remedy instead of writing postings every reader
+    silently excludes; after compaction applies the delete, the same
+    append succeeds."""
+    import pytest as _pytest
+
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    resident = c.filter(~F.col("c_id").between(100, 149))
+    dead = c.filter(F.col("c_id").between(100, 149))
+    path = tempfile.mkdtemp(prefix="ann_append_tomb_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    delete_from_ann_index(dead.select("c_id"), path)
+
+    with _pytest.raises(ValueError, match="tombstoned"):
+        append_to_ann_index(dead, path)
+    # a batch with NO tombstone overlap still appends fine under a live log
+    fresh = resident.limit(10).withColumn(
+        "c_id", F.col("c_id") + F.lit(10_000_000)
+    )
+    append_to_ann_index(fresh, path)
+
+    # compact applies the delete and clears the log; re-append now works
+    compact_ann_index(spark, path)
+    append_to_ann_index(dead, path)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    assert probe_ann_index(spark, path, q, k=5).count() > 0
+
+
+def test_empty_delete_does_not_create_tombstone_log(spark, sf_dir):
+    """ADVICE r11: a zero-id delete must be a true no-op — writing an
+    empty tombstone parquet would create the directory whose existence
+    switches every reader onto the anti-join path until a compaction."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        _index_tombstones,
+        build_ann_index,
+        delete_from_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_empty_del_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    stats = delete_from_ann_index(c.filter(F.lit(False)).select("c_id"), path)
+    assert stats == {"tombstones_appended": 0}
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    assert _index_tombstones(spark, path, "c_id") is None
+
+
+def test_tombstones_applied_counts_resident_postings_only(spark, sf_dir):
+    """ADVICE r11: compact's tombstones_applied is the postings ACTUALLY
+    removed — tombstones for never-resident ids contribute zero, so the
+    caller accounting n_after == n_before - tombstones_applied holds even
+    when the log carries stale/foreign ids."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_tomb_acct_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+    resident_dead = c.filter(F.col("c_id").between(100, 149)).select("c_id")
+    n_resident = resident_dead.count()
+    assert n_resident > 0
+    ghosts = resident_dead.withColumn("c_id", F.col("c_id") + F.lit(10_000_000))
+    delete_from_ann_index(resident_dead.unionByName(ghosts), path)
+
+    n_before = spark.read.parquet(os.path.join(path, "codes")).count()
+    stats = compact_ann_index(spark, path)
+    assert stats["tombstones_applied"] == n_resident, stats
+    n_after = spark.read.parquet(os.path.join(path, "codes")).count()
+    assert n_after == n_before - n_resident
+
+
+def test_topk_index_route_honors_c_id_and_rejects_bad_kwargs(spark, sf_dir):
+    """ADVICE r11: the planner's index route must honor the caller's c_id
+    output name (every inline rung does) and must raise on kwargs it
+    cannot consume instead of silently dropping them."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.similarity import (
+        build_ann_index,
+        topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ann_planner_cid_")
+    build_ann_index(c, path, n_centroids=16, m=16, n_codes=32)
+
+    out = topk(q, None, k=5, index_path=path, c_id="doc_id")
+    assert "doc_id" in out.columns and "c_id" not in out.columns
+    assert out.count() > 0
+    with _pytest.raises(TypeError, match="n_prob"):
+        topk(q, None, k=5, index_path=path, n_prob=4)
