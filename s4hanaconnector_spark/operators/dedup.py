@@ -616,6 +616,144 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_windowed(
+    df: DataFrame,
+    id_col: str,
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+    pair_window: int = 8,
+    assignment: str = "auto",
+    pairing: str = "expr",
+) -> DataFrame:
+    """SemDeDup with a PAIR BUDGET — the winnowed rung that caps
+    :func:`semantic_dedup`'s within-cell quadratic pairing (VERDICT r11
+    next #5, the one alpha>1 family on the x100 ladder): members of each
+    cell are RANKED by their (rounded) cosine affinity to the cell's own
+    centroid — the SemDeDup paper's centroid-distance ordering — and each
+    member is scored ONLY against its next ``pair_window`` successors in
+    that rank order. Near-duplicates have near-identical centroid
+    affinity, so they sit adjacent in the ranking and a small window
+    recovers them; pairs per cell drop from n²/2 to <= n*w (a per-cell
+    pair budget B corresponds to w = B/n), making the whole pass O(N*w)
+    after ONE hash exchange on the cell id — alpha ~1.0 at the ladder in
+    place of the uncapped rung's measured 1.25-1.29 (design 1.5).
+
+    Plan shape (the 100 TB contract): cell assignment is the shared
+    row-local argmax (zero corpus shuffle); own-centroid affinity comes
+    from a broadcast join with the sqrt(N)-row centroid table; the rank
+    AND all ``pair_window`` successor candidates come from ONE window
+    (``row_number`` + ``lead(id, o)``/``lead(vec, o)`` over the same
+    spec), so there is no pairing self-join at all — the only shuffle in
+    the operator is the window's exchange on ``__cell``. ``max_cell`` is
+    deliberately absent: the cap exists to bound quadratic occupancy, and
+    this rung's work is linear in occupancy by construction.
+
+    Determinism matches the family contract: affinities and cosines are
+    rounded at ``round_digits``; rank ties break to the lowest id; the
+    contraction is the same lowest-id-neighbor single step, so the
+    declared oracle replays the result bit for bit. ``pairing`` picks the
+    scoring backend exactly as in :func:`semantic_dedup` ("expr" is the
+    Catalyst-HOF oracle-semantics reference, "arrow" the vectorized scale
+    path via the shared :func:`_arrow_pair_threshold`). Recall vs the
+    uncapped rung is GATED, not assumed (tests/test_scale_smoke.py ladders
+    both and measures the contraction-set recall)."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.similarity import (
+        cell_assigner,
+        cosine,
+    )
+
+    if pair_window < 1:
+        raise ValueError(f"pair_window must be >= 1, got {pair_window}")
+    if pairing not in ("expr", "arrow"):
+        raise ValueError(f"unknown pairing backend: {pairing}")
+    assign = cell_assigner(
+        df, n_centroids=n_centroids, c_id=id_col, vec=vec,
+        round_digits=round_digits, centroids=centroids, assignment=assignment,
+    )
+    cells = assign(df.select(id_col, vec), id_col, 1)
+    # the centroid table again, this time as DATA for the own-cell
+    # affinity join — same default prefix rule as cell_assigner resolves
+    # internally, same explicit-centroids override
+    if centroids is None:
+        cent = (
+            df.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("__cent_id"), F.col(vec).alias("__cv"))
+        )
+    else:
+        cent = centroids.select(
+            F.col("cent_id").alias("__cent_id"), F.col(vec).alias("__cv")
+        )
+    ranked = (
+        cells.join(F.broadcast(cent), F.col("__cell") == F.col("__cent_id"))
+        .select(
+            id_col, vec, "__cell",
+            F.round(cosine(F.col(vec), F.col("__cv")), round_digits)
+            .alias("__aff"),
+        )
+    )
+    # ONE window yields the rank order AND every successor candidate:
+    # lead(id, o)/lead(vec, o) share the spec, so Catalyst evaluates them
+    # in a single Window operator — the pairing stage has NO join
+    w_ord = W.partitionBy("__cell").orderBy(F.desc("__aff"), F.asc(id_col))
+    succ = F.array(
+        *[
+            F.struct(
+                F.lead(F.col(id_col), o).over(w_ord).alias("idb"),
+                F.lead(F.col(vec), o).over(w_ord).alias("vb"),
+            )
+            for o in range(1, pair_window + 1)
+        ]
+    )
+    cand = (
+        # the window must evaluate in its own step — a generator (explode)
+        # cannot share a projection with window expressions
+        ranked.withColumn("__succ", succ)
+        .select(
+            F.col(id_col).alias("__ida"), F.col(vec).alias("__va"),
+            F.explode(F.col("__succ")).alias("__s"),
+        )
+        .filter(F.col("__s.idb").isNotNull())
+        .select(
+            "__ida", "__va",
+            F.col("__s.idb").alias("__idb"), F.col("__s.vb").alias("__vb"),
+        )
+    )
+    # rank adjacency does not respect id order; the contraction contract
+    # does — normalize each unordered pair to (low id, high id). Cosine is
+    # symmetric elementwise, so the score needs no corresponding swap.
+    if pairing == "arrow":
+        pre = cand.select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "__va", "__vb",
+        )
+        pairs = _arrow_pair_threshold(pre, threshold, round_digits)
+    else:
+        cos = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+        pairs = cand.select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            cos.alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
+    neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
+    return (
+        df.select(F.col(id_col))
+        .join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
 def semantic_dedup_from_index(
     spark,
     path: str,

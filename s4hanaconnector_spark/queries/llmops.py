@@ -688,6 +688,58 @@ def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semdedup_pair_budget",
+    f"""
+WITH {_EMB_AUG_CTE.strip()},
+{_cells_over("e_aug").strip()},
+wr AS (
+    SELECT c.vec_id, c.cell,
+           row_number() OVER (
+               PARTITION BY c.cell ORDER BY f.aff DESC, c.vec_id
+           ) AS wrn
+    FROM cells c JOIN caff f ON f.vec_id = c.vec_id AND f.cent_id = c.cell
+),
+wre AS (SELECT w.vec_id, w.cell, w.wrn, e.embedding
+        FROM wr w JOIN e_aug e USING (vec_id)),
+p AS (
+    SELECT least(a.vec_id, b.vec_id) AS id_a,
+           greatest(a.vec_id, b.vec_id) AS id_b,
+           a.embedding AS qv, b.embedding AS cv
+    FROM wre a JOIN wre b
+      ON a.cell = b.cell AND b.wrn > a.wrn AND b.wrn <= a.wrn + 8
+),
+expl AS (SELECT id_a, id_b, qv, cv, unnest(range(1, len(qv) + 1)) AS i FROM p),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round({_COS_DOT}, 6) AS cosine
+        FROM expl GROUP BY id_a, id_b
+    ) WHERE cosine >= 0.95
+)
+SELECT e.vec_id, coalesce(min(pairs.id_a), e.vec_id) AS canonical_id
+FROM e_aug e LEFT JOIN pairs ON pairs.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_semdedup_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-BUDGETED SemDeDup (VERDICT r11 next #5): within each quantizer
+    cell, members rank by rounded cosine affinity to their own centroid
+    and each member scores only its next 8 rank successors — the paper's
+    centroid-distance winnowing as a per-cell pair budget (<= 8n pairs in
+    place of n²/2). Near-duplicates carry near-identical centroid
+    affinity, so they sit adjacent in rank and an 8-wide window recovers
+    them; at the x100 ladder this turns the family's one superlinear rung
+    (alpha 1.25-1.29, design 1.5) into a linear pass. The pairing stage
+    has NO self-join — rank and all successors come from one window
+    (row_number + lead over the same spec), so the operator's only
+    shuffle is the window's exchange on the cell id
+    (operators/dedup.py semantic_dedup_windowed)."""
+    return D.semantic_dedup_windowed(
+        emb_aug(spark, sf_dir), "vec_id", threshold=0.95, n_centroids=16,
+        pair_window=8,
+    )
+
+
+@register(
     "dedup_semdedup_recall",
     f"""
 WITH {_EMB_AUG_CTE.strip()},
