@@ -660,8 +660,6 @@ def semantic_dedup_windowed(
     path via the shared :func:`_arrow_pair_threshold`). Recall vs the
     uncapped rung is GATED, not assumed (tests/test_scale_smoke.py ladders
     both and measures the contraction-set recall)."""
-    from pyspark.sql import Window as W
-
     from s4hanaconnector_spark.operators.similarity import (
         cell_assigner,
         cosine,
@@ -697,6 +695,31 @@ def semantic_dedup_windowed(
             .alias("__aff"),
         )
     )
+    return _windowed_contract(
+        df.select(F.col(id_col)), ranked, id_col, vec,
+        threshold, round_digits, pair_window, pairing,
+    )
+
+
+def _windowed_contract(
+    ids: DataFrame,
+    ranked: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    round_digits: int,
+    pair_window: int,
+    pairing: str,
+) -> DataFrame:
+    """Shared pair-budget tail (:func:`semantic_dedup_windowed` and the
+    from-index variant): ``ranked`` carries ``(id, vec, __cell, __aff)``;
+    members pair only with their next ``pair_window`` successors in
+    (affinity desc, id) rank order within each cell, then contract exactly
+    as :func:`_contract_cells` does."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.similarity import cosine
+
     # ONE window yields the rank order AND every successor candidate:
     # lead(id, o)/lead(vec, o) share the spec, so Catalyst evaluates them
     # in a single Window operator — the pairing stage has NO join
@@ -743,8 +766,7 @@ def semantic_dedup_windowed(
         ).filter(F.col("cosine") >= threshold)
     neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
     return (
-        df.select(F.col(id_col))
-        .join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
+        ids.join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias(
@@ -760,6 +782,7 @@ def semantic_dedup_from_index(
     threshold: float = 0.95,
     max_cell: int | None = None,
     pairing: str = "expr",
+    pair_window: int | None = None,
 ) -> DataFrame:
     """SemDeDup straight off a persisted :func:`build_ann_index` index —
     the full amortization the 100 TB story promises: the index's
@@ -771,23 +794,57 @@ def semantic_dedup_from_index(
     capping, rounding and tiebreaks are byte-identical to
     :func:`semantic_dedup` — pinned by tests and by the declared query's
     shared oracle — because the tail IS the same code
-    (:func:`_contract_cells`)."""
+    (:func:`_contract_cells`).
+
+    ``pair_window`` composes the index amortization with the pair budget
+    (:func:`semantic_dedup_windowed`) — the full 100 TB recipe: no
+    quantizer derivation, no assignment scan, AND linear within-cell
+    pairing. Affinity to each member's own cell centroid is recomputed
+    from the index's persisted ``centroids/`` table via one broadcast
+    join (the postings don't store it); with ``pair_window`` set,
+    ``max_cell`` is ignored — windowed pairing is linear in occupancy,
+    which is the cap's whole job."""
     import json
     import os
 
     from s4hanaconnector_spark.operators.similarity import (
         _fs_read_text,
         _index_tombstones,
+        _read_postings,
+        cosine,
     )
 
     meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
     id_col, vec = meta["c_id"], meta["vec"]
-    cells = spark.read.parquet(os.path.join(path, "vectors"))
+    cells = _read_postings(spark, path, "vectors")
     tomb = _index_tombstones(spark, path, id_col)
     if tomb is not None:
         # deleted ids are not corpus members: excluded from pairing AND
         # from the output id set (same reader contract as probe_ann_index)
         cells = cells.join(F.broadcast(tomb), on=id_col, how="left_anti")
+    if pair_window is not None:
+        if pair_window < 1:
+            raise ValueError(f"pair_window must be >= 1, got {pair_window}")
+        if pairing not in ("expr", "arrow"):
+            raise ValueError(f"unknown pairing backend: {pairing}")
+        round_digits = meta["round_digits"]
+        cent = spark.read.parquet(os.path.join(path, "centroids")).select(
+            F.col("cent_id").alias("__cent_id"), F.col(vec).alias("__cv")
+        )
+        ranked = (
+            cells.join(
+                F.broadcast(cent), F.col("__cell") == F.col("__cent_id")
+            )
+            .select(
+                id_col, vec, "__cell",
+                F.round(cosine(F.col(vec), F.col("__cv")), round_digits)
+                .alias("__aff"),
+            )
+        )
+        return _windowed_contract(
+            cells.select(F.col(id_col)), ranked, id_col, vec,
+            threshold, round_digits, pair_window, pairing,
+        )
     return _contract_cells(
         cells.select(id_col, vec), cells, id_col, vec,
         threshold, meta["round_digits"], max_cell, pairing,
@@ -1072,6 +1129,7 @@ def incremental_semantic_dedup_from_index(
         _auto_assignment,
         _fs_read_text,
         _index_tombstones,
+        _read_postings,
         cell_assigner,
     )
 
@@ -1092,7 +1150,7 @@ def incremental_semantic_dedup_from_index(
     # bounded collect: <= |batch| * n_assign distinct cell ids (the batch is
     # the small side by contract) — becomes the partition-pruning predicate
     cells = [r["__cell"] for r in b_cells.select("__cell").distinct().collect()]
-    resident = spark.read.parquet(os.path.join(path, "vectors")).filter(
+    resident = _read_postings(spark, path, "vectors").filter(
         F.col("__cell").isin(cells)
     )
     tomb = _index_tombstones(spark, path, id_col)

@@ -61,8 +61,10 @@ _SAMPLE_HEAD = [
     "timeseries_interpolate",
     "window_rolling_distinct",
     # NEW this round: SemDeDup with a per-cell pair budget (VERDICT r11
-    # next #5 — the winnowed rung that caps within-cell quadratic work)
+    # next #5 — the winnowed rung that caps within-cell quadratic work),
+    # inline and composed with the persisted-index amortization
     "dedup_semdedup_pair_budget",
+    "dedup_semdedup_indexed_budget",
     # stalest backfill: last driver row r2 (10 rounds ago)
     "q18_large_volume_orders",
     "supplier_nation_stats",
@@ -105,7 +107,6 @@ _SAMPLE_HEAD = [
     "cdc_quarantine_malformed",
     "streaming_nested_bo_maintenance",
     "streaming_nested_bo_2level",
-    "streaming_forget_cascade",
 ]
 
 

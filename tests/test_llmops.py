@@ -1866,3 +1866,136 @@ def test_semdedup_windowed_backends_and_validation(spark, sf_dir):
         semantic_dedup_windowed(d, "vec_id", pair_window=0)
     with _pytest.raises(ValueError, match="pairing"):
         semantic_dedup_windowed(d, "vec_id", pairing="nope")
+
+
+def test_append_batch_key_replay_is_idempotent(spark, sf_dir):
+    """VERDICT r11 wrong #2 closed: a FORCED REPLAY of the same ingest
+    batch (same batch_key) overwrites its own __ingest unit instead of
+    appending duplicates — |postings| == |corpus| with NO compaction —
+    and the replayed index probes bit-identically to a one-shot build of
+    the same corpus. Unkeyed appends keep plain append semantics (two
+    calls with the same rows duplicate, as before)."""
+    import os
+    import tempfile
+
+    from s4hanaconnector_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    head = c.filter(F.col("c_id") < 64)
+    rest = c.filter(F.col("c_id") >= 64)
+    n_corpus = c.count()
+
+    path = tempfile.mkdtemp(prefix="ann_replay_idem_")
+    build_ann_index(head, path, n_centroids=16, m=16, n_codes=32)
+    append_to_ann_index(rest, path, batch_key="b000001")
+    # the at-least-once replay: same batch, same key — must be a no-op
+    # on the posting count (the unit dir is overwritten, not appended)
+    append_to_ann_index(rest, path, batch_key="b000001")
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.count() == n_corpus
+    assert codes.select("c_id").distinct().count() == n_corpus
+    # ...and the replayed index serves the same results as one-shot
+    oneshot = tempfile.mkdtemp(prefix="ann_replay_ref_")
+    build_ann_index(c, oneshot, n_centroids=16, m=16, n_codes=32)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = {tuple(r) for r in probe_ann_index(spark, path, q, k=10).collect()}
+    ref = {tuple(r) for r in probe_ann_index(spark, oneshot, q, k=10).collect()}
+    assert got == ref and got
+
+    # unkeyed appends are plain appends: same rows twice -> duplicates
+    plain = tempfile.mkdtemp(prefix="ann_replay_plain_")
+    build_ann_index(head, plain, n_centroids=16, m=16, n_codes=32)
+    append_to_ann_index(rest, plain)
+    append_to_ann_index(rest, plain)
+    n_rest = rest.count()
+    assert (
+        spark.read.parquet(os.path.join(plain, "codes")).count()
+        == n_corpus + n_rest
+    )
+
+
+def test_append_batch_key_validation_and_rebuild_reset(spark, sf_dir):
+    """The ingest-unit key is path-validated ('base' reserved, path-safe
+    charset), and a REBUILD over an existing index path clears prior
+    append units and any stale tombstone log — without the reset, a
+    rebuild's overwrite would only replace the base unit and stale
+    postings/tombstones would leak into the new index."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.similarity import (
+        _index_tombstones,
+        append_to_ann_index,
+        build_ann_index,
+        delete_from_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    head = c.filter(F.col("c_id") < 64)
+    path = tempfile.mkdtemp(prefix="ann_rebuild_reset_")
+    build_ann_index(head, path, n_centroids=16, m=16, n_codes=32)
+    with _pytest.raises(ValueError, match="base"):
+        append_to_ann_index(c.limit(1), path, batch_key="base")
+    with _pytest.raises(ValueError, match="batch_key"):
+        append_to_ann_index(c.limit(1), path, batch_key="../escape")
+    append_to_ann_index(
+        c.filter(F.col("c_id") >= 64), path, batch_key="b000001"
+    )
+    delete_from_ann_index(head.limit(5).select("c_id"), path)
+    # rebuild on the same path: only the new corpus may be resident, and
+    # the old tombstone log must not haunt the fresh index
+    build_ann_index(head, path, n_centroids=16, m=16, n_codes=32)
+    assert (
+        spark.read.parquet(os.path.join(path, "codes")).count()
+        == head.count()
+    )
+    assert _index_tombstones(spark, path, "c_id") is None
+
+
+def test_semdedup_from_index_pair_window_matches_inline(spark, sf_dir):
+    """The composed rung (index amortization + pair budget) must contract
+    EXACTLY like the inline windowed operator on the same corpus — the
+    index changes where cells and vectors come from, not what they are —
+    and must validate its window/pairing params like the inline path."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.dedup import (
+        semantic_dedup_from_index,
+        semantic_dedup_windowed,
+    )
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+    from s4hanaconnector_spark.queries.llmops import emb_aug
+
+    d = emb_aug(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_from_idx_win_")
+    build_ann_index(d, path, n_centroids=16, m=16, n_codes=32,
+                    c_id="vec_id", vec="embedding")
+    inline = {
+        (r["vec_id"], r["canonical_id"])
+        for r in semantic_dedup_windowed(
+            d, "vec_id", threshold=0.95, pair_window=8
+        ).collect()
+    }
+    indexed = {
+        (r["vec_id"], r["canonical_id"])
+        for r in semantic_dedup_from_index(
+            spark, path, threshold=0.95, pair_window=8
+        ).collect()
+    }
+    assert indexed == inline and indexed
+    with _pytest.raises(ValueError, match="pair_window"):
+        semantic_dedup_from_index(spark, path, pair_window=0)
+    with _pytest.raises(ValueError, match="pairing"):
+        semantic_dedup_from_index(spark, path, pair_window=8, pairing="bad")

@@ -682,13 +682,13 @@ def test_x100_scaling_ladder(spark):
         dups = out.filter(F.col("vec_id") != F.col("canonical_id")).count()
         t0 = _t.perf_counter()
         out.write.format("noop").mode("overwrite").save()
-        return _t.perf_counter() - t0, n_rows, dups
+        return _t.perf_counter() - t0, n_rows, dups, path
 
     import os as _os
     import tempfile as _tmp
 
-    ti10, _, di10 = sem_indexed_run(20_000)
-    ti100, ni100, di100 = sem_indexed_run(200_000)
+    ti10, _, di10, pi10 = sem_indexed_run(20_000)
+    ti100, ni100, di100, pi100 = sem_indexed_run(200_000)
     assert di10 > 0 and di100 > 0, (di10, di100)
     ri = ti100 / max(ti10, 0.5)
     ientry = {
@@ -717,6 +717,46 @@ def test_x100_scaling_ladder(spark):
         f"semdedup-from-index: x10 {ti10:.2f}s -> x100 {ti100:.2f}s "
         f"(ratio {ri:.1f}x) — exceeds the N^1.5 design curve, so the "
         "indexed path is adding work beyond pairing"
+    )
+
+    # index amortization COMPOSED with the pair budget — the full 100 TB
+    # recipe (semantic_dedup_from_index pair_window): same persisted
+    # indexes as the rung above, but within-cell pairing is the 8-wide
+    # affinity-rank window, so the one remaining superlinear term
+    # (N^1.5 pairing) drops to linear. Gated like the inline windowed
+    # rung: near-linear ladder (alpha cap 1.2).
+    def win_indexed_run(path):
+        out = semantic_dedup_from_index(
+            spark, path, threshold=0.95, pairing="arrow", pair_window=8
+        )
+        dups = out.filter(F.col("vec_id") != F.col("canonical_id")).count()
+        t0 = _t.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        return _t.perf_counter() - t0, dups
+
+    twi10, dwi10 = win_indexed_run(pi10)
+    twi100, dwi100 = win_indexed_run(pi100)
+    assert dwi10 > 0 and dwi100 > 0, (dwi10, dwi100)
+    rwi = twi100 / max(twi10, 0.5)
+    wientry = {
+        "t_x10": round(twi10, 2), "t_x100": round(twi100, 2),
+        "ratio": round(rwi, 1),
+        "design_alpha": 1.0, "pair_window": 8,
+        "uncapped_from_index_t_x100": round(ti100, 2),
+        "note": "persisted-index cells + affinity-rank window pairing: "
+                "no quantizer, no assignment scan, linear pairing — the "
+                "composition a real 100 TB dedup pass would run",
+    }
+    if twi10 >= 0.5:
+        wientry["alpha"] = round(_math.log10(max(twi100 / twi10, 0.1)), 2)
+    ladder["dedup_semdedup_from_index_budget"] = wientry
+    _record_raw("scaling_ladder_x100", ladder)
+    print(f"LADDER dedup_semdedup_from_index_budget: x10 {twi10:.2f}s -> "
+          f"x100 {twi100:.2f}s ({rwi:.1f}x; uncapped indexed x100 "
+          f"{ti100:.2f}s)")
+    assert rwi < 10 ** 1.2, (
+        f"windowed from-index semdedup: x10 {twi10:.2f}s -> x100 "
+        f"{twi100:.2f}s (ratio {rwi:.1f}x) — must ladder near-linearly"
     )
 
     # PAIR-BUDGET SemDeDup (VERDICT r11 next #5): the winnowed rung that
@@ -820,10 +860,15 @@ def test_x100_scaling_ladder(spark):
     # PartitionFilters on the cell-partitioned scans — a post-scan filter
     # would re-read the whole index every query, invisible in wall time
     # until the index dwarfs the probed cells
-    all_dirs = [
-        e for e in _os.listdir(_os.path.join(p100, "codes"))
-        if e.startswith("__cell=")
-    ]
+    # cells live one level under the ingest-unit dirs
+    # (codes/__ingest=<key>/__cell=<n>/ — see append_to_ann_index)
+    all_dirs = sorted({
+        cell
+        for unit in _os.listdir(_os.path.join(p100, "codes"))
+        if unit.startswith("__ingest=")
+        for cell in _os.listdir(_os.path.join(p100, "codes", unit))
+        if cell.startswith("__cell=")
+    })
     assert len(all_dirs) >= 16, all_dirs  # the index HAS all cells on disk
     import re as _re
 
@@ -996,6 +1041,128 @@ def test_x100_scaling_ladder(spark):
                                  rerank=100).collect()
     }
     assert p_grown == p_rebuilt and p_grown
+
+    # MERGEABLE DISTINCT SKETCHES at tier scale (VERDICT r11 next #6):
+    # the seam shipped in r11 with associativity tests but no scale rung.
+    # Two claims measured here over the x10/x100 lineitem (6M/60M rows):
+    # (a) the sketch path ladders linearly AND beats exact
+    # count_distinct at x100 — hll_sketch_agg partial-aggregates
+    # map-side, so only |groups| KiB-sized states cross the exchange,
+    # where exact distinct must first shuffle every (group, key) pair;
+    # (b) the estimate lands within HLL's lgk=12 error envelope of the
+    # exact answer at 15M distinct keys (gate 3%, ~4 sigma).
+    from s4hanaconnector_spark.operators.relational import (
+        distinct_sketch,
+        estimate_distinct,
+    )
+
+    def li(d):
+        return spark.read.parquet(_os.path.join(d, "lineitem.parquet"))
+
+    def sketch_run(d):
+        t0 = _t.perf_counter()
+        est = estimate_distinct(
+            distinct_sketch(
+                li(d), ["l_returnflag", "l_linestatus"], "l_orderkey"
+            )
+        )
+        rows = {(r["l_returnflag"], r["l_linestatus"]): r["n_distinct_est"]
+                for r in est.collect()}
+        return _t.perf_counter() - t0, rows
+
+    def exact_run(d):
+        t0 = _t.perf_counter()
+        rows = {
+            (r["l_returnflag"], r["l_linestatus"]): r["n"]
+            for r in li(d)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        return _t.perf_counter() - t0, rows
+
+    ts10, _ = sketch_run(x10)
+    ts100, est100 = sketch_run(x100)
+    te100, ex100 = exact_run(x100)
+    max_err = max(
+        abs(est100[k] - ex100[k]) / ex100[k] for k in ex100
+    )
+    _record_raw("distinct_sketch_vs_exact_x100", {
+        "sketch_sec_x10": round(ts10, 2),
+        "sketch_sec_x100": round(ts100, 2),
+        "exact_sec_x100": round(te100, 2),
+        "speedup_vs_exact_x100": round(te100 / max(ts100, 0.01), 1),
+        "groups": len(ex100),
+        "distinct_keys_x100": sum(ex100.values()),
+        "max_rel_error": round(max_err, 4),
+        "note": "hll partial-aggregates map-side so only |groups| states "
+                "cross the exchange; exact distinct shuffles every "
+                "(group, key) pair first",
+    })
+    _ladder_entry(ladder, "agg_distinct_sketch", ts10, ts100,
+                  sum(ex100.values()))
+    print(f"SKETCH x100: sketch {ts100:.2f}s vs exact {te100:.2f}s, "
+          f"max rel err {max_err:.4f}")
+    assert max_err <= 0.03, f"HLL estimate error {max_err:.4f} > 3%"
+    assert ts100 < te100, (
+        f"sketch path ({ts100:.2f}s) must beat exact count_distinct "
+        f"({te100:.2f}s) at the x100 tier — that is its reason to exist"
+    )
+
+    # ...and the STREAMING claim: per-group sketch STATE stays flat as
+    # ingest accumulates (the 100 TB incremental-maintenance verb:
+    # batch -> sketch -> union with stored state -> store back). 12
+    # polls of 200k ALL-NEW keys each: ingested distincts grow 12x, but
+    # state bytes are |groups| x sketch size and the lgk=12 registers
+    # saturate — the byte curve must PLATEAU, not track ingest.
+    from s4hanaconnector_spark.operators.relational import (
+        union_distinct_sketches,
+    )
+
+    sk_root = _tmp.mkdtemp(prefix="sketch_state_")
+
+    def _dir_bytes(p):
+        return sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _, fs in _os.walk(p) for f in fs
+            if f.endswith(".parquet")
+        )
+
+    state_bytes = []
+    prev = None
+    for poll in range(12):
+        batch = spark.range(poll * 200_000, (poll + 1) * 200_000).select(
+            (F.col("id") % 8).alias("grp"), F.col("id").alias("k")
+        )
+        part = distinct_sketch(batch, ["grp"], "k")
+        if prev is not None:
+            part = union_distinct_sketches(
+                part.unionByName(spark.read.parquet(prev)), ["grp"]
+            )
+        cur = _os.path.join(sk_root, f"state_{poll:02d}")
+        part.coalesce(1).write.mode("overwrite").parquet(cur)
+        state_bytes.append(_dir_bytes(cur))
+        prev = cur
+    final = estimate_distinct(
+        spark.read.parquet(prev), out="n_est"
+    ).agg(F.sum("n_est").alias("n")).collect()[0]["n"]
+    _record_raw("streaming_distinct_sketch_state_plateau", {
+        "polls": 12,
+        "rows_per_poll": 200_000,
+        "groups": 8,
+        "state_bytes_per_poll": state_bytes,
+        "plateau_ratio_last_vs_p3": round(
+            state_bytes[-1] / state_bytes[3], 2
+        ),
+        "final_estimate_total": int(final),
+        "true_total": 2_400_000,
+        "note": "all-new keys every poll: ingested distincts grow 12x "
+                "while state bytes saturate at |groups| x register size",
+    })
+    print(f"SKETCH state plateau: {state_bytes[0]} -> {state_bytes[3]} -> "
+          f"{state_bytes[-1]} bytes across 12 polls")
+    assert state_bytes[-1] <= int(state_bytes[3] * 1.2), state_bytes
+    assert abs(final - 2_400_000) / 2_400_000 <= 0.03, final
 
 
 @pytest.mark.slow
