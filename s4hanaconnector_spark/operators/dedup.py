@@ -888,34 +888,46 @@ def _contract_cells(
         )
     if pairing not in ("expr", "arrow"):
         raise ValueError(f"unknown pairing backend: {pairing}")
-    a, b = cells.alias("a"), cells.alias("b")
-    joined = a.join(b, F.col("a.__cell") == F.col("b.__cell")).filter(
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    )
     if pairing == "arrow":
-        # the pairing stage dominates SemDeDup's wall (the x100 ladder
-        # measured it as ~90% of the rung): one numpy row-wise dot per
-        # Arrow batch replaces an O(dims) interpreted zip_with fold per
-        # PAIR. Same contract split as ivf_topk's assignment backends —
-        # round-half-up on the binary double vs Spark's shortest-decimal
-        # HALF_UP (boundary class documented at _arrow_assign), NaN
-        # (zero-norm) compares as +inf exactly like Spark's NaN-greatest
-        # comparison semantics; fixture equality vs expr is test-pinned.
-        pre = joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec}").alias("__va"),
-            F.col(f"b.{vec}").alias("__vb"),
+        # r12 optimization (guide §8 "move heavy bytes once"): the old
+        # arrow backend still materialized the within-cell SELF-JOIN in the
+        # JVM — every candidate PAIR crossed the Python boundary carrying
+        # BOTH vectors (|pairs| x 2 x dims doubles, quadratic in cell
+        # occupancy), then scored row-wise in numpy. Per-cell
+        # applyInPandas ships each member vector ONCE (|members| x dims —
+        # the same bytes the self-join's exchange already moved), computes
+        # the full within-cell cosine matrix blockwise in numpy, and emits
+        # only each member's min qualifying lower-id neighbor (<= 1 row
+        # per member instead of every qualifying pair). Same hash
+        # exchange on __cell, no join, linear boundary traffic. Rounding/
+        # NaN contract unchanged from _arrow_pair_threshold (round-half-up
+        # on the binary double; zero-norm NaN passes like Spark's
+        # NaN-greatest); the matmul's BLAS reduction order is the SAME
+        # documented boundary class as the old backend's pairwise-sum
+        # (_arrow_assign docstring) — fixture equality vs expr is
+        # test-pinned away from boundaries.
+        neigh = _arrow_cell_min_neighbor(
+            cells.select(id_col, vec, "__cell"), id_col, vec,
+            threshold, round_digits,
         )
-        pairs = _arrow_pair_threshold(pre, threshold, round_digits)
+        # multi-probe (n_assign > 1): the same id can receive a
+        # min-neighbor from each of its cells — fold to the global min,
+        # exactly what the pair-level groupBy produced before
+        neigh = neigh.groupBy("id_b").agg(
+            F.min("__min_neighbor").alias("__min_neighbor")
+        )
     else:
+        a, b = cells.alias("a"), cells.alias("b")
+        joined = a.join(b, F.col("a.__cell") == F.col("b.__cell")).filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
         cos = F.round(cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}")), round_digits)
         pairs = joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cosine"),
         ).filter(F.col("cosine") >= threshold)
-    neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
+        neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
     return (
         df.select(F.col(id_col))
         .join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
@@ -938,19 +950,24 @@ def _arrow_pair_threshold(
     operators/similarity._arrow_assign)."""
     import numpy as np
 
+    from s4hanaconnector_spark.operators.similarity import _vec_matrix
+
     a_t = pre.schema["id_a"].dataType.simpleString()
     b_t = pre.schema["id_b"].dataType.simpleString()
     out_schema = f"`id_a` {a_t}, `id_b` {b_t}"
     scale = 10.0 ** round_digits
 
+    # r12: mapInArrow — zero-copy matrix ingestion of both pair sides
+    # (_vec_matrix) and Arrow ``filter`` for the surviving ids; scoring
+    # math unchanged.
     def gen(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__va"]])
-            B = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
+            A = _vec_matrix(batch.column(batch.schema.get_field_index("__va")))
+            B = _vec_matrix(batch.column(batch.schema.get_field_index("__vb")))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (A * B).sum(axis=1) / (
                     np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
@@ -960,14 +977,90 @@ def _arrow_pair_threshold(
             keep = r >= threshold
             if not keep.any():
                 continue
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                }
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("id_a")).filter(mask),
+                    batch.column(batch.schema.get_field_index("id_b")).filter(mask),
+                ],
+                names=["id_a", "id_b"],
             )
 
-    return pre.mapInPandas(gen, out_schema)
+    return pre.mapInArrow(gen, out_schema)
+
+
+def _arrow_cell_min_neighbor(
+    cells: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Per-cell vectorized SemDeDup pairing (r12): groupBy(__cell) ->
+    applyInArrow; inside each cell the full pairwise cosine runs as
+    blockwise numpy matmul and each member emits at most one row —
+    ``(id_b, __min_neighbor)`` where ``__min_neighbor`` is the LOWEST id
+    among its >= ``threshold`` lower-id cell-mates. This replaces the JVM
+    self-join + per-pair boundary crossing of the old arrow backend with
+    one member-sized boundary crossing per cell.
+
+    Contract (identical to the pair-level backend): cosine rounded
+    half-up on the binary double at ``round_digits`` before thresholding;
+    zero-norm vectors produce NaN/inf affinities that PASS the threshold
+    (Spark NaN-greatest semantics); the min-neighbor is the smallest
+    qualifying id. Memory per task is bounded: the cosine matrix is
+    computed in row blocks capped at ~16M elements (128 MB of float64),
+    and cell occupancy itself is bounded upstream by ``max_cell``."""
+    import numpy as np
+
+    from s4hanaconnector_spark.operators.similarity import _vec_matrix
+
+    id_t = cells.schema[id_col].dataType.simpleString()
+    out_schema = f"`id_b` {id_t}, `__min_neighbor` {id_t}"
+    scale = 10.0 ** round_digits
+
+    def fn(tbl):
+        import pyarrow as pa
+
+        m = tbl.num_rows
+        ids_col = tbl.column(id_col).combine_chunks()
+        if m < 2:
+            empty = ids_col.slice(0, 0)
+            return pa.table({"id_b": empty, "__min_neighbor": empty})
+        ids_np = ids_col.to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np, kind="stable")
+        V = _vec_matrix(tbl.column(vec).combine_chunks())[order]
+        norms = np.sqrt((V * V).sum(axis=1))
+        sel_b: list = []
+        sel_n: list = []
+        blk = max(1, 16_000_000 // m)
+        cols = np.arange(m)[None, :]
+        for j0 in range(0, m, blk):
+            j1 = min(m, j0 + blk)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V[j0:j1] @ V.T) / (
+                    norms[j0:j1, None] * norms[None, :]
+                )
+            r = np.copysign(np.floor(np.abs(cos) * scale + 0.5), cos) / scale
+            r = np.where(np.isnan(cos), np.inf, r)
+            ok = (r >= threshold) & (cols < np.arange(j0, j1)[:, None])
+            has = ok.any(axis=1)
+            if not has.any():
+                continue
+            first = ok.argmax(axis=1)  # first True = lowest id (<j by mask)
+            sel_b.append(order[np.arange(j0, j1)[has]])
+            sel_n.append(order[first[has]])
+        if not sel_b:
+            empty = ids_col.slice(0, 0)
+            return pa.table({"id_b": empty, "__min_neighbor": empty})
+        return pa.table(
+            {
+                "id_b": ids_col.take(pa.array(np.concatenate(sel_b))),
+                "__min_neighbor": ids_col.take(pa.array(np.concatenate(sel_n))),
+            }
+        )
+
+    return cells.groupBy("__cell").applyInArrow(fn, out_schema)
 
 
 def incremental_semantic_dedup(

@@ -49,6 +49,17 @@ def nest(
     array_sort over the bare payload struct would sort by ``detail_cols``
     order instead, silently ignoring the contract whenever the sort key is
     not the first detail column.
+
+    PREFIX FAST PATH (optimization r12, guide §2.3 "shuffle fewer bytes"):
+    when the sort keys are exactly a leading prefix of ``detail_cols`` —
+    including the default ``sort_detail_by=None``, where they are ALL of
+    them — the wrapper is pure overhead: ``array_sort`` over the bare
+    payload struct already compares the prefix fields first and the
+    remaining payload fields as the same deterministic tiebreak. The
+    wrapper's duplicated sort-key columns would ride the collect_list
+    shuffle (every detail row!) and pay one ``transform`` pass per array,
+    for an ordering that is provably identical. The wrapper shape is kept
+    only for genuinely non-prefix sort keys.
     """
     left_keys = [jc["left"] for jc in joincondition]
     right_keys = [jc["right"] for jc in joincondition]
@@ -56,14 +67,18 @@ def nest(
     sort_keys = sort_detail_by or dcols
 
     struct_col = F.struct(*[F.col(c) for c in dcols])
-    sorter = F.struct(
-        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(sort_keys)],
-        struct_col.alias("__payload"),
-    )
-    grouped = detail.groupBy(*[F.col(k) for k in right_keys]).agg(
-        F.transform(
+    if sort_keys == dcols[: len(sort_keys)]:
+        collected = F.array_sort(F.collect_list(struct_col))
+    else:
+        sorter = F.struct(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(sort_keys)],
+            struct_col.alias("__payload"),
+        )
+        collected = F.transform(
             F.array_sort(F.collect_list(sorter)), lambda x: x["__payload"]
-        ).alias(schemafield)
+        )
+    grouped = detail.groupBy(*[F.col(k) for k in right_keys]).agg(
+        collected.alias(schemafield)
     )
     cond = [master[l] == grouped[r] for l, r in zip(left_keys, right_keys)]
     joined = master.join(grouped, cond, "left")

@@ -124,6 +124,50 @@ def test_nest_sorts_by_requested_keys_not_struct_order(spark):
     assert [i["lineno"] for i in out["items"]] == [1, 2, 3]
 
 
+def test_nest_prefix_fast_path_matches_wrapper_order(spark):
+    """r12 optimization: when sort keys are a leading prefix of detail_cols
+    (incl. the default sort_detail_by=None), nest() skips the (keys...,
+    payload) sort wrapper — the bare payload struct already sorts by the
+    prefix first and the remaining fields as tiebreak. The fast path must
+    (a) order ties exactly like the wrapper did and (b) actually elide the
+    wrapper from the plan (no __payload projection)."""
+    from pyspark.sql import functions as F
+
+    from s4hanaconnector_spark.operators.nesting import nest
+
+    m = spark.createDataFrame([(1,)], "k bigint")
+    # duplicate lineno=1 rows: the tiebreak (remaining payload fields) must
+    # order (1, "a") before (1, "b") on both paths
+    d = spark.createDataFrame(
+        [(1, 2, "c"), (1, 1, "b"), (1, 1, "a")],
+        "k bigint, lineno int, v string",
+    )
+    fast = nest(
+        m, d, [{"left": "k", "right": "k"}], "items",
+        detail_cols=["lineno", "v"], sort_detail_by=["lineno"],
+    )
+    assert "__payload" not in fast._jdf.queryExecution().optimizedPlan().toString()
+    # the wrapper reference: force the non-prefix branch by asking for the
+    # same ordering through a reordered detail_cols list, then realign
+    wrapped = nest(
+        m, d, [{"left": "k", "right": "k"}], "items",
+        detail_cols=["v", "lineno"], sort_detail_by=["lineno", "v"],
+    ).select(
+        "k",
+        F.transform(
+            "items", lambda x: F.struct(x["lineno"].alias("lineno"), x["v"].alias("v"))
+        ).alias("items"),
+    )
+    assert fast.collect() == wrapped.collect()
+    # default sort (None -> all detail cols) takes the fast path too
+    default = nest(
+        m, d, [{"left": "k", "right": "k"}], "items",
+        detail_cols=["lineno", "v"],
+    )
+    assert "__payload" not in default._jdf.queryExecution().optimizedPlan().toString()
+    assert default.collect() == fast.collect()
+
+
 def test_maintain_nested_docs_rejects_null_join_keys(spark):
     """A detail batch whose delete rows carry NULL join keys (join key not
     in the detail PK — the cdc_delta delete leg nulls non-PK columns) would

@@ -355,7 +355,7 @@ def test_ivf_arrow_assignment_matches_expr_and_stays_rowlocal(spark, sf_dir):
     literal_centroid_max — interpreted HOF lambdas cost O(cells x dims)
     dispatches per row, measured 730 s at 2500 cells x 200k vectors) must
     produce the expr reference backend's exact rows on the fixture and add
-    no shuffle: mapInPandas is a row-local map, so the corpus still never
+    no shuffle: mapInArrow is a row-local map, so the corpus still never
     exchanges before the final ranked output."""
     from pyspark.sql import functions as F
 
@@ -372,7 +372,7 @@ def test_ivf_arrow_assignment_matches_expr_and_stays_rowlocal(spark, sf_dir):
     assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
 
     plan = arrow._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
     hash_ex = [
         line for line in plan.splitlines() if "Exchange hashpartitioning" in line
@@ -382,11 +382,11 @@ def test_ivf_arrow_assignment_matches_expr_and_stays_rowlocal(spark, sf_dir):
     # auto routing: small centroid tables stay on the (constant-folded)
     # literal expr path; past the literal threshold auto picks Arrow
     auto_small = ivf_topk(q, c, **kw)
-    assert "MapInPandas" not in (
+    assert "MapInArrow" not in (
         auto_small._jdf.queryExecution().executedPlan().toString()
     )
     auto_big = ivf_topk(q, c, literal_centroid_max=1, **kw)
-    assert "MapInPandas" in (
+    assert "MapInArrow" in (
         auto_big._jdf.queryExecution().executedPlan().toString()
     )
     assert sorted(map(tuple, auto_big.collect())) == sorted(
@@ -538,7 +538,7 @@ def test_pq_rerank_plan_never_shuffles_corpus(spark, sf_dir):
 def test_pq_encode_backends_agree_and_arrow_stays_rowlocal(spark, sf_dir):
     """The PQ ADC backend (numpy encode + LUT score, the auto default past
     m × n_codes >= 128) must produce the expr reference backend's exact
-    rows on the fixture, stay row-local (MapInPandas, no corpus exchange),
+    rows on the fixture, stay row-local (MapInArrow, no corpus exchange),
     and reject unknown backend names."""
     import pytest as _pytest
     from pyspark.sql import functions as F
@@ -559,7 +559,7 @@ def test_pq_encode_backends_agree_and_arrow_stays_rowlocal(spark, sf_dir):
     assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
 
     plan = arrow._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
     hash_ex = [
         line for line in plan.splitlines() if "Exchange hashpartitioning" in line
@@ -567,12 +567,12 @@ def test_pq_encode_backends_agree_and_arrow_stays_rowlocal(spark, sf_dir):
     assert all("q_id" in line for line in hash_ex), hash_ex
 
     # auto routing: 16 x 16 = 256 >= 128 -> arrow; tiny codebooks stay expr
-    assert "MapInPandas" in (
+    assert "MapInArrow" in (
         pq_topk(q, c, k=5, codebooks=cbs)._jdf.queryExecution()
         .executedPlan().toString()
     )
     small = pq_subspace_codebooks(c, m=8, n_codes=8)
-    assert "MapInPandas" not in (
+    assert "MapInArrow" not in (
         pq_topk(q, c, k=5, codebooks=small)._jdf.queryExecution()
         .executedPlan().toString()
     )
