@@ -657,7 +657,7 @@ def semantic_dedup_windowed(
     declared oracle replays the result bit for bit. ``pairing`` picks the
     scoring backend exactly as in :func:`semantic_dedup` ("expr" is the
     Catalyst-HOF oracle-semantics reference, "arrow" the vectorized scale
-    path via the shared :func:`_arrow_pair_threshold`). Recall vs the
+    path via the shared per-cell :func:`_arrow_cell_window_neighbor`). Recall vs the
     uncapped rung is GATED, not assumed (tests/test_scale_smoke.py ladders
     both and measures the contraction-set recall)."""
     from s4hanaconnector_spark.operators.similarity import (
@@ -720,51 +720,62 @@ def _windowed_contract(
 
     from s4hanaconnector_spark.operators.similarity import cosine
 
-    # ONE window yields the rank order AND every successor candidate:
-    # lead(id, o)/lead(vec, o) share the spec, so Catalyst evaluates them
-    # in a single Window operator — the pairing stage has NO join
-    w_ord = W.partitionBy("__cell").orderBy(F.desc("__aff"), F.asc(id_col))
-    succ = F.array(
-        *[
-            F.struct(
-                F.lead(F.col(id_col), o).over(w_ord).alias("idb"),
-                F.lead(F.col(vec), o).over(w_ord).alias("vb"),
-            )
-            for o in range(1, pair_window + 1)
-        ]
-    )
-    cand = (
-        # the window must evaluate in its own step — a generator (explode)
-        # cannot share a projection with window expressions
-        ranked.withColumn("__succ", succ)
-        .select(
-            F.col(id_col).alias("__ida"), F.col(vec).alias("__va"),
-            F.explode(F.col("__succ")).alias("__s"),
-        )
-        .filter(F.col("__s.idb").isNotNull())
-        .select(
-            "__ida", "__va",
-            F.col("__s.idb").alias("__idb"), F.col("__s.vb").alias("__vb"),
-        )
-    )
-    # rank adjacency does not respect id order; the contraction contract
-    # does — normalize each unordered pair to (low id, high id). Cosine is
-    # symmetric elementwise, so the score needs no corresponding swap.
     if pairing == "arrow":
-        pre = cand.select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            "__va", "__vb",
+        # r12 (same restructure as _contract_cells): per-cell applyInArrow
+        # replaces the window+lead successor-array construction — which
+        # materialized ``pair_window`` copies of every member's VECTOR in
+        # the JVM and shipped both vectors per candidate pair through the
+        # boundary — with one member-sized crossing per cell. The rank
+        # order ((__aff desc, id asc), NaN affinities first like Spark's
+        # NaN-greatest desc) and the next-``pair_window``-successors pair
+        # set are reproduced exactly; scoring keeps the row-wise
+        # float64 ops of the old per-pair arrow scoring.
+        neigh = _arrow_cell_window_neighbor(
+            ranked.select(id_col, vec, "__cell", "__aff"), id_col, vec,
+            threshold, round_digits, pair_window,
         )
-        pairs = _arrow_pair_threshold(pre, threshold, round_digits)
+        neigh = neigh.groupBy("id_b").agg(
+            F.min("__min_neighbor").alias("__min_neighbor")
+        )
     else:
+        # ONE window yields the rank order AND every successor candidate:
+        # lead(id, o)/lead(vec, o) share the spec, so Catalyst evaluates
+        # them in a single Window operator — the pairing stage has NO join
+        w_ord = W.partitionBy("__cell").orderBy(F.desc("__aff"), F.asc(id_col))
+        succ = F.array(
+            *[
+                F.struct(
+                    F.lead(F.col(id_col), o).over(w_ord).alias("idb"),
+                    F.lead(F.col(vec), o).over(w_ord).alias("vb"),
+                )
+                for o in range(1, pair_window + 1)
+            ]
+        )
+        cand = (
+            # the window must evaluate in its own step — a generator
+            # (explode) cannot share a projection with window expressions
+            ranked.withColumn("__succ", succ)
+            .select(
+                F.col(id_col).alias("__ida"), F.col(vec).alias("__va"),
+                F.explode(F.col("__succ")).alias("__s"),
+            )
+            .filter(F.col("__s.idb").isNotNull())
+            .select(
+                "__ida", "__va",
+                F.col("__s.idb").alias("__idb"), F.col("__s.vb").alias("__vb"),
+            )
+        )
+        # rank adjacency does not respect id order; the contraction
+        # contract does — normalize each unordered pair to (low id,
+        # high id). Cosine is symmetric elementwise, so the score needs
+        # no corresponding swap.
         cos = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
         pairs = cand.select(
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
             cos.alias("cosine"),
         ).filter(F.col("cosine") >= threshold)
-    neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
+        neigh = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_neighbor"))
     return (
         ids.join(neigh, on=F.col(id_col) == F.col("id_b"), how="left")
         .select(
@@ -900,7 +911,7 @@ def _contract_cells(
         # only each member's min qualifying lower-id neighbor (<= 1 row
         # per member instead of every qualifying pair). Same hash
         # exchange on __cell, no join, linear boundary traffic. Rounding/
-        # NaN contract unchanged from _arrow_pair_threshold (round-half-up
+        # NaN contract unchanged from the per-pair arrow scoring (round-half-up
         # on the binary double; zero-norm NaN passes like Spark's
         # NaN-greatest); the matmul's BLAS reduction order is the SAME
         # documented boundary class as the old backend's pairwise-sum
@@ -936,57 +947,6 @@ def _contract_cells(
             F.coalesce(F.col("__min_neighbor"), F.col(id_col)).alias("canonical_id"),
         )
     )
-
-
-def _arrow_pair_threshold(
-    pre: DataFrame, threshold: float, round_digits: int
-) -> DataFrame:
-    """Vectorized pair scoring for :func:`semantic_dedup`'s arrow backend:
-    per Arrow batch, rounded cosine(__va, __vb) row-wise in numpy, emitting
-    only the (id_a, id_b) pairs meeting ``threshold``. NaN affinities
-    (zero-norm vectors) pass the threshold like Spark's NaN-greatest
-    comparison semantics would; rounding is floor(|x|·scale + 0.5) on the
-    binary double (boundary class documented at
-    operators/similarity._arrow_assign)."""
-    import numpy as np
-
-    from s4hanaconnector_spark.operators.similarity import _vec_matrix
-
-    a_t = pre.schema["id_a"].dataType.simpleString()
-    b_t = pre.schema["id_b"].dataType.simpleString()
-    out_schema = f"`id_a` {a_t}, `id_b` {b_t}"
-    scale = 10.0 ** round_digits
-
-    # r12: mapInArrow — zero-copy matrix ingestion of both pair sides
-    # (_vec_matrix) and Arrow ``filter`` for the surviving ids; scoring
-    # math unchanged.
-    def gen(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            A = _vec_matrix(batch.column(batch.schema.get_field_index("__va")))
-            B = _vec_matrix(batch.column(batch.schema.get_field_index("__vb")))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (A * B).sum(axis=1) / (
-                    np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-                )
-            r = np.copysign(np.floor(np.abs(cos) * scale + 0.5), cos) / scale
-            r = np.where(np.isnan(cos), np.inf, r)
-            keep = r >= threshold
-            if not keep.any():
-                continue
-            mask = pa.array(keep)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(batch.schema.get_field_index("id_a")).filter(mask),
-                    batch.column(batch.schema.get_field_index("id_b")).filter(mask),
-                ],
-                names=["id_a", "id_b"],
-            )
-
-    return pre.mapInArrow(gen, out_schema)
 
 
 def _arrow_cell_min_neighbor(
@@ -1061,6 +1021,88 @@ def _arrow_cell_min_neighbor(
         )
 
     return cells.groupBy("__cell").applyInArrow(fn, out_schema)
+
+
+def _arrow_cell_window_neighbor(
+    ranked: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    round_digits: int,
+    pair_window: int,
+) -> DataFrame:
+    """Per-cell vectorized PAIR-BUDGET pairing (r12): groupBy(__cell) ->
+    applyInArrow. Members are ordered by (rounded affinity desc, id asc) —
+    NaN affinities first, matching Spark's NaN-greatest descending sort —
+    and each member scores against its next ``pair_window`` successors in
+    that order (the :func:`semantic_dedup_windowed` pair set, bit for
+    bit). Scoring is the row-wise float64 cosine of the old
+    per-pair arrow scoring (same pairwise-sum reduction, same
+    round-half-up on the binary double, zero-norm NaN passes). Emits
+    ``(id_b, __min_neighbor)`` — per member, the lowest qualifying
+    partner id below it."""
+    import numpy as np
+
+    from s4hanaconnector_spark.operators.similarity import _vec_matrix
+
+    id_t = ranked.schema[id_col].dataType.simpleString()
+    out_schema = f"`id_b` {id_t}, `__min_neighbor` {id_t}"
+    scale = 10.0 ** round_digits
+
+    def fn(tbl):
+        import pyarrow as pa
+
+        m = tbl.num_rows
+        ids_col = tbl.column(id_col).combine_chunks()
+        if m < 2:
+            empty = ids_col.slice(0, 0)
+            return pa.table({"id_b": empty, "__min_neighbor": empty})
+        ids_np = ids_col.to_numpy(zero_copy_only=False)
+        aff = tbl.column("__aff").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64, copy=False)
+        aff_key = np.where(np.isnan(aff), np.inf, aff)
+        order = np.lexsort((ids_np, -aff_key))
+        V = _vec_matrix(tbl.column(vec).combine_chunks())[order]
+        norms = np.sqrt((V * V).sum(axis=1))
+        lo_all: list = []
+        hi_all: list = []
+        for o in range(1, min(pair_window, m - 1) + 1):
+            A, B = V[:-o], V[o:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (A * B).sum(axis=1) / (norms[:-o] * norms[o:])
+            r = np.copysign(np.floor(np.abs(cos) * scale + 0.5), cos) / scale
+            r = np.where(np.isnan(cos), np.inf, r)
+            keep = r >= threshold
+            if not keep.any():
+                continue
+            ia = order[:-o][keep]
+            ib = order[o:][keep]
+            # normalize each unordered pair to (low id, high id) — rank
+            # adjacency does not respect id order, the contraction does.
+            # Compare by VALUE (ids may be strings), carry positions.
+            swap = ids_np[ia] > ids_np[ib]
+            lo_all.append(np.where(swap, ib, ia))
+            hi_all.append(np.where(swap, ia, ib))
+        if not lo_all:
+            empty = ids_col.slice(0, 0)
+            return pa.table({"id_b": empty, "__min_neighbor": empty})
+        lo = np.concatenate(lo_all)
+        hi = np.concatenate(hi_all)
+        # min partner id per high-side member: sort by (hi id, lo id) and
+        # keep the first row of each hi group
+        srt = np.lexsort((ids_np[lo], ids_np[hi]))
+        hi_s, lo_s = hi[srt], lo[srt]
+        first = np.ones(len(hi_s), dtype=bool)
+        first[1:] = hi_s[1:] != hi_s[:-1]
+        return pa.table(
+            {
+                "id_b": ids_col.take(pa.array(hi_s[first])),
+                "__min_neighbor": ids_col.take(pa.array(lo_s[first])),
+            }
+        )
+
+    return ranked.groupBy("__cell").applyInArrow(fn, out_schema)
 
 
 def incremental_semantic_dedup(
