@@ -1116,11 +1116,21 @@ def incremental_semantic_dedup(
     round_digits: int = 6,
     assignment: str = "auto",
     n_assign: int = 1,
+    scoring: str = "expr",
 ) -> DataFrame:
     """Incremental (batch-vs-corpus) SEMANTIC dedup: classify every vector
     of a new ingest batch against the accepted corpus by cell-partitioned
     cosine — the embedding-space analogue of :func:`incremental_dedup`,
     for the paraphrase/re-encode duplicates fingerprints cannot see.
+
+    ``scoring`` picks the corpus-leg backend (the same split as
+    :func:`semantic_dedup`'s ``pairing``): ``"expr"`` is the Catalyst-HOF
+    reference the declared oracle queries replay; ``"arrow"`` scores each
+    cell's corpus rows against that cell's batch vectors as blockwise
+    numpy matmuls inside a ``mapInArrow`` pass over the corpus scan (the
+    per-pair interpreted HOF cosine on the corpus scan is the classify
+    tail's wall at scale). The tiny within-batch leg stays expr under
+    both backends.
 
     ``n_assign > 1`` multi-probes the BATCH side only: a batch vector
     whose true corpus twin sits just across a Voronoi boundary misses it
@@ -1170,7 +1180,7 @@ def incremental_semantic_dedup(
         .localCheckpoint(eager=False)
     )
     return _classify_batch_vs_cells(batch, c_cells, b_cells, id_col,
-                                    threshold, round_digits)
+                                    threshold, round_digits, scoring)
 
 
 def _classify_batch_vs_cells(
@@ -1180,22 +1190,31 @@ def _classify_batch_vs_cells(
     id_col: str,
     threshold: float,
     round_digits: int,
+    scoring: str = "expr",
 ) -> DataFrame:
     """Shared classification tail of :func:`incremental_semantic_dedup` and
     :func:`incremental_semantic_dedup_from_index`: given corpus cells
     ``(__cid, __cv, __cell)`` and batch cells ``(batch_id, __bv, __cell)``,
     produce one (batch_id, status, canonical_id) row per batch vector
     under the rounded-cosine / id-tiebreak contract documented on the
-    public operator."""
+    public operator. ``scoring`` switches the corpus leg between the expr
+    reference and the per-cell vectorized arrow backend."""
     from s4hanaconnector_spark.operators.similarity import cosine
 
-    ccos = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
-    corpus_hits = (
-        c_cells.join(F.broadcast(b_cells), on="__cell")
-        .filter(ccos >= threshold)
-        .groupBy("batch_id")
-        .agg(F.min("__cid").alias("__corpus_canonical"))
-    )
+    if scoring not in ("expr", "arrow"):
+        raise ValueError(f"unknown scoring backend: {scoring}")
+    if scoring == "arrow":
+        corpus_hits = _arrow_classify_corpus_hits(
+            c_cells, b_cells, threshold, round_digits
+        )
+    else:
+        ccos = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
+        corpus_hits = (
+            c_cells.join(F.broadcast(b_cells), on="__cell")
+            .filter(ccos >= threshold)
+            .groupBy("batch_id")
+            .agg(F.min("__cid").alias("__corpus_canonical"))
+        )
     lo = b_cells.select(
         F.col("batch_id").alias("__lo_id"), F.col("__bv").alias("__lv"), "__cell"
     )
@@ -1226,12 +1245,132 @@ def _classify_batch_vs_cells(
     )
 
 
+def _arrow_classify_corpus_hits(
+    c_cells: DataFrame,
+    b_cells: DataFrame,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Vectorized corpus-vs-batch scoring (r12): ``mapInArrow`` straight
+    over the corpus cell scan — the corpus is STILL never shuffled (the
+    operator's 100 TB design claim holds under both backends). The tiny
+    batch side is materialized once (same |batch| bound as the expr leg's
+    ``F.broadcast(b_cells)``) and its per-cell matrices ship in the task
+    closure, the way :func:`_arrow_assign` ships its centroid table; each
+    corpus Arrow batch groups its rows by cell, scores them against that
+    cell's batch matrix as blockwise numpy matmul, and emits at most one
+    ``(batch_id, __corpus_canonical)`` row per batch vector — the lowest
+    qualifying corpus id seen in THIS Arrow batch. A final
+    min-contraction folds Arrow-batch partials and the multi-probe
+    fan-out exactly like the expr leg's groupBy (min is associative).
+    This replaces the broadcast-join fan-out whose per-pair interpreted
+    HOF cosine dominates the corpus scan at scale (|cell| x |batch in
+    cell| interpreted folds -> one BLAS matmul per corpus block).
+
+    Contract (same as the expr leg): cosine rounded half-up on the binary
+    double at ``round_digits`` before thresholding; zero-norm vectors
+    produce NaN cosines that PASS the threshold (Spark NaN-greatest
+    comparison semantics); min corpus id by VALUE (ids may be strings).
+    Memory per task is bounded: the cosine matrix is computed in
+    corpus-row blocks capped at ~16M elements (128 MB of float64), and
+    the closure holds |batch| x dims float64 — broadcast-sized by the
+    operator's batch-is-small contract. Note the arrow backend
+    materializes the batch at CONSTRUCTION time (one tiny job), where the
+    expr leg defers it to the broadcast build."""
+    import numpy as np
+
+    from s4hanaconnector_spark.operators.similarity import _vec_matrix
+
+    bt = b_cells.toArrow()
+    bid_col = bt.column("batch_id").combine_chunks()
+    bcell = bt.column("__cell").combine_chunks().to_numpy(zero_copy_only=False)
+    B_all = _vec_matrix(bt.column("__bv").combine_chunks())
+    per_cell: dict = {}
+    for cell in np.unique(bcell):
+        idx = np.nonzero(bcell == cell)[0]
+        Bm = B_all[idx]
+        per_cell[int(cell)] = (idx, Bm, np.sqrt((Bm * Bm).sum(axis=1)))
+
+    c_t = c_cells.schema["__cid"].dataType.simpleString()
+    b_t = b_cells.schema["batch_id"].dataType.simpleString()
+    out_schema = f"`batch_id` {b_t}, `__corpus_canonical` {c_t}"
+    scale = 10.0 ** round_digits
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0 or not per_cell:
+                continue
+            cid_col = batch.column(batch.schema.get_field_index("__cid"))
+            cids = cid_col.to_numpy(zero_copy_only=False)
+            cells_np = batch.column(
+                batch.schema.get_field_index("__cell")
+            ).to_numpy(zero_copy_only=False)
+            V = _vec_matrix(batch.column(batch.schema.get_field_index("__cv")))
+            prim = np.argsort(cells_np, kind="stable")
+            cs = cells_np[prim]
+            starts = np.concatenate(
+                ([0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)])
+            )
+            out_b: list = []
+            out_c: list = []
+            for g in range(len(starts) - 1):
+                pc = per_cell.get(int(cs[starts[g]]))
+                if pc is None:
+                    continue
+                gi = prim[starts[g]:starts[g + 1]]
+                # ascending cid within the cell group: the FIRST qualifying
+                # corpus row per batch vector is then its min cid
+                gi = gi[np.argsort(cids[gi], kind="stable")]
+                bidx, Bm, bn = pc
+                C = V[gi]
+                cn = np.sqrt((C * C).sum(axis=1))
+                nb, nc = len(bidx), len(gi)
+                best = np.full(nb, -1, dtype=np.int64)
+                blk = max(1, 16_000_000 // nb)
+                for i0 in range(0, nc, blk):
+                    i1 = min(nc, i0 + blk)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (C[i0:i1] @ Bm.T) / (
+                            cn[i0:i1, None] * bn[None, :]
+                        )
+                    r = (
+                        np.copysign(np.floor(np.abs(cos) * scale + 0.5), cos)
+                        / scale
+                    )
+                    r = np.where(np.isnan(cos), np.inf, r)
+                    ok = r >= threshold  # (block, nb)
+                    hit = ok.any(axis=0)
+                    first = ok.argmax(axis=0) + i0
+                    upd = hit & (best < 0)
+                    best[upd] = first[upd]
+                found = np.nonzero(best >= 0)[0]
+                if len(found):
+                    out_b.append(bidx[found])
+                    out_c.append(gi[best[found]])
+            if out_b:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        bid_col.take(pa.array(np.concatenate(out_b))),
+                        cid_col.take(pa.array(np.concatenate(out_c))),
+                    ],
+                    names=["batch_id", "__corpus_canonical"],
+                )
+
+    hits = c_cells.select("__cid", "__cv", "__cell").mapInArrow(gen, out_schema)
+    return hits.groupBy("batch_id").agg(
+        F.min("__corpus_canonical").alias("__corpus_canonical")
+    )
+
+
 def incremental_semantic_dedup_from_index(
     spark,
     path: str,
     batch: DataFrame,
     threshold: float = 0.95,
     n_assign: int = 1,
+    scoring: str = "expr",
 ) -> DataFrame:
     """Batch-vs-INDEX semantic dedup — :func:`incremental_semantic_dedup`
     where the accepted corpus IS a persisted :func:`build_ann_index` index,
@@ -1254,8 +1393,12 @@ def incremental_semantic_dedup_from_index(
     on the batch side only when ``n_assign > 1``; classification
     semantics, rounding and tiebreaks are the shared tail
     (:func:`_classify_batch_vs_cells`) — equality with the full-scan
-    operator on the same frozen centroids is test-pinned. Returns
-    (batch_id, status, canonical_id) keyed by the index's own id column.
+    operator on the same frozen centroids is test-pinned. ``scoring``
+    picks the corpus-leg backend exactly as on
+    :func:`incremental_semantic_dedup` (``"arrow"`` = the per-cell
+    vectorized scale path; declared oracle queries stay on ``"expr"``).
+    Returns (batch_id, status, canonical_id) keyed by the index's own id
+    column.
     """
     import json
     import os
@@ -1296,7 +1439,7 @@ def incremental_semantic_dedup_from_index(
         F.col(id_col).alias("__cid"), F.col(vec).alias("__cv"), "__cell"
     )
     return _classify_batch_vs_cells(batch, c_cells, b_cells, id_col,
-                                    threshold, round_digits)
+                                    threshold, round_digits, scoring)
 
 
 def winnowed_fingerprints(

@@ -1477,6 +1477,61 @@ def test_incremental_dedup_from_index_equals_full_scan(spark, sf_dir):
         assert pruned == full and pruned, f"n_assign={n_assign}"
 
 
+def test_incremental_scoring_backends_agree(spark, sf_dir):
+    """The arrow scoring backend of the incremental-semantic classify tail
+    (mapInArrow over the corpus scan, per-cell numpy matmuls — the scale
+    path for the corpus leg)
+    must reproduce the expr reference classification on the fixture —
+    same statuses, same canonical ids, at n_assign 1 AND 2, through BOTH
+    the full-scan operator and the partition-pruned from-index reader —
+    and reject unknown backend names."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from s4hanaconnector_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_from_index,
+    )
+    from s4hanaconnector_spark.operators.similarity import build_ann_index
+    from s4hanaconnector_spark.queries.llmops import _sem_inc_frames
+
+    corpus, batch = _sem_inc_frames(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ann_index_incscore_")
+    build_ann_index(corpus, path, n_centroids=16, m=16, n_codes=32,
+                    c_id="vec_id", vec="embedding")
+    cents = spark.read.parquet(f"{path}/centroids")
+    for n_assign in (1, 2):
+        expr = {
+            tuple(r)
+            for r in incremental_semantic_dedup(
+                corpus, batch, "vec_id", threshold=0.95,
+                centroids=cents, n_assign=n_assign, scoring="expr",
+            ).collect()
+        }
+        arrow = {
+            tuple(r)
+            for r in incremental_semantic_dedup(
+                corpus, batch, "vec_id", threshold=0.95,
+                centroids=cents, n_assign=n_assign, scoring="arrow",
+            ).collect()
+        }
+        assert arrow == expr and expr, f"full-scan n_assign={n_assign}"
+        assert {r[1] for r in expr} == {"dup_of_corpus", "dup_in_batch", "new"}
+        idx_arrow = {
+            tuple(r)
+            for r in incremental_semantic_dedup_from_index(
+                spark, path, batch, threshold=0.95, n_assign=n_assign,
+                scoring="arrow",
+            ).collect()
+        }
+        assert idx_arrow == expr, f"from-index n_assign={n_assign}"
+    with _pytest.raises(ValueError, match="scoring"):
+        incremental_semantic_dedup(
+            corpus, batch, "vec_id", centroids=cents, scoring="nope"
+        ).collect()
+
+
 def test_semdedup_on_trained_index_centroids(spark, sf_dir):
     """The 100 TB SemDeDup shape end to end with PRODUCTION quantizers:
     KMeans centroids are trained once, persisted inside an ANN index, read

@@ -1034,12 +1034,25 @@ def test_x100_scaling_ladder(spark):
         cls = incremental_semantic_dedup_from_index(spark, path, b)
         cls.write.format("noop").mode("overwrite").save()
         t_classify = _t.perf_counter() - t0
+        # r12: the arrow scoring backend (mapInArrow over the resident
+        # scan, per-cell numpy matmuls) — the scale path for the classify
+        # half of the ingest loop; result equality asserted, both walls
+        # recorded so the ladder shows the backend delta at x100
+        t0 = _t.perf_counter()
+        cls_a = incremental_semantic_dedup_from_index(
+            spark, path, b, scoring="arrow"
+        )
+        cls_a.write.format("noop").mode("overwrite").save()
+        t_classify_arrow = _t.perf_counter() - t0
+        assert {tuple(r) for r in cls_a.collect()} == {
+            tuple(r) for r in cls.collect()
+        }
         t0 = _t.perf_counter()
         append_to_ann_index(b, path)
-        return t_classify, _t.perf_counter() - t0
+        return t_classify, t_classify_arrow, _t.perf_counter() - t0
 
-    tc10, tap10 = timed_ingest(p10, fixed_batch(x10, 50_000_000))
-    tc100, tap100 = timed_ingest(p100, fixed_batch(x100, 50_000_000))
+    tc10, tca10, tap10 = timed_ingest(p10, fixed_batch(x10, 50_000_000))
+    tc100, tca100, tap100 = timed_ingest(p100, fixed_batch(x100, 50_000_000))
     r_ap = tap100 / max(tap10, 0.5)
     _record_raw("index_ingest_vs_index_size", {
         "batch_rows": 5_000,
@@ -1048,6 +1061,8 @@ def test_x100_scaling_ladder(spark):
         "append_ratio": round(r_ap, 1),
         "classify_sec_x10_index": round(tc10, 2),
         "classify_sec_x100_index": round(tc100, 2),
+        "classify_arrow_sec_x10_index": round(tca10, 2),
+        "classify_arrow_sec_x100_index": round(tca100, 2),
         "note": "same 5k batch against a 10x-larger resident index; "
                 "append gated flat (<3x); classify recorded — its cost "
                 "is |batch cells| x cell occupancy by design (partition-"
@@ -1057,10 +1072,16 @@ def test_x100_scaling_ladder(spark):
                 "scaling; production sqrt(N) cell sizing grows occupancy "
                 "~3.2x per decade (sublinear classify), and the 5k batch "
                 "probes all 16 cells so pruning cannot help at this cell "
-                "count — it prunes when |batch cells| << n_cells",
+                "count — it prunes when |batch cells| << n_cells. "
+                "classify_arrow_* = the r12 scoring='arrow' backend "
+                "(mapInArrow over the resident scan, per-cell numpy "
+                "matmuls, result-equality asserted) — the scale path for "
+                "the ingest loop's dedup gate; expr stays the "
+                "declared-oracle reference",
     })
     print(f"LADDER index_ingest_vs_index_size: append {tap10:.2f}s -> "
-          f"{tap100:.2f}s ({r_ap:.1f}x), classify {tc10:.2f}s -> {tc100:.2f}s")
+          f"{tap100:.2f}s ({r_ap:.1f}x), classify expr {tc10:.2f}s -> "
+          f"{tc100:.2f}s / arrow {tca10:.2f}s -> {tca100:.2f}s")
     assert r_ap < 3, (
         f"append_to_ann_index wall grew {r_ap:.1f}x for a 10x larger "
         f"index ({tap10:.2f}s -> {tap100:.2f}s) — per-batch ingest must "
