@@ -977,6 +977,50 @@ def test_winnowing_guarantee_randomized(spark):
     assert not violations, f"span guarantee violated for cases {violations[:5]}"
 
 
+def test_winnowing_sparse_table_matches_naive_slice(spark):
+    """The r12 sparse-table window-min rewrite must reproduce the naive
+    slice+array_min formulation EXACTLY — the declared oracle replays that
+    selection bit for bit. Torture fixture: all-equal hashes (ties in
+    every window), docs below/at/around every length boundary (k-1, k,
+    n_pos = w-1 / w), null text, and w values on and off powers of two
+    (both the p == w fast path and the overlapped-combine tail)."""
+    from s4hanaconnector_spark.operators.dedup import winnowed_fingerprints
+
+    def naive(df, text_col, id_col, k, w):
+        txt = F.col(text_col)
+        n_pos = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.md5(txt.substr(i, F.lit(k))),
+        )
+        hashed = df.select(F.col(id_col).alias("doc"), hashes.alias("__hs"))
+        n_win = F.greatest(F.size(F.col("__hs")) - F.lit(w - 1), F.lit(1))
+        wins = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+            )
+        )
+        return hashed.select("doc", F.explode(wins).alias("fp"))
+
+    rows = [
+        (1, "a" * 100),  # every hash equal: ties in every window
+        (2, "short"),  # < k chars
+        (3, "x" * 23),  # exactly k - 1
+        (4, "x" * 24),  # exactly k -> a single position
+        (5, "y" * 31),  # n_pos == 8
+        (6, "y" * 30),  # n_pos == 7
+        (7, None),  # null text
+        (8, "the quick brown fox jumps over the lazy dog " * 30),
+        (9, "abcdefghij" * 120),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    for w in (8, 7, 5, 2, 1):
+        got = sorted(map(tuple, winnowed_fingerprints(df, "text", "id", k=24, w=w).collect()))
+        want = sorted(map(tuple, naive(df, "text", "id", 24, w).collect()))
+        assert got == want, f"sparse-table winnowing diverged at w={w}"
+
+
 def test_index_append_equals_one_shot_build(spark, sf_dir):
     """Incremental ingest contract: build the index on half the corpus,
     append the other half, and a probe must reproduce BIT FOR BIT the
