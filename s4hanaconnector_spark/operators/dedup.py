@@ -97,14 +97,29 @@ def ngram_coverage(
     crosses a pairwise Jaccard threshold — exactly the case the pairwise
     ladder rungs cannot see.
 
-    Scale shape: shingle explode -> groupBy(shingle) document-frequency (one
-    shuffle on short string keys, map-side partial counts) -> join back on
-    shingle -> groupBy(doc). Never pairwise; cost is linear in total
-    shingles. Returns (doc, total_shingles, dup_shingles, coverage)."""
+    Scale shape: shingle explode -> per-shingle document-frequency as a
+    COUNT WINDOW over the shingle partitioning -> groupBy(doc). Never
+    pairwise; cost is linear in total shingles. The window replaces the
+    previous groupBy(shingle) + join-back: that shape evaluated the whole
+    tokenize->shingle->explode subtree TWICE (once under the count
+    aggregate, once as the join probe — plan-measured 2x the input scans)
+    and at corpus scale the per-shingle count table is itself corpus-sized,
+    so the join could never broadcast; the window needs ONE subtree
+    evaluation and ONE exchange of the shingle rows. A hot boilerplate
+    shingle lands in one window partition, but the join-back's shuffle had
+    the identical hot key, so skew is unchanged. df_count per row is the
+    same count either way — every shingle row joins its own group's count.
+    Returns (doc, total_shingles, dup_shingles, coverage)."""
+    from pyspark.sql import Window as W
+
     sh = shingle_table(df, text_col, id_col, n)
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     return (
-        sh.join(counts, on="shingle")
+        # isNotNull replicates the old INNER join exactly: a null key never
+        # joined (null <> null in SQL), but a window PARTITION would keep it
+        sh.filter(F.col("shingle").isNotNull())
+        .withColumn(
+            "df_count", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("total_shingles"),
@@ -255,29 +270,60 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
 
     At 100 TB: the signature table is |docs| x bands rows (tiny vs shingle
-    table); the self-join on (band, sig) only meets documents sharing a
-    signature. The remaining quadratic risk is a HOT BUCKET: one boilerplate
-    min-shingle shared by k documents yields k(k-1)/2 pairs — ``max_bucket``
-    drops (band, sig) groups larger than that cap before the self-join
+    table); only documents sharing a (band, sig) bucket ever meet. The
+    remaining quadratic risk is a HOT BUCKET: one boilerplate min-shingle
+    shared by k documents yields k(k-1)/2 pairs — ``max_bucket`` drops
+    (band, sig) groups larger than that cap before any pair exists
     (a 182-doc bucket on the test fixture alone contributed 16k of 312k
     candidate pairs; at corpus scale an unbounded bucket is the job-killer).
     Genuine duplicate families are small, so the cap costs no recall on
     them — it sheds only boilerplate collisions that carry no dedup signal.
+    With the cap in force the pairing is bucket-local: one groupBy(band,
+    sig) folds each bucket into a row, and the (<= cap²/2, typically a few)
+    pairs explode from sorted in-row arrays — no self-join, and the md5
+    signature subtree is evaluated once instead of once per join side.
     """
     sigs = band_signatures(df, text_col, id_col, n)
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        # window count over the same (band, sig) partitioning the self-join
-        # shuffles on — the size check rides the existing exchange instead
-        # of adding a groupBy + semi-join round trip
-        sigs = (
-            sigs.withColumn(
-                "__bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+        # Capped path: fold each (band, sig) bucket into ONE row and
+        # generate its doc pairs row-locally. The historical shape was a
+        # self-join on (band, sig) with a count-window cap; both join
+        # inputs referenced the same frame, so the whole tokenize ->
+        # shingle -> md5 subtree (the operator's dominant cost) executed
+        # TWICE, plus two join-side exchanges. Here the subtree runs once
+        # and the only signature-sized exchange is the groupBy(band, sig);
+        # the cap bounds the per-bucket fan-out (<= cap*(cap-1)/2 pairs
+        # from one row), so the explode is row-local and skew-bounded by
+        # construction. band_signatures emits one non-null-sig row per
+        # (doc, band), so bucket members are distinct and sorted-array
+        # (i < j) pairing is exactly the self-join's doc_a < doc_b set.
+        buckets = (
+            sigs.groupBy("band", "sig")
+            .agg(F.collect_list("doc").alias("__docs"))
+            .filter(
+                (F.size("__docs") >= 2) & (F.size("__docs") <= max_bucket)
             )
-            .filter(F.col("__bucket_n") <= max_bucket)
-            .drop("__bucket_n")
+            .select(F.array_sort("__docs").alias("__docs"))
         )
+        ds = F.col("__docs")
+        pair_arr = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_arr).alias("__p"))
+            .select("__p.doc_a", "__p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+    # Uncapped path: keep the self-join — collect_list over an unbounded
+    # hot bucket would concentrate a boilerplate family's quadratic pair
+    # set in a single row/task, whereas the join at least spreads it.
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -302,20 +348,61 @@ def jaccard_pairs(
     (document-frequency cap) — at scale the handful of ubiquitous shingles
     otherwise produce a quadratic blowup while carrying no signal.
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
-    """
+
+    With ``df_cap`` set the pairing is bucket-local (the change-#9 shape of
+    minhash_lsh_candidates): one groupBy(shingle) folds each shingle's doc
+    list into a row, the cap filter IS the df filter (size(docs) = the old
+    row count: shingles are array_distinct per doc), per-doc sizes explode
+    back out of the capped buckets, and intersection counts explode from
+    row-local sorted (i < j) pair arrays bounded at cap(cap-1)/2 per row.
+    The historical shape — count + semi-join for the cap, then a shingle
+    self-join — re-evaluated the whole tokenize->shingle subtree ~6x (each
+    of the three capped-table references re-ran both the probe AND its
+    semi-join's frequency build); the bucket shape evaluates it twice
+    (sizes leg + pairs leg) and drops two join exchanges. The uncapped
+    path keeps the self-join: an unbounded hot shingle must not
+    concentrate its quadratic pair set in one row."""
     sh = shingle_table(df, text_col, id_col, n)
     if df_cap is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "semi")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        buckets = (
+            sh.filter(F.col("shingle").isNotNull())
+            .groupBy("shingle")
+            .agg(F.collect_list("doc").alias("__docs"))
+            .filter(F.size("__docs") <= df_cap)
+            .select(F.array_sort("__docs").alias("__docs"))
+        )
+        sizes = (
+            buckets.select(F.explode("__docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        ds = F.col("__docs")
+        pair_arr = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            buckets.filter(F.size("__docs") >= 2)
+            .select(F.explode(pair_arr).alias("__p"))
+            .select("__p.doc_a", "__p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
@@ -1544,14 +1631,24 @@ def substring_duplication(
     raw substrings; that is the fingerprint rung's job).
 
     Scale shape is ngram_coverage's: row-local fingerprint selection ->
-    explode (~2·chars/w rows per doc) -> groupBy(fp) document frequency
-    (ONE shuffle on short string keys, map-side partials) -> join back on
-    fp -> groupBy(doc). Never pairwise; linear in corpus chars. Returns
-    (doc, total_fps, dup_fps, coverage)."""
+    explode (~2·chars/w rows per doc) -> per-fp document frequency as a
+    COUNT WINDOW over the fp partitioning -> groupBy(doc). Never pairwise;
+    linear in corpus chars. Same r12 rewrite as ngram_coverage: the old
+    groupBy(fp) + join-back evaluated the ENTIRE winnowing subtree (one
+    md5 per char position — the operator's dominant cost) twice, once per
+    join input; the window computes the identical df_count from one
+    subtree evaluation and one exchange of the (doc, fp) rows.
+    Returns (doc, total_fps, dup_fps, coverage)."""
+    from pyspark.sql import Window as W
+
     fps = winnowed_fingerprints(df, text_col, id_col, k, w)
-    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_count"))
     return (
-        fps.join(counts, on="fp")
+        # isNotNull replicates the old INNER join exactly: a null-text doc
+        # fingerprints to [null] (md5(null) = null), and a null key never
+        # joined — but a window PARTITION groups nulls together and would
+        # keep the row, changing the output for null-text documents
+        fps.filter(F.col("fp").isNotNull())
+        .withColumn("df_count", F.count(F.lit(1)).over(W.partitionBy("fp")))
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("total_fps"),

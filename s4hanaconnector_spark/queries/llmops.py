@@ -1030,7 +1030,7 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision: the planted verbatim and suffix-extended copies score high,
     the CASE-changed copies correctly score zero here. Fingerprint
     selection is row-local array math, explode is ~2·chars/w rows per doc,
-    and the only shuffle is the fp document-frequency groupBy
+    and the only fp-sized shuffle is the document-frequency count window
     (operators/dedup.py substring_duplication)."""
     return D.substring_duplication(
         docs_aug(spark, sf_dir), "text", "doc_id", k=24, w=8, min_df=2

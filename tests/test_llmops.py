@@ -1021,6 +1021,198 @@ def test_winnowing_sparse_table_matches_naive_slice(spark):
         assert got == want, f"sparse-table winnowing diverged at w={w}"
 
 
+def _coverage_fixture(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [
+        (1, base * 4),
+        (2, base * 4),  # verbatim copy of 1
+        (3, base * 4 + "with a unique suffix tail nobody else shares here"),
+        (4, "entirely different text about winnowing sparse tables and md5"),
+        (5, None),  # null text
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_coverage_window_count_matches_join_back(spark):
+    """The r12 df_count rewrite (groupBy(key) + join-back -> count window
+    over the key partitioning) must reproduce the old formulation EXACTLY
+    for both coverage operators, and the new plan must evaluate the
+    expensive explode subtree ONCE: no join node, a single Generate."""
+    from s4hanaconnector_spark.operators.dedup import (
+        ngram_coverage,
+        shingle_table,
+        substring_duplication,
+        winnowed_fingerprints,
+    )
+
+    df = _coverage_fixture(spark)
+
+    def join_back(rows_df, key, min_df):
+        counts = rows_df.groupBy(key).agg(F.count(F.lit(1)).alias("df_count"))
+        return (
+            rows_df.join(counts, on=key)
+            .groupBy("doc")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("df_count") >= min_df, 1).otherwise(0))
+                .cast("bigint")
+                .alias("dup"),
+            )
+            .withColumn("coverage", F.col("dup").cast("double") / F.col("total"))
+        )
+
+    for op, rows_fn, key in (
+        (ngram_coverage, lambda d: shingle_table(d, "text", "id"), "shingle"),
+        (
+            substring_duplication,
+            lambda d: winnowed_fingerprints(d, "text", "id"),
+            "fp",
+        ),
+    ):
+        got = sorted(map(tuple, op(df, "text", "id").collect()))
+        want = sorted(map(tuple, join_back(rows_fn(df), key, 2).collect()))
+        assert got == want, f"{op.__name__} window df_count diverged"
+        plan = op(df, "text", "id")._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{op.__name__} still joins back"
+        assert plan.count("Generate") == 1, (
+            f"{op.__name__} evaluates the explode subtree more than once"
+        )
+
+
+def test_minhash_single_signature_pass(spark):
+    """The r12 bucket-collect pairing (groupBy(band, sig) + row-local pair
+    explode) must reproduce the historical capped self-join EXACTLY, and
+    the new plan must evaluate the tokenize->md5 signature subtree once:
+    no Join node, and exactly two Generates (the band explode + the pair
+    explode) instead of the join shape's two band explodes + join."""
+    from pyspark.sql import Window as W
+
+    from s4hanaconnector_spark.operators.dedup import (
+        band_signatures,
+        minhash_lsh_candidates,
+    )
+
+    df = _coverage_fixture(spark)
+    got = sorted(map(tuple, minhash_lsh_candidates(df, "text", "id").collect()))
+
+    # the pre-r12 formulation, inline: same cap window, no checkpoint
+    sigs = band_signatures(df, "text", "id", 3)
+    sigs = (
+        sigs.withColumn(
+            "__bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+        )
+        .filter(F.col("__bucket_n") <= 64)
+        .drop("__bucket_n")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want = sorted(
+        map(
+            tuple,
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig")),
+            )
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .collect(),
+        )
+    )
+    assert got == want, "bucket-collect minhash diverged from the self-join shape"
+    plan = (
+        minhash_lsh_candidates(df, "text", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, "capped minhash pairing still self-joins"
+    assert plan.count("Generate") == 2, (
+        "expected exactly one band explode + one pair explode (signature "
+        f"subtree evaluated once); got {plan.count('Generate')} Generates"
+    )
+
+
+def test_jaccard_bucket_pairing_matches_self_join(spark):
+    """The r12 capped jaccard_pairs (bucket-collect pairing + exploded
+    sizes) must reproduce the historical semi-join-cap + shingle-self-join
+    shape EXACTLY — including the df-cap boundary, ties at the threshold,
+    null text, and single-shingle docs — and its plan must not contain the
+    shingle self-join. The uncapped path must still self-join (hot buckets
+    must not fold into one row without a cap)."""
+    from s4hanaconnector_spark.operators.dedup import jaccard_pairs, shingle_table
+
+    # the coverage fixture plus a twin of doc 4: its shingles form
+    # exactly-2-doc buckets that SURVIVE df_cap=2 while the 3-way
+    # boilerplate buckets of docs 1/2/3 are dropped by it
+    df = _coverage_fixture(spark).unionAll(
+        spark.createDataFrame(
+            [(7, "entirely different text about winnowing sparse tables and md5")],
+            "id bigint, text string",
+        )
+    )
+
+    def old_shape(d, threshold, df_cap):
+        sh = shingle_table(d, "text", "id", 3)
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "semi"
+        )
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+            .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # df_cap=2 exercises the cap boundary on the fixture (docs 1/2/3 share
+    # shingles 3 ways -> those buckets are dropped at cap 2, kept at 128)
+    for threshold, cap in ((0.0, 128), (0.5, 128), (0.0, 2)):
+        got = sorted(
+            map(tuple, jaccard_pairs(df, "text", "id", threshold=threshold,
+                                     df_cap=cap).collect())
+        )
+        want = sorted(map(tuple, old_shape(df, threshold, cap).collect()))
+        assert got == want, f"bucket jaccard diverged at t={threshold} cap={cap}"
+        assert got, f"fixture produced no pairs at t={threshold} cap={cap}"
+
+    plan = (
+        jaccard_pairs(df, "text", "id", df_cap=128)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the sizes re-attachment joins (on doc_a/doc_b) are part of BOTH
+    # shapes; the rewrite's claim is that no join keyed on the SHINGLE
+    # remains (self-join and cap semi-join gone) and the pair/size legs
+    # explode from the bucket rows instead
+    assert "Join [shingle" not in plan, "capped jaccard still joins on shingle"
+    assert plan.count("Generate") >= 3
+    uncapped = (
+        jaccard_pairs(df, "text", "id", df_cap=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join [shingle" in uncapped, "uncapped path must keep the self-join"
+
+
 def test_index_append_equals_one_shot_build(spark, sf_dir):
     """Incremental ingest contract: build the index on half the corpus,
     append the other half, and a probe must reproduce BIT FOR BIT the

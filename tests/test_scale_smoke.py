@@ -373,7 +373,7 @@ _LADDER = [
     # fair like the plain PQ rung, and must stay linear
     "similarity_topk_ivf_pq",
     # winnowing substring dedup (r9): row-local fingerprint selection, one
-    # fp-frequency shuffle, join back — and unlike the pairwise LSH rungs
+    # fp-frequency count window — and unlike the pairwise LSH rungs
     # it never materializes pairs, so the tier's reps-sized replica
     # families only raise per-fp counts, not row counts: ladder-fair on
     # the real tier documents despite their family structure
