@@ -298,27 +298,31 @@ def tfidf_search(df: DataFrame, text_col: str, id_col: str, terms: list[str]) ->
     retrieval/relevance-scoring shape (idf as in ``vocab_stats``, unrounded
     until the final score so both engines round the same product sum).
 
-    One token explode feeds both sides: term frequencies for the query
-    terms (an ``isin`` filter prunes the explode output before any
-    shuffle) and document frequencies for the idf table, which is
-    |terms| rows and broadcasts into the probe. Only documents containing
-    at least one query term survive — output is (id, score)."""
+    ONE token explode feeds everything: the (id, term) frequency table is
+    the only aggregate of the explode output (an ``isin`` filter prunes it
+    before any shuffle), and per-term document frequency is a count window
+    over the tf table's term partitioning — tf has exactly one row per
+    (doc, term), so the window count IS the old idf leg's
+    count_distinct(id), without re-evaluating the explode subtree for a
+    second aggregation (the r12 df_count rewrite, same as ngram_coverage).
+    idf = log(n_docs/df) evaluates per tf row — a deterministic function
+    of two integers, bit-identical to computing it once per term and
+    joining. Only documents containing at least one query term survive —
+    output is (id, score)."""
+    from pyspark.sql import Window as W
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
     hits = toks.filter(F.col("tok").isin(terms))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
-    idf = (
-        hits.groupBy("tok")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .select("tok", F.log(F.col("__n_docs").cast("double") / F.col("df")).alias("__idf"))
-    )
     tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    return (
-        tf.join(F.broadcast(idf), on="tok")
-        .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("tf") * F.col("__idf")), 6).alias("score"))
+    scored = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    ).crossJoin(F.broadcast(n_docs))
+    idf = F.log(F.col("__n_docs").cast("double") / F.col("__df"))
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(F.col("tf") * idf), 6).alias("score")
     )
 
 
@@ -340,30 +344,41 @@ def bm25_search(
     integer aggregate (tf, dl, Σdl, N, df), the formula is mirrored
     token-for-token in the oracle so both engines execute the same IEEE
     operation tree, and only the final summed score rounds (6 digits).
-    One explode feeds tf, dl and df; idf and the 1-row corpus stats
-    broadcast into the probe."""
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+
+    The explode is evaluated ONCE (the tf leg). Document length needs no
+    explode at all: ``dl = size(token array)`` is row-local and equals the
+    old explode->groupBy(id) count exactly (explode emits one row per
+    element incl. nulls; docs with empty/null arrays produced no rows and
+    are filtered the same way here), so both dl legs (the 1-row corpus
+    stats and the per-doc re-attachment join) are cheap projection scans
+    instead of explode+shuffle rounds. Per-term df is a count window over
+    the (doc, term) tf table (one row per pair = the old
+    count_distinct(id)); idf evaluates per tf row — a deterministic
+    function of two integers, bit-identical to the old |terms|-row
+    broadcast table. The historical shape re-evaluated the token explode
+    six times (dl, corpus, idf, tf, and the two re-attachment legs)."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__w")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    dl = base.select(
+        F.col(id_col), F.size("__w").alias("__dl")
+    ).filter(F.col("__dl") > 0)
     corpus = dl.agg(
         F.sum("__dl").alias("__total_dl"), F.count(F.lit(1)).alias("__n_docs")
     )
-    hits = toks.filter(F.col("tok").isin(terms))
-    idf = (
-        hits.groupBy("tok")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "tok",
-            F.log(F.col("__n_docs").cast("double") / F.col("__df")).alias("__idf"),
-        )
+    hits = base.select(F.col(id_col), F.explode("__w").alias("tok")).filter(
+        F.col("tok").isin(terms)
     )
     tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
     scored = (
-        tf.join(F.broadcast(idf), on="tok")
+        tf.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("tok")))
         .join(dl, on=id_col)
         .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "__idf", F.log(F.col("__n_docs").cast("double") / F.col("__df"))
+        )
     )
     norm_dl = (
         F.col("__dl").cast("double")
@@ -417,7 +432,11 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
-    tot_u = uni.agg(F.sum("c").alias("__tu"))
+    # total unigram count from the token arrays directly (sum of per-doc
+    # lengths) — summing the unigram table would re-evaluate the whole
+    # tokenize+explode+groupBy subtree for the same number (explode emits
+    # one row per element, so sum(size) == sum of unigram counts exactly)
+    tot_u = toksed.agg(F.sum(F.size("__w")).alias("__tu"))
     # total bigram count must include the min_count-dropped rare bigrams, so
     # it comes from the token arrays directly (sum of per-doc len-1), not
     # from summing the filtered bigram table

@@ -1213,6 +1213,156 @@ def test_jaccard_bucket_pairing_matches_self_join(spark):
     assert "Join [shingle" in uncapped, "uncapped path must keep the self-join"
 
 
+def test_retrieval_single_explode_matches_join_back(spark):
+    """The r12 retrieval rewrites (tfidf: df via count window over the tf
+    table; bm25: dl via size(token array) + df window; pmi: tot_u from
+    array sizes) must reproduce the historical multi-evaluation shapes
+    EXACTLY — float-for-float, including docs with no hits, null text,
+    empty-after-tokenize text, and repeated query terms — and the new
+    plans must evaluate the token explode once (tfidf/bm25) or twice
+    (pmi's unigram + bigram legs)."""
+    from s4hanaconnector_spark.operators.text import (
+        bm25_search,
+        pmi_collocations,
+        tfidf_search,
+        tokens,
+    )
+
+    rows = [
+        (1, "spark shuffle broadcast spark spark shuffle join"),
+        (2, "broadcast join exchange partition spark"),
+        (3, "nothing relevant here at all whatsoever"),
+        (4, None),
+        (5, ""),
+        (6, "spark"),
+        (7, "spark shuffle broadcast spark spark shuffle join"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    terms = ["spark", "shuffle", "broadcast"]
+
+    def old_tfidf(d):
+        toks = d.select(
+            F.col("id"), F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        hits = toks.filter(F.col("tok").isin(terms))
+        n_docs = d.select(F.count_distinct(F.col("id")).alias("__n_docs"))
+        idf = (
+            hits.groupBy("tok")
+            .agg(F.count_distinct(F.col("id")).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "tok",
+                F.log(F.col("__n_docs").cast("double") / F.col("df")).alias("__idf"),
+            )
+        )
+        tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        return (
+            tf.join(F.broadcast(idf), on="tok")
+            .groupBy("id")
+            .agg(F.round(F.sum(F.col("tf") * F.col("__idf")), 6).alias("score"))
+        )
+
+    def old_bm25(d, k1=1.2, b=0.75):
+        toks = d.select(
+            F.col("id"), F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__dl"))
+        corpus = dl.agg(
+            F.sum("__dl").alias("__total_dl"), F.count(F.lit(1)).alias("__n_docs")
+        )
+        hits = toks.filter(F.col("tok").isin(terms))
+        idf = (
+            hits.groupBy("tok")
+            .agg(F.count_distinct(F.col("id")).alias("__df"))
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                "tok",
+                F.log(F.col("__n_docs").cast("double") / F.col("__df")).alias("__idf"),
+            )
+        )
+        tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("__tf"))
+        scored = (
+            tf.join(F.broadcast(idf), on="tok")
+            .join(dl, on="id")
+            .crossJoin(F.broadcast(corpus))
+        )
+        norm_dl = (
+            F.col("__dl").cast("double")
+            * F.col("__n_docs").cast("double")
+            / F.col("__total_dl").cast("double")
+        )
+        contrib = (
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_dl))
+        )
+        return scored.groupBy("id").agg(F.round(F.sum(contrib), 6).alias("bm25"))
+
+    for new_fn, old_fn in (
+        (lambda d: tfidf_search(d, "text", "id", terms), old_tfidf),
+        (lambda d: bm25_search(d, "text", "id", terms), old_bm25),
+    ):
+        got = sorted(map(tuple, new_fn(df).collect()))
+        want = sorted(map(tuple, old_fn(df).collect()))
+        assert got == want and got, f"retrieval rewrite diverged: {got} vs {want}"
+
+    # plan: exactly ONE Generate (explode) node each
+    for op in (
+        tfidf_search(df, "text", "id", terms),
+        bm25_search(df, "text", "id", terms),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, "token explode evaluated more than once"
+
+    # pmi: tot_u from array sizes must equal the old sum over the unigram
+    # table (pin the whole operator against a 3-evaluation reference)
+    def old_pmi(d, min_count=1):
+        toksed = d.select(F.col("id"), tokens(F.lower(F.col("text"))).alias("__w"))
+        uni = (
+            toksed.select(F.explode("__w").alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        bi = (
+            toksed.filter(F.size("__w") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - 1),
+                        lambda i: F.struct(
+                            F.get(F.col("__w"), i - 1).alias("a"),
+                            F.get(F.col("__w"), i).alias("b"),
+                        ),
+                    )
+                ).alias("g")
+            )
+            .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .filter(F.col("c_ab") >= min_count)
+        )
+        tot_u = uni.agg(F.sum("c").alias("__tu"))
+        tot_bi = toksed.filter(F.size("__w") >= 2).agg(
+            F.sum(F.size("__w") - 1).alias("__tb")
+        )
+        scored = (
+            bi.join(uni.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a"), on="a")
+            .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b"), on="b")
+            .crossJoin(F.broadcast(tot_u))
+            .crossJoin(F.broadcast(tot_bi))
+        )
+        p_ab = F.col("c_ab").cast("double") / F.col("__tb").cast("double")
+        p_a = F.col("c_a").cast("double") / F.col("__tu").cast("double")
+        p_b = F.col("c_b").cast("double") / F.col("__tu").cast("double")
+        return scored.select(
+            "a", "b", "c_ab", F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi")
+        )
+
+    got = sorted(map(tuple, pmi_collocations(df, "text", "id", min_count=1).collect()))
+    want = sorted(map(tuple, old_pmi(df).collect()))
+    assert got == want and got, "pmi tot_u rewrite diverged"
+
+
 def test_index_append_equals_one_shot_build(spark, sf_dir):
     """Incremental ingest contract: build the index on half the corpus,
     append the other half, and a probe must reproduce BIT FOR BIT the
