@@ -119,10 +119,18 @@ def test_decontamination_eval_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_tfidf_idf_table_broadcasts(spark, sf_dir):
-    """E39: the |query-terms|-row idf table broadcasts into the tf probe."""
+def test_tfidf_has_no_idf_join(spark, sf_dir):
+    """E39 (r12 shape): per-term document frequency is a count window over
+    the (doc, term) tf table and idf evaluates per row, so the old
+    idf-table hash join is GONE — the token explode runs once (one
+    Generate) and the only join left is the 1-row corpus-stat broadcast
+    cross. A hash or sort-merge join reappearing means the idf leg
+    re-materialized as a second explode+aggregate subtree."""
     plan = plan_of(spark, sf_dir, "tfidf_retrieval")
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Window" in plan, plan
 
 
 def test_q4_semi_join_with_date_pushdown(spark, sf_dir):
