@@ -1626,10 +1626,13 @@ GROUP BY doc_id
 def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words retrieval scoring (operators/text.py tfidf_search):
     tf·idf of every document against the query {spark, shuffle, broadcast}.
-    One token explode feeds both term frequencies (isin-pruned before any
-    shuffle) and the |terms|-row idf table, which broadcasts into the
-    probe; idf stays unrounded until the final summed score so both
-    engines round the same product."""
+    One token explode (isin-pruned before any shuffle) feeds the (doc,
+    term) tf table; per-term document frequency is a COUNT WINDOW over
+    that table (tf has one row per pair, so the window count equals the
+    old count_distinct) and idf = ln(n_docs/df) evaluates per row — the
+    only join is the 1-row corpus-stat broadcast cross (r12 shape, pinned
+    by test_tfidf_has_no_idf_join). idf stays unrounded until the final
+    summed score so both engines round the same product."""
     return X.tfidf_search(
         t(spark, sf_dir, "documents"), "text", "doc_id",
         ["spark", "shuffle", "broadcast"],

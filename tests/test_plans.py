@@ -131,6 +131,11 @@ def test_tfidf_has_no_idf_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Generate") == 1, plan
     assert "Window" in plan, plan
+    # the 1-row corpus-stat cross must stay a BROADCAST nested loop — an
+    # unbroadcast CartesianProduct here is the 100x-at-scale regression
+    # this suite exists to catch (ADVICE r12)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
 
 
 def test_q4_semi_join_with_date_pushdown(spark, sf_dir):

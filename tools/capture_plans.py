@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for headline (or named) queries into
-plans/r12/<query>_<tag>.txt — the before/after plan evidence for the
-optimization round.
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default r13) — the
+before/after plan evidence for the optimization round.
 
 Usage: python tools/capture_plans.py <tag> [query ...]
   tag    = 'before' or 'after' (file suffix)
@@ -30,7 +30,9 @@ def main() -> None:
     if not names:
         names = [n for n, q in registry.items() if q.headline]
 
-    out_dir = os.path.join(HERE, "plans", "r12")
+    out_dir = os.path.join(
+        HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         q = registry[name]
