@@ -97,9 +97,18 @@ def brute_force_topk(
     is deterministic across engines/float orders."""
     from pyspark.sql import Window as W
 
-    q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
-    c = corpus.select(F.col(c_id), F.col(vec).alias("__cv"))
-    cos = cosine(F.col("__qv"), F.col("__cv"))
+    # r13 (guide §4.1): norms are per-ROW quantities — materialize each
+    # side's norm BEFORE the join so per-PAIR work is one dot + divide;
+    # inline, the corpus norm re-folded per query and the query norm per
+    # candidate (higher-order lambdas are interpreted, no CSE). Same float
+    # ops in the same order (dot / (qn * cn)) -> bit-identical cosine.
+    q = queries.select(
+        F.col(q_id), F.col(vec).alias("__qv"), _norm(F.col(vec)).alias("__qn")
+    )
+    c = corpus.select(
+        F.col(c_id), F.col(vec).alias("__cv"), _norm(F.col(vec)).alias("__cn")
+    )
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -241,6 +250,21 @@ def _lloyd_fit(X, k: int, seed: int, max_iter: int):
     return centers
 
 
+# cell_assigner's literal-delivery / auto-backend threshold. r13 (guide
+# §1.2 "measure first"): was 2048 on the assumption that the constant-folded
+# literal expr argmax is fastest until the plan-size cliff; an interleaved
+# A/B at 16/48/96/141 cells x {x10, x100} corpora measured the Arrow matmul
+# backend ahead of the interpreted HOF argmax from ~48 cells up (141 cells
+# at the x100 corpus: expr 9.1 s vs arrow 0.9 s — the HOF path pays
+# O(cells x dims) interpreted dispatches and a cells-sized struct
+# array_sort PER ROW). 64 keeps every declared query (all pin
+# n_centroids=16, <= 44 cells for sqrt-sized paths at the driver-checked
+# SFs) on the expr literal path — the oracle-replicable semantics
+# reference — while production-sized quantizers (sqrt(N) cells) get the
+# vectorized backend.
+_LITERAL_CENTROID_MAX = 64
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -252,7 +276,7 @@ def ivf_topk(
     vec: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
-    literal_centroid_max: int = 2048,
+    literal_centroid_max: int = _LITERAL_CENTROID_MAX,
     assignment: str = "auto",
     rescore: str = "float",
 ) -> DataFrame:
@@ -286,9 +310,12 @@ def ivf_topk(
         cross-backend equality holds after rounding except on
         ~1e-10-of-a-boundary knife edges (fixture-pinned by tests).
       * ``"auto"`` — expr while the centroid table fits the literal
-        delivery (≤ ``literal_centroid_max``: constant-folded, fastest at
-        small counts), Arrow past it (where the per-row interpreter cost
-        dominates).
+        delivery (≤ ``literal_centroid_max``), Arrow past it (where the
+        per-row interpreter cost dominates). r13: the threshold default
+        dropped 2048 -> 64 on measurement (see _LITERAL_CENTROID_MAX) —
+        every declared query pins 16 cells and stays on the expr/oracle
+        semantics; sqrt(N)-sized production quantizers now get the
+        vectorized backend.
 
     ``rescore`` picks the candidate-scoring representation:
       * ``"float"`` — candidates rescored against the raw corpus vectors;
@@ -320,7 +347,7 @@ def ivf_assign(
     vec: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
-    literal_centroid_max: int = 2048,
+    literal_centroid_max: int = _LITERAL_CENTROID_MAX,
     assignment: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF index WITHOUT the rescore tail: ``cells`` = one row per
@@ -341,9 +368,6 @@ def ivf_assign(
     )
     return cells, probes
 
-
-
-_LITERAL_CENTROID_MAX = 2048  # cell_assigner's literal-delivery threshold
 
 
 def _auto_assignment(centroids: DataFrame) -> str:
@@ -555,7 +579,15 @@ def _rescore(
         )
     elif rescore != "float":
         raise ValueError(f"unknown rescore mode: {rescore}")
-    cos = F.round(cosine(F.col("__qv"), F.col(vec)), round_digits)
+    # r13 (guide §4.1): hoist the per-row norms out of the per-candidate
+    # cosine — the candidate-side norm re-folded once per probing query and
+    # the query norm once per candidate. Identical float ops/order.
+    cells = cells.withColumn("__cn", _norm(F.col(vec)))
+    probes = probes.withColumn("__qn", _norm(F.col("__qv")))
+    cos = F.round(
+        _dot(F.col("__qv"), F.col(vec)) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
     scored = (
         cells.join(F.broadcast(probes), on="__cell")
         .filter(F.col(q_id) != F.col(c_id))
@@ -615,27 +647,81 @@ def _arrow_assign(
     vec_type = df.schema[vec].dataType.simpleString()
     out_schema = f"`{id_col}` {id_type}, `{vec}` {vec_type}, `__cell` bigint"
 
+    n_cents = cmat.shape[0] if cmat.ndim == 2 else 0
+
     # r12: mapInArrow instead of mapInPandas — the vector column enters as
     # one contiguous Arrow values buffer, so the (rows x dims) matrix is a
     # zero-copy reshape (+ exact float32->float64 widening) instead of a
-    # per-row Python list conversion (measured 10x on a 200k x 64 batch),
-    # and the row-repeat on the output side is an Arrow ``take`` instead
-    # of an object-array repeat. Affinity math, rounding and tie rules are
-    # bit-identical to the mapInPandas version.
+    # per-row Python list conversion (measured 10x on a 200k x 64 batch).
+    # Affinity math, rounding and tie rules are bit-identical to the
+    # mapInPandas version.
+    #
+    # r13 (guide §4.2 / §2.3 — touch fewer bytes): this box (like any
+    # machine running one Python worker per core) is MEMORY-BANDWIDTH
+    # bound under task concurrency, not flops bound: 32 concurrent
+    # single-threaded dgemms measured ~21 Gflop/s machine-wide vs ~120
+    # Gflop/s for one process alone. The old shape materialized the full
+    # (rows x n_cents) float64 affinity matrix ~6 times per batch (aff,
+    # abs, round, where, -r, argsort indices — ~900 MB of DRAM traffic
+    # per 7.5k-row task at 2500 cells) and stable-argsorted every row
+    # where the corpus side only needs the argmax. The keep_rn == 1 path
+    # now runs a BLOCKED running argmax: per centroid block, one gemm
+    # into a ~8 MB block that is rounded IN PLACE and folded into the
+    # running (best, cid) — the full matrix never exists, the per-element
+    # arithmetic is unchanged (same multiply-then-divide denominator,
+    # same HALF_UP-on-the-binary-double rounding, NaN -> +inf), and ties
+    # keep the LOWEST cent_id exactly like the stable argsort did
+    # (within a block np.argmax returns the first maximum; across blocks
+    # the strictly-greater update keeps the earlier block's pick).
+    # Measured: the x100 assignment rung 47 s -> see OPTIMIZATION_r13.md.
+    def _rounded_block(V, vnorm, lo, hi):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            aff = V @ cmat[lo:hi].T
+            denom = vnorm[:, None] * cnorm[None, lo:hi]
+            aff /= denom
+        nanmask = np.isnan(aff)
+        neg = np.signbit(aff)
+        np.abs(aff, out=aff)
+        aff *= scale
+        aff += 0.5
+        np.floor(aff, out=aff)
+        aff /= scale
+        np.negative(aff, where=neg, out=aff)
+        aff[nanmask] = np.inf  # NaN ranks first
+        return aff
+
     def gen(batches):
         import pyarrow as pa
 
         for batch in batches:
-            if batch.num_rows == 0:
+            if batch.num_rows == 0 or n_cents == 0:
                 continue
             va = batch.column(batch.schema.get_field_index(vec))
+            ids = batch.column(batch.schema.get_field_index(id_col))
             V = _vec_matrix(va)
+            rows = V.shape[0]
             vnorm = np.sqrt((V * V).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                aff = (V @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
-            # Spark's F.round is BigDecimal HALF_UP: ties away from zero
-            r = np.copysign(np.floor(np.abs(aff) * scale + 0.5), aff) / scale
-            r = np.where(np.isnan(aff), np.inf, r)  # NaN ranks first
+            if keep_rn == 1:
+                cblock = max(128, int(8e6 / (8 * max(rows, 1))))
+                best = np.full(rows, -np.inf)
+                best_cell = np.zeros(rows, dtype=np.int64)
+                rr = np.arange(rows)
+                for lo in range(0, n_cents, cblock):
+                    hi = min(lo + cblock, n_cents)
+                    r = _rounded_block(V, vnorm, lo, hi)
+                    idx = np.argmax(r, axis=1)
+                    vals = r[rr, idx]
+                    upd = vals > best
+                    best[upd] = vals[upd]
+                    best_cell[upd] = cids[lo + idx[upd]]
+                # no row repeat at keep_rn == 1: ids/vectors pass through
+                # untouched (the old identity ``take`` copied both columns)
+                yield pa.RecordBatch.from_arrays(
+                    [ids, va, pa.array(best_cell)],
+                    names=[id_col, vec, "__cell"],
+                )
+                continue
+            r = _rounded_block(V, vnorm, 0, n_cents)
             order = np.argsort(-r, axis=1, kind="stable")[:, :keep_rn]
             picked = cids[order]  # (rows, min(keep_rn, n_centroids))
             # repeat by the ACTUAL width: with fewer centroids than
@@ -645,7 +731,6 @@ def _arrow_assign(
             idx = pa.array(
                 np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_picked)
             )
-            ids = batch.column(batch.schema.get_field_index(id_col))
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.take(idx),
@@ -705,8 +790,13 @@ def lsh_bucketed_pairs(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    # r13 (guide §4.1): one norm per row before the self-join instead of
+    # two norm folds per candidate pair. Identical float ops/order.
+    b = b.withColumn("__n", _norm(F.col(vec)))
     a, c = b.alias("a"), b.alias("b")
-    cos = cosine(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
+    cos = _dot(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
@@ -772,11 +862,15 @@ def quantized_topk(
     quantized corpus vector."""
     from pyspark.sql import Window as W
 
-    q = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    q = queries.select(
+        F.col(q_id), F.col(vec).alias("__qv"), _norm(F.col(vec)).alias("__qn")
+    )
     # two-step projection: materialize the per-vector max into its own
     # column FIRST — inline, the max subtree re-evaluates per element in
     # the interpreted lambda (O(dims²)/row; 2.5x wall on the bench corpus).
     # The encoding itself is quantize_int8 — ONE definition, no drift.
+    # r13 (guide §4.1): the quantized-vector norm is also per-row —
+    # materialized once instead of once per (q, c) pair.
     c = corpus.select(
         F.col(c_id),
         F.col(vec).alias("__v"),
@@ -784,8 +878,11 @@ def quantized_topk(
     ).select(
         c_id,
         quantize_int8(F.col("__v"), max_abs=F.col("__mx")).alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    cos = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
     )
-    cos = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
     scored = c.crossJoin(F.broadcast(q)).select(
         q_id, c_id, cos.alias("cosine")
     ).filter(F.col(q_id) != F.col(c_id))

@@ -35,6 +35,8 @@ def get_session():
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
 
@@ -158,11 +160,12 @@ def stage_report(app_id: str) -> list[dict]:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
-                stages[sid] = {
-                    "name": si.get("Name", "")[:60],
-                    "wall": round(((comp or 0) - (sub or 0)) / 1000.0, 2),
-                    "tasks": si.get("Number of Tasks"),
-                }
+                agg = stages.setdefault(sid, {})
+                agg.update(
+                    name=si.get("Name", "")[:60],
+                    wall=round(((comp or 0) - (sub or 0)) / 1000.0, 2),
+                    tasks=si.get("Number of Tasks"),
+                )
             elif et == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 m = ev.get("Task Metrics") or {}
